@@ -1,0 +1,260 @@
+"""Companion graph algorithms: PageRank, connected components, label
+propagation, triangle counting.
+
+Not present in the reference (its cugraph-scripts only invoke Louvain,
+/root/reference/cugraph-scripts/cug_louvain_mm.py:35); specified by the
+north rule and built in the same join + vectorized-aggregate style as the
+Louvain mapping. Semantics are pinned by the NumPy oracles in oracle.py.
+
+Scale notes:
+- every iteration is one E-row shuffle (join rank/label on src, aggregate on
+  dst) — the minimal possible for message passing;
+- iterative state (V rows) goes through ``plans.truncate_lineage`` every
+  iteration to keep the Catalyst plan flat and the size estimates bounded;
+- the rank/label table is broadcast-joinable for small/coarse graphs — AQE
+  decides at runtime from materialized sizes;
+- convergence tests are single scalar actions (sum/count), never collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nido_spark import graph as G
+from nido_spark.plans import truncate_lineage
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def pagerank_step(
+    edges: DataFrame, ranks: DataFrame, verts: DataFrame, n_vertices: int,
+    damping: float = 0.85, dangling_mass: float = 0.0,
+) -> DataFrame:
+    """One synchronous weighted PageRank step:
+    r'(v) = (1-d)/N + d * (sum_u r(u) * w(u,v)/k(u) + dangling/N).
+
+    ``ranks``: (v, r). Returns (v, r) for all vertices in ``verts``."""
+    out = verts.select(F.col("v").alias("src"), F.col("k").alias("k_src"))
+    contrib = (
+        edges.join(ranks.select(F.col("v").alias("src"), "r"), "src")
+        .join(out, "src")
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum(F.col("r") * F.col("w") / F.col("k_src")).alias("contrib"))
+    )
+    base = (1.0 - damping) / n_vertices + damping * dangling_mass / n_vertices
+    return (
+        verts.select("v")
+        .join(contrib, "v", "left")
+        .select(
+            "v",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("r"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 20,
+    tol: float = 1e-9,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Weighted PageRank to tolerance/iteration cap; returns (v, r).
+
+    The canonical edge table is symmetric so no dangling vertices exist, but
+    dangling mass (k=0) is handled for one-directional inputs too."""
+    verts = truncate_lineage(G.vertices(edges))
+    n = verts.count()
+    if n == 0:
+        return verts.select("v", F.lit(0.0).alias("r"))
+    ranks = truncate_lineage(verts.select("v", F.lit(1.0 / n).alias("r")))
+    dangling_vs = verts.where(F.col("k") <= 0).select("v")
+    has_dangling = dangling_vs.limit(1).count() > 0
+    for i in range(max_iters):
+        if has_dangling:
+            dm = (
+                ranks.join(dangling_vs, "v").agg(F.sum("r").alias("s")).first()["s"]
+                or 0.0
+            )
+        else:
+            dm = 0.0
+        new_ranks = pagerank_step(edges, ranks, verts, n, damping, dm)
+        if (i + 1) % checkpoint_every == 0 or i == max_iters - 1:
+            new_ranks = truncate_lineage(new_ranks)
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("r", "r_old"), "v")
+                .agg(F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+
+def cc_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation step: new(v) = min(old(v), min over
+    neighbors' old labels). ``labels``: (v, comm)."""
+    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("src_comm"))
+    nbr_min = (
+        edges.join(lab_src, "src")
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.min("src_comm").alias("nbr_comm"))
+    )
+    return (
+        labels.join(nbr_min, "v", "left")
+        .select("v", F.least("comm", F.coalesce("nbr_comm", "comm")).alias("comm"))
+    )
+
+
+def connected_components(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+    """Min-label propagation to fixpoint; component id = min member id.
+
+    Converges in O(diameter) rounds; each round is one E-shuffle. (For
+    extreme diameters a pointer-doubling/star-contraction variant halves the
+    round count — transcript-derived graphs have tiny diameters, so the
+    simple propagation wins on constant factors.)"""
+    labels = truncate_lineage(
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("comm", F.col("v"))
+    )
+    for _ in range(max_iters):
+        new_labels = truncate_lineage(cc_step(edges, labels))
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comm", "old"), "v")
+            .where(F.col("comm") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+
+def lpa_step(edges: DataFrame, labels: DataFrame, batch: int, nbatches: int) -> DataFrame:
+    """One LPA batch update: vertices with src % nbatches == batch adopt the
+    neighbor label with max incident-weight sum (self-loops excluded),
+    ties -> smallest label."""
+    batch_edges = (
+        edges if nbatches == 1 else edges.where(F.pmod(F.col("src"), F.lit(nbatches)) == batch)
+    )
+    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
+    votes = (
+        batch_edges.where(F.col("src") != F.col("dst"))
+        .join(lab_dst, "dst")
+        .groupBy("src", "dst_comm")
+        .agg(F.sum("w").alias("wsum"))
+        .where(F.col("wsum") > 0)
+    )
+    winner = votes.groupBy(F.col("src").alias("v")).agg(
+        F.max(
+            F.struct(
+                F.col("wsum").alias("wsum"),
+                (-F.col("dst_comm")).alias("neg"),
+                F.col("dst_comm").alias("comm"),
+            )
+        )["comm"].alias("new_comm")
+    )
+    return (
+        labels.join(winner, "v", "left")
+        .select("v", F.coalesce("new_comm", "comm").alias("comm"))
+    )
+
+
+def label_propagation(edges: DataFrame, nbatches: int = 2, max_iters: int = 20) -> DataFrame:
+    """Batched synchronous LPA (same v % nbatches schedule as Louvain).
+    Stops when a full sweep changes nothing."""
+    labels = truncate_lineage(
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("comm", F.col("v"))
+    )
+    for _ in range(max_iters):
+        before = labels
+        for b in range(nbatches):
+            labels = truncate_lineage(lpa_step(edges, labels, b, nbatches))
+        changed = (
+            labels.join(before.withColumnRenamed("comm", "old"), "v")
+            .where(F.col("comm") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from lower to higher (degree, id) rank —
+    bounds per-vertex out-degree by O(sqrt(E)), the classic trick that keeps
+    the wedge join tractable on skewed graphs."""
+    deg = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    half = edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    d_src = deg.select(F.col("v").alias("src"), F.col("deg").alias("deg_src"))
+    d_dst = deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_dst"))
+    ranked = half.join(d_src, "src").join(d_dst, "dst")
+    src_first = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    )
+    return ranked.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Global triangle count (self-loops/weights ignored). Wedge join over
+    the degree-oriented edge set + existence join: two E-shuffles."""
+    o = truncate_lineage(_oriented(edges))
+    w1 = o.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    w2 = o.select(F.col("a").alias("u"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        o.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    row = wedges.join(closing, ["x", "y"], "left_semi").count()
+    return int(row)
+
+
+def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
+    """(v, triangles) — each triangle credited to all three corners."""
+    o = truncate_lineage(_oriented(edges))
+    w1 = o.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    w2 = o.select(F.col("a").alias("u"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        o.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    tris = wedges.join(closing, ["x", "y"], "left_semi")  # (u, x, y) triangles
+    per = (
+        tris.select(F.col("u").alias("v"))
+        .unionByName(tris.select(F.col("x").alias("v")))
+        .unionByName(tris.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    all_v = edges.select(F.col("src").alias("v")).distinct()
+    return all_v.join(per, "v", "left").select(
+        "v", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )

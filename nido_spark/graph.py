@@ -1,0 +1,131 @@
+"""Graph normalization and vertex aggregates.
+
+Reference analogues (file:line into /root/reference):
+
+- ``normalize_edges``   — load-time canonicalization + symmetric insertion
+                          (graph.cpp:63-74, graph.cpp:104-105)
+- ``vertices``          — degree / weighted-degree / max-weight scans
+                          (neigh_scan graph.cpp:190-199, neigh_scan_weights
+                          graph.cpp:201-213, max scan graph.cpp:215-230)
+- ``mass``              — m = 0.5 * sum of all edge weights
+                          (graph_gpu.cpp:844-860, graph_cuda.cu:1786-1856)
+- ``max_order``         — global max degree (graph.cpp:129-135) — in Spark
+                          only a skew diagnostic, not a buffer-sizing input
+- ``salted_weighted_degree`` — two-stage aggregation for hub vertices;
+                          replaces the reference's capacity partitioning
+                          (graph_gpu.cpp:362-417) whose job Spark's shuffle
+                          already does, except for extreme key skew
+
+All are single map-side-combined shuffles; nothing touches the driver except
+the scalar reductions (mass, max_order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_edges(edges_one_dir: DataFrame, symmetrize: bool = True) -> DataFrame:
+    """Canonical edge table: both directions materialized, duplicate (src,dst)
+    weights summed, weights > 0 enforced. Self-loops are kept (the reference
+    keeps them too: excluded from Louvain gain, included in modularity).
+
+    Input may be one-directional (a<=b canonical) or already symmetric —
+    ``symmetrize=False`` skips the mirror union for the latter.
+    """
+    e = edges_one_dir.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("double")
+    )
+    if symmetrize:
+        mirrored = e.where(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+        e = e.unionByName(mirrored)
+    return (
+        e.where(F.col("w") > 0)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Per-vertex aggregates over a symmetric edge table:
+    ``(v, k, deg, max_w)`` = weighted degree, degree, max incident weight."""
+    return edges.groupBy(F.col("src").alias("v")).agg(
+        F.sum("w").alias("k"),
+        F.count(F.lit(1)).alias("deg"),
+        F.max("w").alias("max_w"),
+    )
+
+
+def mass(edges: DataFrame) -> float:
+    """m = total undirected edge weight = 0.5 * sum over the symmetric table."""
+    row = edges.agg((F.sum("w") / F.lit(2.0)).alias("m")).first()
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def max_order(edges: DataFrame) -> int:
+    """Max degree — skew diagnostic (reference sizes GPU scratch with it)."""
+    row = vertices(edges).agg(F.max("deg").alias("mo")).first()
+    return int(row["mo"]) if row["mo"] is not None else 0
+
+
+def salted_weighted_degree(edges: DataFrame, n_salts: int = 16) -> DataFrame:
+    """k_v via two-stage (salted) aggregation: partial sums per
+    (v, hash(dst)%n_salts) bucket, then final sum per v.
+
+    For a mega-hub vertex (a popular tool at 10^12-turn scale) a single-stage
+    groupBy funnels all its edges into one reducer; salting spreads the
+    partial aggregation across ``n_salts`` tasks. Spark's map-side combine
+    plus AQE usually makes this unnecessary — kept for the extreme-skew path
+    and benchmarked against the plain groupBy.
+    """
+    partial = (
+        edges.withColumn("salt", F.pmod(F.xxhash64("dst"), F.lit(n_salts)))
+        .groupBy(F.col("src").alias("v"), "salt")
+        .agg(F.sum("w").alias("pk"))
+    )
+    return partial.groupBy("v").agg(F.sum("pk").alias("k"))
+
+
+def degree_histogram(edges: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """log2-bucketed degree histogram — the skew diagnostic used to decide
+    salting / repartitioning. ``(bucket, n_vertices, max_deg_in_bucket)``."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.withColumn("bucket", F.least(F.floor(F.log2("deg")), F.lit(n_buckets)))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"), F.max("deg").alias("max_deg"))
+        .orderBy("bucket")
+    )
+
+
+def validate_edges(edges: DataFrame) -> dict:
+    """Cheap structural invariants of the canonical edge table. Returns a
+    dict of counts; ``asym`` must be 0 (every (u,v) has a matching (v,u)
+    with the same weight)."""
+    e = edges
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w").alias("w2")
+    )
+    asym = (
+        e.join(rev, ["src", "dst"], "full")
+        .where(
+            F.col("w").isNull()
+            | F.col("w2").isNull()
+            | (F.abs(F.col("w") - F.col("w2")) > 1e-12)
+        )
+        .count()
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.countDistinct("src").alias("nv"),
+        F.min("w").alias("min_w"),
+    ).first()
+    return {
+        "ne_directed": stats["ne"],
+        "nv": stats["nv"],
+        "min_w": stats["min_w"],
+        "asym": asym,
+    }

@@ -1,0 +1,303 @@
+"""Sources: synthetic transcript generation and edge-table derivation.
+
+The production input shape (BASELINE.json input_hint) is an Iceberg table of
+multi-turn conversation transcripts::
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+Iceberg jars are not in this image, so ``read_transcripts`` falls back to
+parquet; the derivation below is format-agnostic DataFrame code either way.
+
+Edge derivation (replaces the reference's binary CSR loader,
+/root/reference/graph.cpp:322-495, and its random generator,
+/root/reference/graph.cpp:76-115):
+
+- **role-adjacency edges**: within each conv ordered by ``turn_idx``, an edge
+  between consecutive turns' actor nodes (``tool:<name>`` for tool turns,
+  else ``<conv_id>:<role>``), weight = number of adjacencies.
+- **conv->tool edges**: ``conv:<conv_id>`` <-> ``tool:<name>`` per tool
+  invocation, weight = invocation count. Zipf-skewed on the tool side —
+  this is the hub-skew case the salting helpers in graph.py exist for.
+
+Both derivations are pure window + groupBy plans: Catalyst pushes the column
+pruning into the parquet scan and the per-conv window never shuffles more
+than once (partitionBy conv_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("w", T.DoubleType(), False),
+    ]
+)
+
+_TOOLS = [f"tool_{i:02d}" for i in range(50)]
+_BASE_EPOCH = 1_700_000_000  # fixed base; never wall clock
+
+
+def synth_transcripts(
+    spark: SparkSession, n_convs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic synthetic transcripts (FIXTURES.md §1).
+
+    Generated with a vectorized pandas iterator over ``spark.range`` — each
+    conversation's rows are produced from ``default_rng([seed, conv_idx])``,
+    so the output is identical regardless of partitioning or core count.
+    Turns-per-conv ~ 3 + geometric(p=0.15) capped at 64; roles alternate
+    user/assistant with a tool turn after ~30% of assistant turns; tool ids
+    are Zipf(a=1.5)-skewed over 50 tools (creates hub vertices).
+    """
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 1)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for conv_idx in pdf["id"].to_numpy():
+                rng = np.random.default_rng([seed, int(conv_idx)])
+                n_turns = int(min(3 + rng.geometric(0.15), 64))
+                conv_id = f"conv_{conv_idx:08d}"
+                rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": []}
+                turn = 0
+                while turn < n_turns:
+                    # user / assistant alternation; a tool turn (inserted
+                    # below) is followed by another assistant turn.
+                    prev = rows["role"][-1] if rows["role"] else None
+                    if prev is None or prev == "assistant":
+                        role = "user"
+                    elif prev == "tool":
+                        role = "assistant"
+                    else:
+                        role = "assistant"
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(turn)
+                    rows["role"].append(role)
+                    rows["text"].append(f"{conv_id}:t{turn}:{role}:" + format(rng.integers(0, 2**32), "08x"))
+                    rows["tool"].append(None)
+                    turn += 1
+                    if role == "assistant" and turn < n_turns and rng.random() < 0.30:
+                        tool = _TOOLS[min(int(rng.zipf(1.5)) - 1, 49)]
+                        rows["conv_id"].append(conv_id)
+                        rows["turn_idx"].append(turn)
+                        rows["role"].append("tool")
+                        rows["text"].append(f"{conv_id}:t{turn}:tool:{tool}")
+                        rows["tool"].append(tool)
+                        turn += 1
+                n = len(rows["conv_id"])
+                ts = _BASE_EPOCH + (int(conv_idx) % 86_400) * 60 + np.arange(n) * 7
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": rows["conv_id"],
+                            "turn_idx": np.array(rows["turn_idx"], dtype="int32"),
+                            "role": rows["role"],
+                            "text": rows["text"],
+                            "tool": rows["tool"],
+                            "ts": pd.to_datetime(ts, unit="s"),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in TRANSCRIPT_SCHEMA}
+            )
+
+    return (
+        spark.range(0, n_convs, numPartitions=partitions)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Load the transcripts table. Prefers Iceberg when its catalog is on the
+    classpath; falls back to parquet (this sandbox)."""
+    try:
+        return spark.read.format("iceberg").load(path)
+    except Exception:
+        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def transcript_string_edges(transcripts: DataFrame) -> DataFrame:
+    """String-endpoint edge list (a, b, w) from transcripts — one direction,
+    canonicalized a<=b; weights = adjacency/invocation counts.
+
+    Role-adjacency uses ``Window.partitionBy(conv_id).orderBy(turn_idx)`` +
+    ``lead`` (stable turn ordering per the input_hint invariant); conv->tool
+    edges are a plain groupBy. Reference analogue: the CSR loader's edge
+    canonicalization (graph.cpp:63-74) — here dedup happens via groupBy, no
+    sort needed.
+    """
+    t = transcripts.select("conv_id", "turn_idx", "role", "tool")
+    actor = F.when(
+        F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.col("conv_id"), F.lit(":"), F.col("role")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    adj = (
+        t.withColumn("a", actor)
+        .withColumn("b", F.lead("a").over(w))
+        .where(F.col("b").isNotNull())
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    conv_tool = (
+        t.where(F.col("tool").isNotNull())
+        .select(
+            F.concat(F.lit("conv:"), F.col("conv_id")).alias("a"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    # same (a,b) can appear in both derivations only if names collided —
+    # they cannot (disjoint prefixes) — but a final groupBy keeps the
+    # contract airtight and costs one map-side-combined shuffle.
+    return adj.unionByName(conv_tool).groupBy("a", "b").agg(F.sum("w").alias("w"))
+
+
+def assign_vertex_ids(string_edges: DataFrame, strategy: str = "hash") -> tuple[DataFrame, DataFrame]:
+    """Map string endpoints to int64 vertex ids.
+
+    Returns ``(edges, vmap)`` where ``edges`` is (src,dst,w) one-directional
+    and ``vmap`` is (name, v).
+
+    - ``hash``  (default, the 100TB path): ``xxhash64(name)`` — no global
+      sort, no driver bottleneck; ids are sparse. Collisions are possible in
+      principle; ``verify_vertex_ids`` checks distinct(name)==distinct(v).
+    - ``dense`` (test/parity path): rank over sorted names -> 0..NV-1 dense
+      ids, mirroring the reference's dense CSR ids. Costs a global sort of
+      the vertex set (V rows, not E) — fine at test scale, avoid at 100TB.
+    """
+    names = (
+        string_edges.select(F.col("a").alias("name"))
+        .unionByName(string_edges.select(F.col("b").alias("name")))
+        .distinct()
+    )
+    if strategy == "hash":
+        vmap = names.select("name", F.xxhash64("name").alias("v"))
+    elif strategy == "dense":
+        w = Window.orderBy("name")
+        vmap = names.select(
+            "name", (F.row_number().over(w) - 1).cast("long").alias("v")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    edges = (
+        string_edges.join(vmap.withColumnRenamed("name", "a").withColumnRenamed("v", "src"), "a")
+        .join(vmap.withColumnRenamed("name", "b").withColumnRenamed("v", "dst"), "b")
+        .select("src", "dst", "w")
+    )
+    return edges, vmap
+
+
+def verify_vertex_ids(string_edges: DataFrame, vmap: DataFrame) -> bool:
+    """True iff the id assignment is collision-free."""
+    agg = vmap.agg(
+        F.countDistinct("name").alias("n"), F.countDistinct("v").alias("d")
+    ).first()
+    return agg["n"] == agg["d"]
+
+
+def transcripts_to_edges(transcripts: DataFrame, strategy: str = "hash") -> DataFrame:
+    """transcripts -> canonical symmetric edge DataFrame (src,dst,w)."""
+    from nido_spark.graph import normalize_edges
+
+    one_dir, _ = assign_vertex_ids(transcript_string_edges(transcripts), strategy)
+    return normalize_edges(one_dir)
+
+
+# ---------------------------------------------------------------------------
+# SQL-derivable edge tables over the driver's TPC-H-ish fixtures
+# (FIXTURES.md §4) — used by __spark_entry__.queries() so every graph
+# primitive has a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+SUPP_OFFSET = 10_000_000
+
+
+def lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part <-> supplier co-occurrence graph, symmetrized, weights = sum qty.
+
+    Oracle SQL shape (FIXTURES.md §4)::
+
+        WITH e0 AS (SELECT l_partkey AS src, 10000000 + l_suppkey AS dst,
+                           SUM(l_quantity) AS w FROM lineitem GROUP BY 1,2)
+        SELECT src,dst,w FROM e0 UNION ALL SELECT dst,src,w FROM e0
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e0 = (
+        li.groupBy(
+            F.col("l_partkey").alias("src"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    return e0.select("src", "dst", "w").unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+LINEITEM_EDGES_SQL = """
+WITH e0 AS (
+  SELECT l_partkey AS src, 10000000 + l_suppkey AS dst, SUM(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT src, dst, w FROM e0
+UNION ALL
+SELECT dst AS src, src AS dst, w FROM e0
+"""
+
+
+def events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user <-> event_type bipartite graph, weights = event counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ev.select("event_type").distinct()
+    w = Window.orderBy("event_type")
+    tmap = types.select(
+        "event_type", (F.lit(20_000_000) + F.row_number().over(w)).cast("long").alias("tid")
+    )
+    e0 = (
+        ev.join(F.broadcast(tmap), "event_type")
+        .groupBy(F.col("user_id").alias("src"), F.col("tid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return e0.select("src", "dst", "w").unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+EVENTS_EDGES_SQL = """
+WITH tmap AS (
+  SELECT event_type,
+         20000000 + ROW_NUMBER() OVER (ORDER BY event_type) AS tid
+  FROM (SELECT DISTINCT event_type FROM events)
+), e0 AS (
+  SELECT e.user_id AS src, t.tid AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM events e JOIN tmap t USING (event_type) GROUP BY 1, 2
+)
+SELECT src, dst, w FROM e0
+UNION ALL
+SELECT dst AS src, src AS dst, w FROM e0
+"""

@@ -1,0 +1,290 @@
+"""Batched multi-phase Louvain as iterative DataFrame plans.
+
+Semantics are pinned by the NumPy oracle in oracle.py (which itself encodes
+the reference schedule, /root/reference/louvain_gpu.cpp:53-121); this module
+renders each step as Catalyst-optimizable DataFrame operations:
+
+=============================  ==============================================
+reference kernel               Spark rendering
+=============================  ==============================================
+fill_edges_community_ids       edges JOIN labels ON dst      (shuffle-hash /
+  (graph_cuda.cu:49-121)         broadcast once coarse — AQE decides)
+copy_weights self-loop mask    WHEN(src=dst, 0.0)
+  (graph_cuda.cu:2263-2348)
+sort + reduce_by_key           groupBy(src, dst_comm).sum  (hash aggregate,
+  (graph_gpu.cpp:484-512)        partial+final, no sort needed)
+louvain_update gain argmax     gain expression + max(struct(gain,-comm))
+  (graph_cuda.cu:1450-1540)      deterministic tie-break: smallest comm id
+update_community_weights       full recompute: labels JOIN vertices
+  (graph_cuda.cu:1222-1269)      groupBy(comm).sum(k) — idempotent, no atomics
+update_community_ids (swap)    retain prev labels DataFrame; rollback =
+  restore_community              rebind (louvain_gpu.cpp:79,85-90)
+compute_modularity             edges JOIN labels(src) JOIN labels(dst)
+  (graph_cuda.cu:2078-2134)      WHERE same comm -> sum / (2m)  minus
+                                 sum(a_c^2)/(4m^2)
+aggregation / coarsening       edges JOIN labels(src) JOIN labels(dst)
+  (graph_gpu.cpp:1382-1545)      groupBy(comm_src, comm_dst).sum(w)
+=============================  ==============================================
+
+Scale notes (the 100 TB story):
+
+- every sweep is a bounded number of shuffles of E rows (the candidate join
+  + aggregate dominates); labels/vertex tables are V rows and become
+  broadcast-joinable once coarsening shrinks the graph — AQE flips the
+  strategy automatically because we localCheckpoint (and thereby re-stat)
+  the per-phase edge table;
+- lineage is truncated with ``localCheckpoint`` every sweep — without this,
+  100+ iterations make the Catalyst plan exponentially deep (the single worst
+  failure mode of iterative DataFrame code);
+- batch filtering uses ``pmod(src, nbatches)`` so a batch's candidate
+  aggregation scans E/nbatches edges: the total per-sweep shuffle volume is
+  ~one full pass over E regardless of nbatches;
+- hot (hub) vertices: the candidate aggregate groups by (src, dst_comm) —
+  a Zipf hub fans out across its distinct neighbor communities, and
+  map-side partial aggregation + AQE skew handling absorb the residue.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nido_spark import graph as G
+from nido_spark.plans import truncate_lineage
+
+
+def community_weights(labels: DataFrame, verts: DataFrame) -> DataFrame:
+    """a_c = sum of k over members (reference commWeights_, graph_gpu.hpp:44)."""
+    return (
+        labels.join(verts.select("v", "k"), "v")
+        .groupBy("comm")
+        .agg(F.sum("k").alias("a_c"))
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame, m: float, verts: DataFrame | None = None) -> float:
+    """Q = internal/(2m) - sum(a_c^2)/(4m^2); self-loops count as internal."""
+    if verts is None:
+        verts = G.vertices(edges)
+    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("c_src"))
+    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("c_dst"))
+    internal_row = (
+        edges.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .agg(F.sum("w").alias("s"))
+        .first()
+    )
+    internal = float(internal_row["s"] or 0.0)
+    acc_row = (
+        community_weights(labels, verts)
+        .agg(F.sum(F.col("a_c") * F.col("a_c")).alias("s"))
+        .first()
+    )
+    acc = float(acc_row["s"] or 0.0)
+    return internal / (2 * m) - acc / (4 * m * m)
+
+
+def singleton_labels(edges: DataFrame) -> DataFrame:
+    """commIds[v] = v (reference singleton_partition, graph_cuda.cu:410-446)."""
+    return edges.select(F.col("src").alias("v")).distinct().withColumn("comm", F.col("v"))
+
+
+def louvain_move_candidates(
+    edges: DataFrame, labels: DataFrame, verts: DataFrame, a_c: DataFrame, m: float
+) -> DataFrame:
+    """Per-vertex best move: (v, cur_comm, best_comm, gain) for every vertex
+    with at least one edge in ``edges`` (callers pre-filter to a batch).
+
+    This is the whole inner kernel of the reference
+    (graph_cuda.cu:49-121 gather, :2263-2348 mask, thrust sort+reduce,
+    :1450-1540 argmax) as one aggregation pipeline.
+    """
+    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
+    cand = (
+        edges.withColumn(
+            "w_eff", F.when(F.col("src") == F.col("dst"), F.lit(0.0)).otherwise(F.col("w"))
+        )
+        .join(lab_dst, "dst")
+        .groupBy("src", "dst_comm")
+        .agg(F.sum("w_eff").alias("e_vc"))
+    )
+    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("my_comm"))
+    kv = verts.select(F.col("v").alias("src"), "k")
+    a_dst = a_c.select(F.col("comm").alias("dst_comm"), F.col("a_c").alias("a_dst"))
+    a_my = a_c.select(F.col("comm").alias("my_comm"), F.col("a_c").alias("a_my"))
+    scored = (
+        cand.join(lab_src, "src")
+        .join(kv, "src")
+        .join(a_dst, "dst_comm")
+        .join(a_my, "my_comm")
+    )
+    two_m = 2.0 * m
+    gain_col = (F.col("e_vc") - F.col("k") * F.col("a_dst") / F.lit(two_m)) / F.lit(m)
+    per_v = scored.groupBy("src").agg(
+        F.first("my_comm").alias("cur_comm"),
+        F.first("k").alias("k"),
+        F.first("a_my").alias("a_my"),
+        F.coalesce(
+            F.sum(F.when(F.col("dst_comm") == F.col("my_comm"), F.col("e_vc"))), F.lit(0.0)
+        ).alias("self_e"),
+        F.max(
+            F.when(
+                F.col("dst_comm") != F.col("my_comm"),
+                F.struct(
+                    gain_col.alias("gain"),
+                    (-F.col("dst_comm")).alias("neg_comm"),
+                    F.col("dst_comm").alias("comm"),
+                ),
+            )
+        ).alias("best"),
+    )
+    self_term = (
+        F.col("self_e") - F.col("k") * (F.col("a_my") - F.col("k")) / F.lit(two_m)
+    ) / F.lit(m)
+    return per_v.select(
+        F.col("src").alias("v"),
+        "cur_comm",
+        F.col("best.comm").alias("best_comm"),
+        (F.col("best.gain") - self_term).alias("gain"),
+    ).where(F.col("best_comm").isNotNull())
+
+
+def louvain_sweep(
+    edges: DataFrame,
+    labels: DataFrame,
+    verts: DataFrame,
+    m: float,
+    nbatches: int,
+) -> DataFrame:
+    """One block-synchronous sweep over all batches; returns new labels DF.
+
+    Batch b processes vertices with ``pmod(src, nbatches) == b``; its argmax
+    sees labels/community-weights updated by batches < b (reference:
+    louvain_gpu.cpp:61-82).
+    """
+    for b in range(nbatches):
+        a_c = community_weights(labels, verts)
+        batch_edges = (
+            edges if nbatches == 1 else edges.where(F.pmod(F.col("src"), F.lit(nbatches)) == b)
+        )
+        moves = (
+            louvain_move_candidates(batch_edges, labels, verts, a_c, m)
+            .where(F.col("gain") > 0)
+            .select("v", F.col("best_comm").alias("new_comm"))
+        )
+        labels = (
+            labels.join(moves, "v", "left")
+            .select("v", F.coalesce("new_comm", "comm").alias("comm"))
+        )
+        labels = truncate_lineage(labels)  # truncate per-batch lineage
+    return labels
+
+
+def coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Contract communities into super-vertices; sum parallel edges; keep
+    intra-community weight as self-loops (graph_gpu.cpp:1224-1304). Community
+    ids (sparse vertex ids) become the new vertex ids."""
+    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("c_src"))
+    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("c_dst"))
+    return (
+        edges.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+@dataclass
+class LouvainRunResult:
+    labels: DataFrame               # (v, comm) over original vertices
+    modularity: float
+    n_phases: int
+    total_sweeps: int
+    history: list[dict] = field(default_factory=list)
+
+
+def louvain(
+    edges: DataFrame,
+    nbatches: int = 2,
+    tol: float = 1e-6,
+    max_loops: int = 500,
+    tol_phase: float = 1e-6,
+    max_phases: int = 200,
+    checkpointer=None,
+) -> LouvainRunResult:
+    """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
+    table (normalize_edges). ``checkpointer``: optional
+    nido_spark.checkpoint.LouvainCheckpointer for durable resume."""
+    edges = truncate_lineage(edges)
+    flat = singleton_labels(edges)  # orig vertex -> current super-vertex
+    flat = truncate_lineage(flat)
+
+    if G.mass(edges) <= 0.0:  # empty / all-nonpositive input: nothing to do
+        return LouvainRunResult(flat, 0.0, 0, 0, [])
+
+    history: list[dict] = []
+    total_sweeps = 0
+    Q_final = 0.0
+    n_phases = 0
+    done = False
+
+    start_phase = 0
+    if checkpointer is not None:
+        resumed = checkpointer.resume(edges.sparkSession)
+        if resumed is not None:
+            edges, flat, start_phase, history = resumed
+            total_sweeps = sum(1 for h in history)
+            n_phases = start_phase
+
+    while not done and n_phases < max_phases:
+        verts = truncate_lineage(G.vertices(edges))
+        m = G.mass(edges)
+        labels = truncate_lineage(singleton_labels(edges))
+        Q = modularity(edges, labels, m, verts)
+        Q_phase_start = Q
+
+        dQ = float("inf")
+        loops = 0
+        while tol < dQ and loops < max_loops:
+            labels_prev = labels
+            labels = louvain_sweep(edges, labels, verts, m, nbatches)
+            Qtmp = modularity(edges, labels, m, verts)
+            dQ = Qtmp - Q
+            loops += 1
+            if dQ < 0:
+                labels = labels_prev  # rollback (louvain_gpu.cpp:85-90)
+            else:
+                Q = Qtmp
+            history.append(
+                {"phase": n_phases, "sweep": loops, "Q": float(Qtmp), "dQ": float(dQ)}
+            )
+        total_sweeps += loops
+        Q_final = Q
+
+        # project into flat clustering: flat.comm is a vertex of this phase
+        phase_map = labels.select(
+            F.col("v").alias("phase_v"), F.col("comm").alias("new_comm")
+        )
+        flat = truncate_lineage(
+            flat.join(phase_map, flat["comm"] == phase_map["phase_v"])
+            .select("v", F.col("new_comm").alias("comm"))
+        )
+
+        if Q - Q_phase_start > tol_phase:
+            new_edges = truncate_lineage(coarsen(edges, labels))
+            n_comms = new_edges.select("src").distinct().count()
+            nv = verts.count()
+            edges = new_edges
+            if n_comms == nv or n_comms <= 1:
+                done = True
+        else:
+            done = True
+        n_phases += 1
+
+        if checkpointer is not None:
+            checkpointer.save_phase(n_phases, edges, flat, history, done)
+
+    return LouvainRunResult(flat, float(Q_final), n_phases, total_sweeps, history)

@@ -1,0 +1,331 @@
+"""Single-node NumPy oracles — the executable specification of the engine.
+
+``louvain_numpy`` implements exactly the reference's batched block-synchronous
+schedule (/root/reference/louvain_gpu.cpp:53-121):
+
+- per sweep, vertices are processed in ``nbatches`` batches; each batch's
+  gain argmax sees the labels and community weights already updated by
+  earlier batches of the same sweep (louvain_gpu.cpp:61-82);
+- gain formula per graph_cuda.cu:1493-1536:
+      gain(v->c)   = (e_{v,c} - k_v * a_c       / (2m)) / m      for c != c(v)
+      self(v)      = (e_{v,c(v)} - k_v * (a_{c(v)} - k_v) / (2m)) / m
+  move to argmax c iff max gain - self > 0; self-loop weights are excluded
+  from e_{v,c} (copy_weights, graph_cuda.cu:2263-2348);
+- modularity per graph_cuda.cu:2097-2133 (self-loops included):
+      Q = sum_{(u,v): c(u)=c(v)} w / (2m) - sum_c a_c^2 / (4m^2)
+- sweep loop: while dQ > tol and loops < max_loops; dQ < 0 -> rollback to
+  sweep-start labels (louvain_gpu.cpp:85-90);
+- phase loop: aggregate when phase gain > tol_phase; coarsening merges
+  communities into super-vertices and sums parallel edge weights, keeping
+  intra-community weight as self-loops (graph_gpu.cpp:1382-1545); stop when
+  no compression or a single community remains (graph_gpu.cpp:1391-1392).
+
+Deliberate, documented deviations from the reference (mirrored by the Spark
+engine so the two stay in lockstep):
+
+1. deterministic tie-break — max gain, then smallest community id (the
+   reference's tie-break is warp-order dependent, graph_cuda.cu:1507-1526);
+2. batch membership = ``vertex_id % nbatches`` (reference: contiguous ranges
+   balanced by edge count — any fixed assignment is valid, this one is
+   partitioning-independent on both sides);
+3. community ids stay *sparse* (a community is named by a vertex id) — the
+   reference densifies ids each phase only because CSR needs 0..NV-1; labels
+   are compared up to relabeling anyway;
+4. the final phase's labels are projected into the flat clustering even when
+   its gain <= tol_phase (the reference discards that last sub-tolerance
+   sweep from the dump, clustering.cpp:12-21 is only called from
+   aggregation()).
+
+Community weights are *recomputed* after each batch rather than delta-updated
+(matches the Spark engine; mathematically identical, reference uses atomic
+deltas, graph_cuda.cu:1222-1269).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _vertex_index(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unique sorted vertex ids + src/dst index arrays."""
+    uids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(uids, src)
+    d = np.searchsorted(uids, dst)
+    return uids, s, d
+
+
+def modularity_numpy(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, labels: dict[int, int] | None = None
+) -> float:
+    """Q of a labeling over a symmetric edge table (labels: vertex id -> comm
+    id; None = singleton partition)."""
+    uids, s, d = _vertex_index(src, dst)
+    nv = len(uids)
+    k = np.bincount(s, weights=w, minlength=nv)
+    m = w.sum() / 2.0
+    if labels is None:
+        comm = np.arange(nv)
+    else:
+        lab_ids = np.array([labels[int(u)] for u in uids])
+        _, comm = np.unique(lab_ids, return_inverse=True)
+    a_c = np.bincount(comm, weights=k)
+    internal = w[comm[s] == comm[d]].sum()
+    return float(internal / (2 * m) - (a_c**2).sum() / (4 * m * m))
+
+
+@dataclass
+class LouvainResult:
+    labels: dict[int, int]          # original vertex id -> community id
+    modularity: float
+    n_phases: int
+    total_sweeps: int
+    history: list[dict] = field(default_factory=list)  # per-sweep Q trace
+
+
+def _one_sweep(
+    uids: np.ndarray,
+    s: np.ndarray,
+    d: np.ndarray,
+    w: np.ndarray,
+    k: np.ndarray,
+    m: float,
+    comm: np.ndarray,
+    nbatches: int,
+) -> np.ndarray:
+    """One batched sweep; mutates and returns ``comm`` (indices into uids)."""
+    nv = len(uids)
+    self_loop = s == d
+    w_eff = np.where(self_loop, 0.0, w)
+    for b in range(nbatches):
+        batch_mask = (uids[s] % nbatches) == b
+        if not batch_mask.any():
+            continue
+        a_c = np.bincount(comm, weights=k, minlength=nv)
+        bs = s[batch_mask]
+        bc = comm[d[batch_mask]]
+        bw = w_eff[batch_mask]
+        # aggregate e_{v,c} over (src, neighbor community)
+        key = bs.astype(np.int64) * nv + bc
+        ukey, inv = np.unique(key, return_inverse=True)
+        e_vc = np.bincount(inv, weights=bw)
+        cs = (ukey // nv).astype(np.int64)   # src index per candidate
+        cc = (ukey % nv).astype(np.int64)    # candidate community index
+        my = comm[cs]
+        is_self = cc == my
+        # self weight per batch src (0 when no neighbor in own community)
+        self_w = np.zeros(nv)
+        np.add.at(self_w, cs[is_self], e_vc[is_self])
+        # candidate gains (c != my)
+        ext = ~is_self
+        if ext.any():
+            gs, gc, ge = cs[ext], cc[ext], e_vc[ext]
+            gain = (ge - k[gs] * a_c[gc] / (2 * m)) / m
+            # argmax per src: sort by (src, -gain, comm_id) and take first
+            order = np.lexsort((uids[gc], -gain, gs))
+            gs_o, gc_o, gain_o = gs[order], gc[order], gain[order]
+            first = np.ones(len(gs_o), dtype=bool)
+            first[1:] = gs_o[1:] != gs_o[:-1]
+            top_src = gs_o[first]
+            top_comm = gc_o[first]
+            top_gain = gain_o[first]
+            self_term = (
+                self_w[top_src] - k[top_src] * (a_c[comm[top_src]] - k[top_src]) / (2 * m)
+            ) / m
+            move = top_gain - self_term > 0
+            comm[top_src[move]] = top_comm[move]
+    return comm
+
+
+def louvain_numpy(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    nbatches: int = 2,
+    tol: float = 1e-6,
+    max_loops: int = 500,
+    tol_phase: float = 1e-6,
+    max_phases: int = 200,
+) -> LouvainResult:
+    """Full multi-phase batched Louvain. Input: symmetric edge arrays."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+
+    # flat clustering over original vertices (id space: original ids)
+    orig_uids = np.unique(np.concatenate([src, dst]))
+    flat = orig_uids.copy()  # orig vertex id -> current super-vertex id
+
+    total_sweeps = 0
+    history: list[dict] = []
+    Q_final = 0.0
+    n_phases = 0
+    done = False
+
+    while not done and n_phases < max_phases:
+        uids, s, d = _vertex_index(src, dst)
+        nv = len(uids)
+        k = np.bincount(s, weights=w, minlength=nv)
+        m = w.sum() / 2.0
+        comm = np.arange(nv)  # singleton: community id == own vertex id
+        Q = _modularity_idx(s, d, w, k, m, comm, nv)
+        Q_phase_start = Q
+
+        dQ = np.inf
+        loops = 0
+        while tol < dQ and loops < max_loops:
+            comm_prev = comm.copy()
+            comm = _one_sweep(uids, s, d, w, k, m, comm, nbatches)
+            Qtmp = _modularity_idx(s, d, w, k, m, comm, nv)
+            dQ = Qtmp - Q
+            loops += 1
+            if dQ < 0:
+                comm = comm_prev  # rollback (louvain_gpu.cpp:85-90)
+            else:
+                Q = Qtmp
+            history.append({"phase": n_phases, "sweep": loops, "Q": float(Qtmp), "dQ": float(dQ)})
+        total_sweeps += loops
+        Q_final = Q
+
+        # project this phase's labels into the flat clustering
+        flat_idx = np.searchsorted(uids, flat)
+        flat = uids[comm[flat_idx]]
+
+        if Q - Q_phase_start > tol_phase:
+            # coarsen: super-vertex id = community id (sparse ids kept)
+            new_src = uids[comm[s]]
+            new_dst = uids[comm[d]]
+            # aggregation via lexsort (ids may be large/sparse)
+            order = np.lexsort((new_dst, new_src))
+            ns, nd, nw = new_src[order], new_dst[order], w[order]
+            boundary = np.ones(len(ns), dtype=bool)
+            boundary[1:] = (ns[1:] != ns[:-1]) | (nd[1:] != nd[:-1])
+            seg = np.cumsum(boundary) - 1
+            agg_w = np.bincount(seg, weights=nw)
+            src, dst, w = ns[boundary], nd[boundary], agg_w
+            n_comms = len(np.unique(src))
+            if n_comms == nv or n_comms <= 1:
+                done = True
+        else:
+            done = True
+        n_phases += 1
+
+    labels = {int(v): int(c) for v, c in zip(orig_uids, flat)}
+    return LouvainResult(labels, float(Q_final), n_phases, total_sweeps, history)
+
+
+def _modularity_idx(s, d, w, k, m, comm, nv) -> float:
+    a_c = np.bincount(comm, weights=k, minlength=nv)
+    internal = w[comm[s] == comm[d]].sum()
+    return float(internal / (2 * m) - (a_c**2).sum() / (4 * m * m))
+
+
+# ---------------------------------------------------------------------------
+# companion-algorithm oracles
+# ---------------------------------------------------------------------------
+
+
+def pagerank_numpy(
+    src, dst, w, damping: float = 0.85, max_iters: int = 20, tol: float = 1e-9
+) -> dict[int, float]:
+    """Weighted PageRank: r'(v) = (1-d)/N + d * sum_u r(u) * w(u,v)/k(u).
+    The canonical edge table is symmetric, so there are no dangling vertices;
+    dangling mass is still redistributed uniformly for generality."""
+    src = np.asarray(src, np.int64); dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float64)
+    uids, s, d = _vertex_index(src, dst)
+    nv = len(uids)
+    k = np.bincount(s, weights=w, minlength=nv)
+    r = np.full(nv, 1.0 / nv)
+    out_frac = np.where(k[s] > 0, w / np.where(k[s] > 0, k[s], 1.0), 0.0)
+    for _ in range(max_iters):
+        contrib = np.bincount(d, weights=r[s] * out_frac, minlength=nv)
+        dangling = r[k == 0].sum()
+        r_new = (1 - damping) / nv + damping * (contrib + dangling / nv)
+        if np.abs(r_new - r).sum() < tol:
+            r = r_new
+            break
+        r = r_new
+    return {int(u): float(x) for u, x in zip(uids, r)}
+
+
+def connected_components_numpy(src, dst, w=None) -> dict[int, int]:
+    """Min-label propagation to fixpoint: component id = min vertex id."""
+    src = np.asarray(src, np.int64); dst = np.asarray(dst, np.int64)
+    uids, s, d = _vertex_index(src, dst)
+    lab = uids.copy()
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, d, lab[s])
+        np.minimum.at(new, s, lab[d])
+        if (new == lab).all():
+            break
+        lab = new
+    return {int(u): int(c) for u, c in zip(uids, lab)}
+
+
+def lpa_numpy(src, dst, w, nbatches: int = 2, max_iters: int = 20) -> dict[int, int]:
+    """Batched synchronous label propagation: per batch, each vertex adopts
+    the neighbor label with the largest incident-weight sum (self-loops
+    excluded), ties -> smallest label id. Stops when a full sweep changes
+    nothing. Same batch schedule as Louvain (v % nbatches)."""
+    src = np.asarray(src, np.int64); dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float64)
+    uids, s, d = _vertex_index(src, dst)
+    nv = len(uids)
+    lab = np.arange(nv)  # index-space labels; reported as uids[lab]
+    w_eff = np.where(s == d, 0.0, w)
+    for _ in range(max_iters):
+        changed = False
+        for b in range(nbatches):
+            bm = (uids[s] % nbatches) == b
+            if not bm.any():
+                continue
+            bs, bl, bw = s[bm], lab[d[bm]], w_eff[bm]
+            key = bs.astype(np.int64) * nv + bl
+            ukey, inv = np.unique(key, return_inverse=True)
+            wsum = np.bincount(inv, weights=bw)
+            cs = (ukey // nv).astype(np.int64)
+            cl = (ukey % nv).astype(np.int64)
+            keep = wsum > 0
+            cs, cl, wsum = cs[keep], cl[keep], wsum[keep]
+            if len(cs) == 0:
+                continue
+            order = np.lexsort((uids[cl], -wsum, cs))
+            first = np.ones(len(cs), dtype=bool)
+            first[1:] = cs[order][1:] != cs[order][:-1]
+            tgt_src = cs[order][first]
+            tgt_lab = cl[order][first]
+            if (lab[tgt_src] != tgt_lab).any():
+                changed = True
+            lab[tgt_src] = tgt_lab
+        if not changed:
+            break
+    return {int(u): int(uids[c]) for u, c in zip(uids, lab)}
+
+
+def triangle_count_numpy(src, dst, w=None) -> int:
+    """Global triangle count of the undirected simple graph (self-loops and
+    weights ignored; parallel edges already merged by normalize_edges)."""
+    src = np.asarray(src, np.int64); dst = np.asarray(dst, np.int64)
+    mask = src < dst
+    pairs = set(zip(src[mask].tolist(), dst[mask].tolist()))
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # orient by (degree, id) and count common out-neighbors per oriented edge
+    def rank(v):
+        return (len(adj.get(v, ())), v)
+    out: dict[int, set[int]] = {v: set() for v in adj}
+    for a, b in pairs:
+        if rank(a) < rank(b):
+            out[a].add(b)
+        else:
+            out[b].add(a)
+    t = 0
+    for u, nbrs in out.items():
+        for v in nbrs:
+            t += len(nbrs & out[v])
+    return t

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nido_spark import graph as G
+
+
+def test_vertices_and_mass_karate(karate):
+    edges, (src, dst, w) = karate
+    verts = {r["v"]: (r["k"], r["deg"], r["max_w"]) for r in G.vertices(edges).collect()}
+    nv = 34
+    assert len(verts) == nv
+    deg_np = np.bincount(src, minlength=nv)
+    for v in range(nv):
+        k, deg, mw = verts[v]
+        assert deg == deg_np[v]
+        assert abs(k - deg_np[v]) < 1e-12  # unit weights
+        assert mw == 1.0
+    assert abs(G.mass(edges) - 78.0) < 1e-12
+    assert G.max_order(edges) == 17  # vertex 33
+
+
+def test_normalize_edges_symmetrizes_and_sums(spark):
+    one_dir = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 1, 3.0), (1, 2, 1.0), (3, 3, 4.0)],
+        "src long, dst long, w double",
+    )
+    e = G.normalize_edges(one_dir)
+    rows = {(r["src"], r["dst"]): r["w"] for r in e.collect()}
+    assert rows[(0, 1)] == 5.0 and rows[(1, 0)] == 5.0
+    assert rows[(1, 2)] == 1.0 and rows[(2, 1)] == 1.0
+    assert rows[(3, 3)] == 4.0  # self-loop kept, not mirrored/doubled
+    assert len(rows) == 5
+    v = G.validate_edges(e)
+    assert v["asym"] == 0
+
+
+def test_salted_weighted_degree_matches_plain(karate):
+    edges, _ = karate
+    plain = {r["v"]: r["k"] for r in G.vertices(edges).collect()}
+    salted = {r["v"]: r["k"] for r in G.salted_weighted_degree(edges, 4).collect()}
+    assert plain == salted
+
+
+def test_degree_histogram(karate):
+    edges, (src, _, _) = karate
+    hist = G.degree_histogram(edges).collect()
+    assert sum(r["n_vertices"] for r in hist) == 34
+    assert max(r["max_deg"] for r in hist) == 17

@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nido_spark import graph as G
+from nido_spark import louvain as L
+from nido_spark import oracle as O
+from tests.conftest import KARATE_EDGES, labels_equivalent, symmetric_arrays
+
+
+def test_singleton_modularity_karate(karate):
+    edges, (src, dst, w) = karate
+    labels = L.singleton_labels(edges)
+    m = G.mass(edges)
+    q = L.modularity(edges, labels, m)
+    # singleton partition: no internal pairs (unit weights, no self-loops)
+    # Q = -sum(k^2)/(4m^2)
+    k = np.bincount(src, weights=w)
+    expected = -(k**2).sum() / (4 * m * m)
+    assert q == pytest.approx(expected, abs=1e-12)
+    assert q == pytest.approx(O.modularity_numpy(src, dst, w), abs=1e-12)
+
+
+def test_modularity_known_split(karate):
+    """Two-community split by the canonical karate factions."""
+    edges, (src, dst, w) = karate
+    group1 = {0, 1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 13, 16, 17, 19, 21}
+    lab = {v: (0 if v in group1 else 33) for v in range(34)}
+    spark = edges.sparkSession
+    lab_df = spark.createDataFrame(list(lab.items()), "v long, comm long")
+    q_spark = L.modularity(edges, lab_df, G.mass(edges))
+    q_np = O.modularity_numpy(src, dst, w, lab)
+    assert q_spark == pytest.approx(q_np, abs=1e-9)
+    assert 0.35 < q_spark < 0.42  # known-good band for the 2-way split
+
+
+@pytest.mark.parametrize("nbatches", [1, 2, 4])
+def test_louvain_sweep_matches_oracle(karate, nbatches):
+    """First sweep, label-for-label vs the NumPy oracle (exact arithmetic:
+    unit weights -> float sums are exact -> identical trajectories)."""
+    edges, (src, dst, w) = karate
+    verts = G.vertices(edges)
+    m = G.mass(edges)
+    labels = L.singleton_labels(edges)
+    swept = L.louvain_sweep(edges, labels, verts, m, nbatches)
+    got = {r["v"]: r["comm"] for r in swept.collect()}
+
+    uids, s, d = O._vertex_index(src, dst)
+    k = np.bincount(s, weights=w)
+    comm = O._one_sweep(uids, s, d, w, k, m, np.arange(len(uids)), nbatches)
+    want = {int(u): int(uids[c]) for u, c in zip(uids, comm)}
+    assert got == want
+
+
+@pytest.mark.parametrize("nbatches", [1, 2])
+def test_louvain_full_matches_oracle_karate(karate, nbatches):
+    edges, (src, dst, w) = karate
+    res = L.louvain(edges, nbatches=nbatches)
+    ref = O.louvain_numpy(src, dst, w, nbatches=nbatches)
+    assert res.modularity == pytest.approx(ref.modularity, abs=1e-6)
+    got = {r["v"]: r["comm"] for r in res.labels.collect()}
+    assert labels_equivalent(got, ref.labels)
+def test_louvain_quality_band_karate(karate):
+    """Quality scales with nbatches exactly as the reference README says
+    (8-32 recommended, README:88-90): nbatches=4 -> Q=0.3869,
+    8 -> 0.4188, 16 -> 0.4198 (published optimum ~0.4198). nbatches=1
+    (fully synchronous) oscillates from the singleton start and rolls
+    straight back — batching is the reference's quality defense."""
+    edges, (src, dst, w) = karate
+    res = L.louvain(edges, nbatches=4)
+    ref = O.louvain_numpy(src, dst, w, nbatches=4)
+    assert res.modularity == pytest.approx(ref.modularity, abs=1e-6)
+    assert 0.35 < res.modularity < 0.43
+
+
+def test_louvain_two_cliques_bridge(spark):
+    """2x K5 + bridge: exact known answer — the two cliques."""
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    pairs += [(i, j) for i in range(5, 10) for j in range(i + 1, 10)]
+    pairs += [(4, 5)]
+    src, dst, w = symmetric_arrays(pairs)
+    edges = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    res = L.louvain(edges, nbatches=1)
+    got = {r["v"]: r["comm"] for r in res.labels.collect()}
+    assert len(set(got.values())) == 2
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v] for v in range(5, 10)}) == 1
+    ref = O.louvain_numpy(src, dst, w, nbatches=1)
+    assert res.modularity == pytest.approx(ref.modularity, abs=1e-9)
+
+
+def test_self_loop_rule(spark):
+    """Self-loops: excluded from gain candidates, included in modularity
+    (reference graph_cuda.cu:2289-2318 vs :2109-2116)."""
+    pairs = [(0, 0), (0, 1), (1, 2)]
+    src, dst, w = symmetric_arrays(pairs, [5.0, 1.0, 1.0])
+    edges = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    m = G.mass(edges)
+    labels = L.singleton_labels(edges)
+    q = L.modularity(edges, labels, m)
+    assert q == pytest.approx(O.modularity_numpy(src, dst, w), abs=1e-12)
+    # singleton Q here must include the self-loop as internal weight;
+    # the self-loop appears once in the symmetric table, so k_0 = 5+1 = 6
+    k = {0: 6.0, 1: 2.0, 2: 1.0}
+    expected = 5.0 / (2 * m) - sum(x * x for x in k.values()) / (4 * m * m)
+    assert q == pytest.approx(expected, abs=1e-12)
+
+
+def test_mass_invariant_across_coarsening(karate):
+    edges, (src, dst, w) = karate
+    labels = L.singleton_labels(edges)
+    verts = G.vertices(edges)
+    m0 = G.mass(edges)
+    swept = L.louvain_sweep(edges, labels, verts, m0, 1)
+    coarse = L.coarsen(edges, swept)
+    assert G.mass(coarse) == pytest.approx(m0, abs=1e-9)
+
+
+def test_permutation_invariance_of_modularity(spark):
+    rng = np.random.default_rng(7)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2)) if a != b]
+    src, dst, w = symmetric_arrays(pairs)
+    perm = rng.permutation(30)
+    src_p, dst_p = perm[src], perm[dst]
+    q1 = O.modularity_numpy(src, dst, w)
+    q2 = O.modularity_numpy(src_p, dst_p, w)
+    assert q1 == pytest.approx(q2, abs=1e-12)
