@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, ordered by cost, over ``documents(doc_id, text, ...)``:
+
+- **exact**: hash-groupBy on canonicalized text — one shuffle of (fp, id).
+- **MinHash + LSH**: char-shingles -> per-permutation min-hash signature ->
+  banded bucket join -> candidate pairs -> exact Jaccard verify. Signatures
+  are pure Catalyst expressions (xxhash64 + array_min over a transform), so
+  the whole pipeline stays in whole-stage codegen; the only shuffles are the
+  band-bucket groupBy and the verify join.
+- **SimHash**: 64-bit sign-of-weighted-bit-sums over token hashes, as an
+  Arrow-vectorized pandas UDF (bit-twiddling is NumPy territory); near-dups
+  = signatures at small Hamming distance within LSH bands of the signature.
+- **n-gram Jaccard**: exact pairwise verify used as the final filter of the
+  candidate generators above.
+- **embedding cosine**: see similarity.near_duplicates (cosine >= threshold
+  over ANN candidates).
+
+Scale notes: MinHash-LSH at 100 TB is the standard fuzzy-dedup recipe
+(Lee et al., "Deduplicating Training Data Makes Language Models Better",
+ACL 2022). Everything here shuffles tuples of (hash, doc_id) — never text —
+except the final verify join, which rehydrates only candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def canonical_text(col):
+    return F.lower(F.trim(col))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, n_docs, keep_id) for every content-identical group with >1 doc.
+    ``keep_id`` = smallest doc_id (the deterministic survivor)."""
+    return (
+        docs.select("doc_id", F.md5(canonical_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the smallest doc_id per content group."""
+    fp = docs.withColumn("fp", F.md5(canonical_text(F.col(text_col))))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return fp.join(keep, ["fp", "doc_id"], "left_semi").drop("fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _char_shingles(col, k: int):
+    t = canonical_text(col)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
+                lambda i: t.substr(i + 1, F.lit(k)),
+            ),
+            lambda s: F.length(s) == k,
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_perm: int = 32, k: int = 5
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — num_perm min-hashes over char-k-shingles.
+
+    Permutation i is ``xxhash64(shingle, salt_i)`` (seeded by position —
+    deterministic across runs/partitionings); empty docs get an empty sig.
+    """
+    sh = _char_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size(sh) > 0, sig).otherwise(F.array().cast("array<long>")).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b): docs sharing >= 1 LSH band.
+
+    Band j's key is xxhash64 over the j-th slice of the signature. The
+    groupBy is on (band, key) so a degenerate band (e.g. thousands of empty
+    docs) is bounded by the within-bucket self-join — callers should exact-
+    dedup first, which removes identical texts from the fuzzy path."""
+    banded = signatures.where(F.size("sig") >= bands * rows).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(F.slice("sig", j * rows + 1, rows).cast("string")).alias("key"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    left = banded.select("band", "key", F.col("doc_id").alias("a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(a, b, jaccard) for candidate pairs with exact shingle-set Jaccard
+    >= threshold. Only candidate pairs rehydrate text."""
+    sh = docs.select(F.col("doc_id"), _char_shingles(F.col(text_col), k).alias("sh"))
+    j = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 32,
+    k: int = 5,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full fuzzy-dedup: returns (a, b, jaccard) verified near-dup pairs."""
+    sigs = minhash_signatures(docs, text_col, num_perm, k)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    return jaccard_verify(docs, cands, text_col, k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — bit ops are NumPy territory)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (unweighted). Arrow-batched;
+    no per-row Python beyond the tokenizer loop inside NumPy-sized batches."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = str(t or "").lower().split()
+        if not toks:
+            continue
+        hs = np.array(
+            [np.uint64(hash(tok) & 0xFFFFFFFFFFFFFFFF) for tok in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — NOTE: Python's ``hash`` of str is randomized per
+    process unless PYTHONHASHSEED is pinned; Spark pins it for workers, so
+    signatures are stable within a job. For cross-run stability use the
+    xxhash64 variant below."""
+    return docs.select("doc_id", _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_signatures_stable(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — cross-run-stable SimHash built from Catalyst
+    expressions only: per-token xxhash64, per-bit majority vote."""
+    from nido_spark.textops import tokens
+
+    toks = tokens(canonical_text(F.col(text_col)))
+    hs = F.transform(toks, lambda x: F.xxhash64(x))
+    def bit_sum(b: int):
+        # NOTE: the mask must be bound OUTSIDE the lambda — pyspark's
+        # higher-order-function bridge passes extra Column args into any
+        # extra lambda parameters, clobbering Python defaults.
+        mask = F.lit(1 << b if b < 63 else -(2**63))
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 2).otherwise(0) - 1,
+        )
+
+    bit_sums = [bit_sum(b) for b in range(64)]
+    sig = None
+    for b, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, sig).otherwise(F.lit(0).cast("long")).alias("simhash"),
+    )
+
+
+def hamming_near_pairs(signatures: DataFrame, sig_col: str = "simhash", max_dist: int = 3) -> DataFrame:
+    """(a, b, dist) pairs of signatures within Hamming distance ``max_dist``,
+    via 4x16-bit band LSH (any identical band -> candidate; exact for
+    dist<=3 by pigeonhole)."""
+    bands = signatures.select(
+        F.col("doc_id"),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col(sig_col), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col(sig_col).alias("sig"), "bk.band", "bk.key")
+    left = bands.select("band", "key", F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    right = bands.select("band", "key", F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("dist"))
+        .distinct()
+    )
+    return pairs.where(F.col("dist") <= max_dist)

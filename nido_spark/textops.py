@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents(doc_id, text, lang, source, n_chars)`` table.
+
+All operators are pure Catalyst expressions (JVM-side, codegen'd — no Python
+in the hot path) and each has an exactly-equivalent DuckDB SQL rendering in
+__spark_entry__.oracle_sql(), which pins cross-engine semantics down to
+tokenizer quirks (empty string -> 0 tokens, regex classes, md5 of trimmed
+lowered text).
+
+At 100 TB these are embarrassingly parallel map-only plans: no shuffle at
+all until the caller aggregates; column pruning pushes just (doc_id, text)
+into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small deterministic stopword list (shared verbatim with the SQL oracle)
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+# marker words for the n-gram-free language-ID heuristic (deterministic,
+# SQL-mirrorable; a production system would use fastText — not in the image)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array."""
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokenization."""
+    return docs.select("doc_id", F.size(tokens(F.col(text_col))).alias("n_tokens"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars_obs, n_tokens, punct_ratio, stopword_ratio, quality)
+
+    quality = heuristic in [0,1]: length band x low punctuation x healthy
+    stopword fraction (the classic Gopher/C4-style cheap filters).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    stopword_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    quality = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - F.least(punct_ratio * 2, F.lit(1.0)))
+        * F.least(stopword_ratio * 4 + F.lit(0.2), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — canonical content fingerprint md5(lower(trim(text)))."""
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp")
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — marker-word voting over
+    {en,de,fr,es}; 'und' (undetermined) when no marker hits. Deterministic
+    tie-break by language code order via greatest-of-structs."""
+    toks = tokens(F.col(text_col))
+    scores = []
+    for code in sorted(LANG_MARKERS):
+        marks = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
+        n = F.size(F.filter(toks, lambda x: F.array_contains(marks, F.lower(x))))
+        # struct ordering: score desc, then code asc via reversed-code trick:
+        # greatest() picks max score; equal scores -> lexicographically
+        # larger struct; we negate by storing code and preferring smaller
+        # via the score-major ordering with code stored descending-safe.
+        scores.append(F.struct(n.alias("s"), F.lit(code).alias("c")))
+    # greatest over structs: max score, tie -> max code; to get tie -> min
+    # code deterministically, iterate with explicit comparison instead.
+    best = scores[0]
+    for s in scores[1:]:
+        best = F.when(s["s"] > best["s"], s).otherwise(best)
+    return docs.select(
+        "doc_id",
+        F.when(best["s"] > 0, best["c"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["s"].cast("long").alias("lang_score"),
+    )
+
+
+def ngram_profile(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, ngram, cnt) — exploded character n-gram counts; the building
+    block for n-gram Jaccard similarity and corpus-level language profiles."""
+    t = F.lower(F.trim(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
+        lambda i: t.substr(i + 1, F.lit(n)),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .where(F.length("ngram") == n)
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nido_spark import algos as A
+from nido_spark import oracle as O
+from tests.conftest import labels_equivalent, symmetric_arrays
+
+
+def test_pagerank_matches_oracle_karate(karate):
+    edges, (src, dst, w) = karate
+    pr = {r["v"]: r["r"] for r in A.pagerank(edges, max_iters=20, tol=0.0).collect()}
+    ref = O.pagerank_numpy(src, dst, w, max_iters=20, tol=0.0)
+    assert set(pr) == set(ref)
+    for v in ref:
+        assert pr[v] == pytest.approx(ref[v], abs=1e-6)
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_hub_ranks_highest(karate):
+    edges, _ = karate
+    top = A.pagerank(edges, max_iters=20).orderBy(F.desc("r")).first()
+    assert top["v"] in (33, 0)  # the two karate hubs
+
+
+def test_connected_components_two_islands(spark):
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12)]
+    src, dst, w = symmetric_arrays(pairs)
+    edges = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    got = {r["v"]: r["comm"] for r in A.connected_components(edges).collect()}
+    ref = O.connected_components_numpy(src, dst)
+    assert got == ref
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12] == 10
+
+
+def test_cc_single_component_karate(karate):
+    edges, (src, dst, w) = karate
+    got = {r["v"]: r["comm"] for r in A.connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+
+
+@pytest.mark.parametrize("nbatches", [1, 2])
+def test_lpa_matches_oracle(karate, nbatches):
+    edges, (src, dst, w) = karate
+    got = {
+        r["v"]: r["comm"]
+        for r in A.label_propagation(edges, nbatches=nbatches, max_iters=5).collect()
+    }
+    # oracle with the same sweep cap
+    ref = O.lpa_numpy(src, dst, w, nbatches=nbatches, max_iters=5)
+    assert got == ref
+
+
+def test_triangle_count_karate(karate):
+    edges, (src, dst, w) = karate
+    got = A.triangle_count(edges)
+    ref = O.triangle_count_numpy(src, dst)
+    assert got == ref == 45  # known count for Zachary's karate club
+
+
+def test_triangle_count_per_vertex_sums_to_3x(karate):
+    edges, _ = karate
+    per = A.triangle_count_per_vertex(edges)
+    total = per.agg(F.sum("triangles").alias("s")).first()["s"]
+    assert total == 3 * 45
+
+
+def test_triangles_ignore_self_loops(spark):
+    pairs = [(0, 1), (1, 2), (0, 2), (0, 0)]
+    src, dst, w = symmetric_arrays(pairs)
+    edges = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    assert A.triangle_count(edges) == 1
+
+
+def test_pagerank_random_graph_vs_oracle(spark):
+    rng = np.random.default_rng(11)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 40, size=(150, 2)) if a != b})
+    weights = [float(x) for x in rng.integers(1, 5, size=len(pairs))]
+    src, dst, w = symmetric_arrays(pairs, weights)
+    edges = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    got = {r["v"]: r["r"] for r in A.pagerank(edges, max_iters=15, tol=0.0).collect()}
+    ref = O.pagerank_numpy(src, dst, w, max_iters=15, tol=0.0)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=1e-6)

@@ -1,0 +1,153 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nido_spark import dedup as D
+from nido_spark import similarity as S
+from nido_spark import textops as X
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="session")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world foo"), (2, ""), (3, "   "), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in X.token_count(df).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_quality_score_ranges(docs):
+    q = X.quality_score(docs).collect()
+    assert len(q) == docs.count()
+    for r in q:
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist da"),
+            (3, "le chat et la mer est grande"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in X.lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world  "), (3, "unique"), (4, "HELLO WORLD")],
+        "doc_id long, text string",
+    )
+    # canonicalization is lower(trim(text)): 1, 2 (trailing spaces trimmed)
+    # and 4 all collide
+    dups = D.exact_duplicates(df).collect()
+    assert len(dups) == 1 and dups[0]["n_docs"] == 3 and dups[0]["keep_id"] == 1
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark engines " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = D.minhash_dedup(df, threshold=0.5).collect()
+    assert {(p["a"], p["b"]) for p in pairs} == {(1, 2)}
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = D.minhash_signatures(docs.limit(20)).collect()
+    s2 = D.minhash_signatures(docs.limit(20).repartition(7)).collect()
+    assert {r["doc_id"]: r["sig"] for r in s1} == {r["doc_id"]: r["sig"] for r in s2}
+
+
+def test_simhash_distance_orders_by_similarity(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("zeta", "zetb")
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures_stable(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    assert ham(sigs[1], sigs[2]) < ham(sigs[2], sigs[3])
+    # determinism across partitionings
+    sigs2 = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures_stable(df.repartition(3)).collect()
+    }
+    assert sigs == sigs2
+
+
+def test_hamming_near_pairs_banding(spark):
+    # 4x16-bit bands: dist<=3 guaranteed found (pigeonhole); a pair whose
+    # diff bits hit all 4 bands is not a candidate
+    s1 = 0x0123456789ABCDEF
+    s2 = s1 ^ 0b101  # 2 bits, same band
+    s3 = s1 ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))  # every band differs
+    df = spark.createDataFrame(
+        [(1, s1), (2, s2), (3, s3)], "doc_id long, simhash long"
+    )
+    got = {(p["a"], p["b"]): p["dist"] for p in D.hamming_near_pairs(df, max_dist=10).collect()}
+    assert got == {(1, 2): 2}
+
+
+def test_cosine_topk_exact(emb, spark):
+    queries = emb.limit(3)
+    topk = S.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # NumPy oracle
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    for qid, got in by_q.items():
+        qi = np.where(ids == qid)[0][0]
+        cos = mat_n @ mat_n[qi]
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        want = ids[order].tolist()
+        got_sorted = [r["nbr_id"] for r in sorted(got, key=lambda r: r["rank"])]
+        assert got_sorted == want
+        for r in got:
+            oracle_cos = float(mat_n[np.where(ids == r["nbr_id"])[0][0]] @ mat_n[qi])
+            assert r["cos"] == pytest.approx(oracle_cos, abs=1e-6)
+
+
+def test_lsh_ann_recall(emb):
+    queries = emb.limit(5)
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.lsh_ann_topk(emb, queries, k=5, n_bits=16, n_bands=8)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4  # 8 bands of 2 bits -> high recall on 500 vecs
