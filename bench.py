@@ -1,0 +1,154 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+``--scaling`` additionally runs the PageRank throughput job at two
+parallelism levels (local[8] vs local[32]) in SEPARATE processes (a JVM's
+master is fixed at startup) and reports edges-processed/sec at both plus the
+scaling efficiency — the in-sandbox evidence for the north rule's N->4N
+criterion (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_queries(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from nido_spark import algos as A
+    from nido_spark import dedup as D
+    from nido_spark import graph as G
+    from nido_spark import louvain as L
+    from nido_spark import similarity as S
+    from nido_spark import textops as X
+    from nido_spark.io import lineitem_edges, synth_transcripts, transcripts_to_edges
+    from nido_spark.session import get_spark
+
+    spark = get_spark("nido_bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: edge derivation + materialization
+    edges = None
+
+    def build():
+        nonlocal edges
+        edges = lineitem_edges(spark, sf_dir).cache()
+        return edges.count()
+
+    ne = timed("q1_edges_build", build)
+    meta["n_edges_directed"] = ne
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    docs.count(), emb.count()
+
+    timed("q2_vertex_aggregates", lambda: G.vertices(edges).agg(F.max("k")).first())
+
+    verts = G.vertices(edges).cache()
+    labels0 = L.singleton_labels(edges).cache()
+    a_c0 = L.community_weights(labels0, verts)
+    m = G.mass(edges)
+    timed(
+        "q3_louvain_gain_step",
+        lambda: L.louvain_move_candidates(edges, labels0, verts, a_c0, m).count(),
+    )
+    res = timed("q4_louvain_full", lambda: L.louvain(edges, nbatches=4))
+    meta["louvain_modularity"] = round(res.modularity, 6)
+    meta["louvain_sweeps"] = res.total_sweeps
+    timed("q5_pagerank_10it", lambda: A.pagerank(edges, max_iters=10, tol=0.0).count())
+    timed("q6_connected_components", lambda: A.connected_components(edges).count())
+    timed("q7_triangle_count", lambda: A.triangle_count(edges))
+    timed("q8_lpa_5it", lambda: A.label_propagation(edges, nbatches=4, max_iters=5).count())
+    timed("q9_minhash_dedup", lambda: D.minhash_dedup(docs, threshold=0.6).count())
+    timed(
+        "q10_ann_topk",
+        lambda: S.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10).count(),
+    )
+    timed("q11_text_quality", lambda: X.quality_score(docs).agg(F.avg("quality")).first())
+    timed(
+        "q12_transcript_edges",
+        lambda: transcripts_to_edges(synth_transcripts(spark, 2000, seed=42)).count(),
+    )
+
+    # throughput: edges-processed/sec over the PageRank loop (10 iterations
+    # touch each directed edge once per iteration)
+    eps = ne * 10 / timings["q5_pagerank_10it"]
+    meta["pagerank_edges_per_sec"] = round(eps, 1)
+    spark.stop()
+    return {"timings": timings, "meta": meta}
+
+
+def _scaling_probe(sf_dir: str, cpus: int) -> float:
+    """Run in a subprocess: PageRank 10 iters; print edges/sec."""
+    from nido_spark import algos as A
+    from nido_spark.io import lineitem_edges
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    edges = lineitem_edges(spark, sf_dir).cache()
+    ne = edges.count()
+    t0 = time.time()
+    A.pagerank(edges, max_iters=10, tol=0.0).count()
+    dt = time.time() - t0
+    print(json.dumps({"cpus": cpus, "edges_per_sec": ne * 10 / dt, "sec": dt}))
+    spark.stop()
+    return ne * 10 / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        _scaling_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    t0 = time.time()
+    out = _run_queries(sf_dir, cpus)
+    total = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "nido_spark headline suite (louvain+companions+pipeline ops) wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": out["timings"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": out["meta"],
+    }
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling = {}
+        for c in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe", str(c)],
+                capture_output=True, text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            scaling[f"local[{c}]"] = json.loads(line)
+        e8 = scaling["local[8]"]["edges_per_sec"]
+        e32 = scaling["local[32]"]["edges_per_sec"]
+        scaling["efficiency_8_to_32"] = round(e32 / (4 * e8), 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

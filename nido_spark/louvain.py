@@ -65,26 +65,29 @@ def community_weights(labels: DataFrame, verts: DataFrame) -> DataFrame:
 
 
 def modularity(edges: DataFrame, labels: DataFrame, m: float, verts: DataFrame | None = None) -> float:
-    """Q = internal/(2m) - sum(a_c^2)/(4m^2); self-loops count as internal."""
+    """Q = internal/(2m) - sum(a_c^2)/(4m^2); self-loops count as internal.
+
+    Both scalar reductions run as ONE Spark job (union of two tagged
+    aggregates) — Q is evaluated once per sweep, so action count here is a
+    direct multiplier on the driver's per-sweep overhead."""
     if verts is None:
         verts = G.vertices(edges)
     lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("c_src"))
     lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("c_dst"))
-    internal_row = (
+    internal = (
         edges.join(lab_src, "src")
         .join(lab_dst, "dst")
         .where(F.col("c_src") == F.col("c_dst"))
         .agg(F.sum("w").alias("s"))
-        .first()
+        .select(F.lit("internal").alias("part"), "s")
     )
-    internal = float(internal_row["s"] or 0.0)
-    acc_row = (
+    acc = (
         community_weights(labels, verts)
         .agg(F.sum(F.col("a_c") * F.col("a_c")).alias("s"))
-        .first()
+        .select(F.lit("acc").alias("part"), "s")
     )
-    acc = float(acc_row["s"] or 0.0)
-    return internal / (2 * m) - acc / (4 * m * m)
+    parts = {r["part"]: float(r["s"] or 0.0) for r in internal.unionByName(acc).collect()}
+    return parts["internal"] / (2 * m) - parts["acc"] / (4 * m * m)
 
 
 def singleton_labels(edges: DataFrame) -> DataFrame:
@@ -179,7 +182,9 @@ def louvain_sweep(
             labels.join(moves, "v", "left")
             .select("v", F.coalesce("new_comm", "comm").alias("comm"))
         )
-        labels = truncate_lineage(labels)  # truncate per-batch lineage
+        # truncate per-batch lineage; lazy — materializes inside the next
+        # batch's (or the Q evaluation's) job instead of costing its own
+        labels = truncate_lineage(labels, eager=False)
     return labels
 
 
