@@ -161,20 +161,29 @@ def louvain_sweep(
     verts: DataFrame,
     m: float,
     nbatches: int,
+    kernel: str = "sql",
 ) -> DataFrame:
     """One block-synchronous sweep over all batches; returns new labels DF.
 
     Batch b processes vertices with ``pmod(src, nbatches) == b``; its argmax
     sees labels/community-weights updated by batches < b (reference:
     louvain_gpu.cpp:61-82).
+
+    ``kernel``: 'sql' (Tungsten max_by aggregate) or 'arrow' (vectorized
+    pandas-UDF segment argmax over vertex blocks, kernels.py) — identical
+    semantics, benchmarked against each other in bench.py.
     """
+    if kernel == "arrow":
+        from nido_spark.kernels import louvain_move_candidates_arrow as cand_fn
+    else:
+        cand_fn = louvain_move_candidates
     for b in range(nbatches):
         a_c = community_weights(labels, verts)
         batch_edges = (
             edges if nbatches == 1 else edges.where(F.pmod(F.col("src"), F.lit(nbatches)) == b)
         )
         moves = (
-            louvain_move_candidates(batch_edges, labels, verts, a_c, m)
+            cand_fn(batch_edges, labels, verts, a_c, m)
             .where(F.col("gain") > 0)
             .select("v", F.col("best_comm").alias("new_comm"))
         )
@@ -219,6 +228,7 @@ def louvain(
     tol_phase: float = 1e-6,
     max_phases: int = 200,
     checkpointer=None,
+    kernel: str = "sql",
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
@@ -255,7 +265,7 @@ def louvain(
         loops = 0
         while tol < dQ and loops < max_loops:
             labels_prev = labels
-            labels = louvain_sweep(edges, labels, verts, m, nbatches)
+            labels = louvain_sweep(edges, labels, verts, m, nbatches, kernel=kernel)
             Qtmp = modularity(edges, labels, m, verts)
             dQ = Qtmp - Q
             loops += 1

@@ -1,0 +1,159 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode step itself is STUBBED — codec libraries (Pillow, ffmpeg,
+torchaudio) are not in this image — but everything Spark-side is real and
+tested: the schema, the Arrow batch shape through ``mapInPandas``, the
+partitioning of heavy binary rows, and the metadata extraction that parses
+tiny deterministic headers without decoding payloads.
+
+``set_decoder`` swaps the stub for a real codec at deployment; the pipeline
+shape (scan -> mapInPandas batches -> feature columns) is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image|audio|video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),     # image/video
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),  # audio/video
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_MAGIC = b"NIDO"
+
+
+def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Deterministic fake media table: payload = 4-byte magic + 12-byte
+    header (w, h, duration) + pseudorandom body. Lets every pipeline stage
+    downstream of decode run for real."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                rng = np.random.default_rng([seed, int(i)])
+                kind = kinds[int(i) % 3]
+                w = int(rng.integers(16, 512)) if kind != "audio" else None
+                h = int(rng.integers(16, 512)) if kind != "audio" else None
+                dur = int(rng.integers(100, 60_000)) if kind != "image" else None
+                header = (
+                    _MAGIC
+                    + int(w or 0).to_bytes(4, "big")
+                    + int(h or 0).to_bytes(4, "big")
+                    + int(dur or 0).to_bytes(4, "big")
+                )
+                body = rng.integers(0, 256, size=int(rng.integers(64, 1024)), dtype=np.uint8).tobytes()
+                rows.append((int(i), kind, mimes[kind], w, h, dur, header + body))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "width", "height", "duration_ms", "payload"]
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-SQL metadata aggregation — no payload decode, column pruning
+    keeps the binary column out of the scan entirely."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("width").alias("avg_width"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+    )
+
+
+def parse_headers(media: DataFrame) -> DataFrame:
+    """Extract (w, h, duration) from the payload header bytes without
+    decoding the body — substring on binary stays JVM-side."""
+    hdr_ok = F.substring("payload", 1, 4) == F.lit(_MAGIC)
+    def be_int(start):  # 4-byte big-endian int from binary substring
+        return (
+            F.conv(F.hex(F.substring("payload", start, 4)), 16, 10).cast("long")
+        )
+    return media.select(
+        "media_id",
+        "kind",
+        hdr_ok.alias("header_valid"),
+        be_int(5).cast("int").alias("hdr_width"),
+        be_int(9).cast("int").alias("hdr_height"),
+        be_int(13).cast("int").alias("hdr_duration_ms"),
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
+# --- decode / feature extraction (stub-gated) -------------------------------
+
+_DECODER: Callable[[bytes, str], np.ndarray] | None = None
+
+
+def set_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
+    """Install a real codec: fn(payload, kind) -> np.ndarray features."""
+    global _DECODER
+    _DECODER = fn
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic decode stand-in: 8 features from byte statistics.
+    A real deployment replaces this via set_decoder (PIL/ffmpeg)."""
+    arr = np.frombuffer(payload[16:], dtype=np.uint8).astype(np.float64)
+    if len(arr) == 0:
+        return np.zeros(8)
+    return np.array(
+        [
+            arr.mean(), arr.std(), arr.min(), arr.max(),
+            float(len(arr)), arr[:32].mean(), arr[-32:].mean(),
+            float(np.count_nonzero(arr > 127)) / len(arr),
+        ]
+    )
+
+
+FEATURE_SCHEMA = "media_id long, kind string, features array<double>"
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """(media_id, kind, features) via mapInPandas. Real decoders raise
+    NotImplementedError here until installed with set_decoder; the fake
+    decoder keeps the full pipeline runnable/testable."""
+    decoder = _DECODER or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    # heavy binary rows: repartition so a partition's Arrow batches stay
+    # small regardless of upstream file layout
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def real_decoder_stub(payload: bytes, kind: str) -> np.ndarray:
+    """The deployment hook: replace with PIL.Image.open / soundfile / ffmpeg
+    frame sampling. Kept as an explicit NotImplementedError so the gap is
+    visible, per the build brief."""
+    raise NotImplementedError(
+        "codec libraries are not available in this environment; "
+        "install one and register it with multimodal.set_decoder"
+    )

@@ -133,3 +133,27 @@ def test_permutation_invariance_of_modularity(spark):
     q1 = O.modularity_numpy(src, dst, w)
     q2 = O.modularity_numpy(src_p, dst_p, w)
     assert q1 == pytest.approx(q2, abs=1e-12)
+
+
+@pytest.mark.parametrize("nbatches", [1, 2])
+def test_arrow_kernel_matches_sql_kernel(karate, nbatches):
+    """The Arrow-block pandas-UDF gain kernel (kernels.py) and the Tungsten
+    max_by rendering must produce identical sweeps."""
+    edges, (src, dst, w) = karate
+    verts = G.vertices(edges)
+    m = G.mass(edges)
+    labels = L.singleton_labels(edges)
+    sql_lab = {r["v"]: r["comm"] for r in
+               L.louvain_sweep(edges, labels, verts, m, nbatches, kernel="sql").collect()}
+    arr_lab = {r["v"]: r["comm"] for r in
+               L.louvain_sweep(edges, labels, verts, m, nbatches, kernel="arrow").collect()}
+    assert sql_lab == arr_lab
+
+
+def test_arrow_kernel_full_louvain(karate):
+    edges, (src, dst, w) = karate
+    res = L.louvain(edges, nbatches=4, kernel="arrow")
+    ref = O.louvain_numpy(src, dst, w, nbatches=4)
+    assert res.modularity == pytest.approx(ref.modularity, abs=1e-6)
+    got = {r["v"]: r["comm"] for r in res.labels.collect()}
+    assert labels_equivalent(got, ref.labels)
