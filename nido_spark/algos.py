@@ -258,3 +258,54 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return all_v.join(per, "v", "left").select(
         "v", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal-independent-set coloring (reference's optional -c scheduling
+# heuristic, /root/reference/graph.cpp:548-694). In Spark the batched sweep
+# replaces coloring as the scheduling mechanism, so this is exposed as a
+# standalone diagnostic/operator, not wired into Louvain.
+# ---------------------------------------------------------------------------
+
+
+def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 64) -> DataFrame:
+    """(v, color) greedy Luby coloring: repeatedly take the MIS of the
+    remaining graph (vertex wins if its hash-priority beats every remaining
+    neighbor's), assign it the next color. Deterministic via xxhash64(v,
+    seed, round). O(log V) expected rounds per color."""
+    remaining = truncate_lineage(
+        edges.select(F.col("src").alias("v")).distinct()
+    )
+    live_edges = truncate_lineage(edges.where(F.col("src") != F.col("dst")))
+    colored = None
+    for color in range(max_colors):
+        if remaining.limit(1).count() == 0:
+            break
+        prio = remaining.select(
+            "v", F.xxhash64(F.col("v"), F.lit(seed), F.lit(color)).alias("p")
+        )
+        p_src = prio.select(F.col("v").alias("src"), F.col("p").alias("p_src"))
+        p_dst = prio.select(F.col("v").alias("dst"), F.col("p").alias("p_dst"))
+        nbr_best = (
+            live_edges.join(p_src, "src").join(p_dst, "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.max(F.struct("p_dst", "dst")).alias("best"))
+            .select("v", F.col("best.p_dst").alias("nbr_p"), F.col("best.dst").alias("nbr_v"))
+        )
+        mis = (
+            prio.join(nbr_best, "v", "left")
+            .where(
+                F.col("nbr_p").isNull()
+                | (F.col("p") > F.col("nbr_p"))
+                | ((F.col("p") == F.col("nbr_p")) & (F.col("v") > F.col("nbr_v")))
+            )
+            .select("v", F.lit(color).alias("color"))
+        )
+        mis = truncate_lineage(mis)
+        colored = mis if colored is None else colored.unionByName(mis)
+        remaining = truncate_lineage(remaining.join(mis, "v", "left_anti"))
+        live_edges = truncate_lineage(
+            live_edges.join(mis.select(F.col("v").alias("src")), "src", "left_anti")
+            .join(mis.select(F.col("v").alias("dst")), "dst", "left_anti")
+        )
+    return colored

@@ -301,3 +301,66 @@ SELECT src, dst, w FROM e0
 UNION ALL
 SELECT dst AS src, src AS dst, w FROM e0
 """
+
+
+def ba_random_edges(
+    spark: SparkSession, nv: int, m0: int = 4, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic preferential-attachment-ish random graph, mirroring the
+    semantics of the reference's built-in generator
+    (/root/reference/graph.cpp:76-115): each vertex i >= m0 attaches to m0
+    earlier vertices (degree-biased), both directions inserted, weights
+    |N(1,1)| (abs-Gaussian). Vectorized generation per vertex chunk with
+    ``default_rng([seed, i])`` — partition-invariant.
+
+    The degree bias is approximated by sampling targets as
+    ``floor(u^2 * i)`` (quadratic skew toward old/high-degree vertices) so
+    generation stays embarrassingly parallel — the reference's exact
+    sequential attachment kernel cannot be parallelized without a serial
+    dependency chain, and only the *shape* (heavy-tail) matters for tests.
+    """
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 1)
+
+    def gen(batches):
+        for pdf in batches:
+            rows_src, rows_dst, rows_w = [], [], []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                if i < m0:
+                    continue
+                rng = np.random.default_rng([seed, i])
+                tgt = np.unique(np.floor(rng.random(m0) ** 2 * i).astype(np.int64))
+                w = np.abs(rng.normal(1.0, 1.0, size=len(tgt))) + 1e-9
+                rows_src.append(np.full(len(tgt), i, dtype=np.int64))
+                rows_dst.append(tgt)
+                rows_w.append(w)
+            if rows_src:
+                yield pd.DataFrame(
+                    {
+                        "src": np.concatenate(rows_src),
+                        "dst": np.concatenate(rows_dst),
+                        "w": np.concatenate(rows_w),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                    "dst": pd.Series(dtype="int64"),
+                                    "w": pd.Series(dtype="float64")})
+
+    one_dir = spark.range(0, nv, numPartitions=partitions).mapInPandas(gen, schema=EDGE_SCHEMA)
+    from nido_spark.graph import normalize_edges
+
+    return normalize_edges(one_dir)
+
+
+def write_labels(labels: DataFrame, path: str, order_by_vertex: bool = False) -> None:
+    """Community sink (reference: one id per line text dump,
+    /root/reference/clustering.cpp:23-46) — parquet, optionally
+    range-ordered by vertex for deterministic file layout."""
+    out = labels.orderBy("v") if order_by_vertex else labels
+    out.write.mode("overwrite").parquet(path)
+
+
+def read_labels(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema("v long, comm long").parquet(path)

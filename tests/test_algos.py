@@ -94,3 +94,19 @@ def test_pagerank_random_graph_vs_oracle(spark):
     ref = O.pagerank_numpy(src, dst, w, max_iters=15, tol=0.0)
     for v in ref:
         assert got[v] == pytest.approx(ref[v], abs=1e-6)
+
+
+def test_luby_coloring_is_proper(karate):
+    edges, _ = karate
+    colors = A.luby_mis_coloring(edges)
+    got = {r["v"]: r["color"] for r in colors.collect()}
+    assert set(got) == set(range(34))
+    lab = edges.sparkSession.createDataFrame(list(got.items()), "v long, color long")
+    conflicts = (
+        edges.where(F.col("src") < F.col("dst"))
+        .join(lab.select(F.col("v").alias("src"), F.col("color").alias("c1")), "src")
+        .join(lab.select(F.col("v").alias("dst"), F.col("color").alias("c2")), "dst")
+        .where(F.col("c1") == F.col("c2"))
+        .count()
+    )
+    assert conflicts == 0

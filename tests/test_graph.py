@@ -48,3 +48,30 @@ def test_degree_histogram(karate):
     hist = G.degree_histogram(edges).collect()
     assert sum(r["n_vertices"] for r in hist) == 34
     assert max(r["max_deg"] for r in hist) == 17
+
+
+def test_ba_random_edges_properties(spark):
+    from nido_spark.io import ba_random_edges
+
+    e = ba_random_edges(spark, 200, m0=4, seed=7)
+    v = G.validate_edges(e)
+    assert v["asym"] == 0 and v["min_w"] > 0
+    # heavy tail: early vertices accumulate degree
+    deg = {r["v"]: r["deg"] for r in G.vertices(e).collect()}
+    early = sum(deg.get(i, 0) for i in range(10))
+    late = sum(deg.get(i, 0) for i in range(190, 200))
+    assert early > late
+    # determinism across partitionings
+    e2 = ba_random_edges(spark, 200, m0=4, seed=7, partitions=5)
+    assert sorted(map(tuple, e.collect())) == sorted(map(tuple, e2.collect()))
+
+
+def test_label_sink_roundtrip(karate, tmp_path):
+    from nido_spark.io import read_labels, write_labels
+    from nido_spark.louvain import singleton_labels
+
+    edges, _ = karate
+    lab = singleton_labels(edges)
+    write_labels(lab, str(tmp_path / "labels"), order_by_vertex=True)
+    back = read_labels(edges.sparkSession, str(tmp_path / "labels"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, lab.collect()))
