@@ -93,21 +93,74 @@ def _run_queries(sf_dir: str, cpus: int) -> dict:
     return {"timings": timings, "meta": meta}
 
 
-def _scaling_probe(sf_dir: str, cpus: int) -> float:
-    """Run in a subprocess: PageRank 10 iters; print edges/sec."""
+def _scaling_probe(sf_dir: str, cpus: int, replicate: int = 32, iters: int = 4) -> float:
+    """Run in a subprocess: PageRank over a ``replicate``-times disjoint-copy
+    blow-up of the sf graph (id-offset copies), so per-task compute dominates
+    scheduler overhead and the probe actually measures parallel throughput.
+    One warm-up iteration (JIT, AQE stats, cache) before the timed window.
+    Prints edges/sec for the timed iterations."""
+    from pyspark.sql import functions as F
+
     from nido_spark import algos as A
     from nido_spark.io import lineitem_edges
     from nido_spark.session import get_spark
 
     spark = get_spark(f"nido_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
-    edges = lineitem_edges(spark, sf_dir).cache()
+    base = lineitem_edges(spark, sf_dir)
+    copies = spark.range(replicate).select((F.col("id") * 1_000_000_000).alias("off"))
+    edges = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("src") + F.col("off")).alias("src"),
+            (F.col("dst") + F.col("off")).alias("dst"),
+            "w",
+        )
+        .repartition(cpus * 2, "src")
+    )
     ne = edges.count()
-    t0 = time.time()
-    A.pagerank(edges, max_iters=10, tol=0.0).count()
-    dt = time.time() - t0
-    print(json.dumps({"cpus": cpus, "edges_per_sec": ne * 10 / dt, "sec": dt}))
+    A.pagerank(edges, max_iters=1, tol=0.0).count()  # warm-up (JIT, codegen)
+    runs = []
+    for _ in range(3):  # best-of-3: local-mode GC/AQE noise is large
+        t0 = time.time()
+        A.pagerank(edges, max_iters=iters, tol=0.0, checkpoint_every=iters).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "edges_per_sec": ne * iters / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs],
+                      "n_edges": ne, "iters": iters}))
     spark.stop()
-    return ne * 10 / dt
+    return ne * iters / dt
+
+
+def _map_probe(sf_dir: str, cpus: int, replicate: int = 200) -> float:
+    """Map-only compute probe (no shuffle): quality scoring over a
+    replicated documents table — shows the parallel-compute ceiling that
+    the shuffle-bound graph probe should be judged against."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import textops as X
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_map_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(replicate).select((F.col("id") * 10_000_000).alias("off")))
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+        .repartition(cpus * 2)
+        .cache()
+    )
+    n = big.count()
+    X.quality_score(big).agg(F.sum("quality")).first()  # warm-up
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        X.quality_score(big).agg(F.sum("quality")).first()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
 
 
 def main() -> None:
@@ -117,6 +170,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe":
         _scaling_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-map":
+        _map_probe(sf_dir, int(sys.argv[2]))
         return
 
     t0 = time.time()

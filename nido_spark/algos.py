@@ -37,13 +37,39 @@ def pagerank_step(
     """One synchronous weighted PageRank step:
     r'(v) = (1-d)/N + d * (sum_u r(u) * w(u,v)/k(u) + dangling/N).
 
-    ``ranks``: (v, r). Returns (v, r) for all vertices in ``verts``."""
+    ``ranks``: (v, r). Returns (v, r) for all vertices in ``verts``.
+    (The fixpoint loop below uses the pre-folded ``frac`` variant; this
+    single-step form is kept as the oracle-checkable operator.)"""
     out = verts.select(F.col("v").alias("src"), F.col("k").alias("k_src"))
     contrib = (
         edges.join(ranks.select(F.col("v").alias("src"), "r"), "src")
         .join(out, "src")
         .groupBy(F.col("dst").alias("v"))
         .agg(F.sum(F.col("r") * F.col("w") / F.col("k_src")).alias("contrib"))
+    )
+    base = (1.0 - damping) / n_vertices + damping * dangling_mass / n_vertices
+    return (
+        verts.select("v")
+        .join(contrib, "v", "left")
+        .select(
+            "v",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("r"),
+        )
+    )
+
+
+def _pagerank_step_frac(
+    edges_frac: DataFrame, ranks: DataFrame, verts: DataFrame, n_vertices: int,
+    damping: float, dangling_mass: float,
+) -> DataFrame:
+    """Loop body over the pre-folded edge table (src, dst, frac=w/k_src):
+    the k-join is loop-invariant, so each iteration is exactly ONE join
+    (ranks, V rows) plus ONE aggregation shuffle (contribs) — the minimal
+    message-passing round."""
+    contrib = (
+        edges_frac.join(ranks.select(F.col("v").alias("src"), "r"), "src")
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum(F.col("r") * F.col("frac")).alias("contrib"))
     )
     base = (1.0 - damping) / n_vertices + damping * dangling_mass / n_vertices
     return (
@@ -74,6 +100,16 @@ def pagerank(
     ranks = truncate_lineage(verts.select("v", F.lit(1.0 / n).alias("r")))
     dangling_vs = verts.where(F.col("k") <= 0).select("v")
     has_dangling = dangling_vs.limit(1).count() > 0
+    # fold the loop-invariant out-fraction into the edge table once.
+    # Columnar .persist(), NOT truncate_lineage: E-row tables belong in the
+    # compressed DataFrame cache (RDD-level localCheckpoint stores raw row
+    # objects — several times the footprint); its lineage is static depth-1,
+    # so there is nothing to truncate.
+    edges_frac = (
+        edges.join(verts.select(F.col("v").alias("src"), "k"), "src")
+        .select("src", "dst", (F.col("w") / F.col("k")).alias("frac"))
+        .persist()
+    )
     for i in range(max_iters):
         if has_dangling:
             dm = (
@@ -82,7 +118,7 @@ def pagerank(
             )
         else:
             dm = 0.0
-        new_ranks = pagerank_step(edges, ranks, verts, n, damping, dm)
+        new_ranks = _pagerank_step_frac(edges_frac, ranks, verts, n, damping, dm)
         if (i + 1) % checkpoint_every == 0 or i == max_iters - 1:
             new_ranks = truncate_lineage(new_ranks)
             delta = (
@@ -95,6 +131,7 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+    edges_frac.unpersist()
     return ranks
 
 

@@ -71,24 +71,58 @@ def _char_shingles(col, k: int):
     )
 
 
+# affine permutation constants: h_i(x) = (a_i * x + b_i) mod p over a
+# 32-bit reduction of the base xxhash64 — the standard one-base-hash MinHash
+# family. Sizes chosen so a*x+b < 2^63 (no int64 overflow under ANSI):
+# a < 2^30, x < 2^32, b < 2^61; p = 2^61 - 1 (Mersenne prime).
+_MINHASH_P = (1 << 61) - 1
+_MINHASH_HBITS = 1 << 32
+
+
+def _perm_consts(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, 1 << 30)), int(rng.integers(0, _MINHASH_P)))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_perm: int = 32, k: int = 5
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — num_perm min-hashes over char-k-shingles.
 
-    Permutation i is ``xxhash64(shingle, salt_i)`` (seeded by position —
-    deterministic across runs/partitionings); empty docs get an empty sig.
+    Single string hash per shingle (xxhash64), then ``num_perm`` affine
+    permutations evaluated as JVM min-aggregates over the exploded
+    (doc_id, shingle_hash) stream: one shuffle, map-side combined, no
+    per-permutation re-hash of text, no giant arrays held per row.
+    Duplicate shingles are harmless (min is multiset-invariant), so no
+    distinct pass. Empty docs get an empty sig.
     """
-    sh = _char_shingles(F.col(text_col), k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    t = canonical_text(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
+        lambda i: t.substr(i + 1, F.lit(k)),
     )
-    return docs.select(
+    hashed = docs.select(
         "doc_id",
-        F.when(F.size(sh) > 0, sig).otherwise(F.array().cast("array<long>")).alias("sig"),
+        F.explode(
+            F.when(F.length(t) >= k, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).where(F.length("g") == k).select(
+        "doc_id", F.pmod(F.xxhash64("g"), F.lit(_MINHASH_HBITS)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MINHASH_P))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_perm_consts(num_perm))
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
+    )
+    # docs with no shingles (shorter than k): empty signature
+    return docs.select("doc_id").join(sigs, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("sig", F.array().cast("array<long>")).alias("sig"),
     )
 
 

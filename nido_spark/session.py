@@ -37,10 +37,22 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative loops churn checkpointed RDDs/broadcasts; default
+        # periodic cleaner GC is 30min — far too lazy for 100-sweep loops
+        .config("spark.cleaner.periodicGC.interval", "60s")
     )
+    # local mode: shuffle files on tmpfs — the machine's single data disk is
+    # otherwise the scaling wall for shuffle-bound stages (a real cluster
+    # gets this from the cluster manager's SPARK_LOCAL_DIRS instead)
+    local_dir = os.environ.get(
+        "SPARK_LOCAL_DIRS",
+        "/dev/shm/nido-spark-local" if os.path.isdir("/dev/shm") else None,
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
