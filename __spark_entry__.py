@@ -52,9 +52,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: Louvain labels (v, comm) on the sf0.001 co-occurrence graph."""
+    """Flagship: Louvain labels (v, comm) on the sf0.001 co-occurrence graph.
+
+    local_threshold=1000 keeps phase 0 on the distributed path (the smoke
+    check should exercise Spark, not just the oracle tail)."""
     edges = lineitem_edges(spark, "/root/testdata/sf0.001")
-    res = L.louvain(edges, nbatches=4)
+    res = L.louvain(edges, nbatches=4, local_threshold=1000)
     return res.labels
 
 

@@ -229,10 +229,20 @@ def louvain(
     max_phases: int = 200,
     checkpointer=None,
     kernel: str = "sql",
+    local_threshold: int = 100_000,
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
-    nido_spark.checkpoint.LouvainCheckpointer for durable resume."""
+    nido_spark.checkpoint.LouvainCheckpointer for durable resume.
+
+    ``local_threshold``: hybrid tail execution — when a phase's coarsened
+    edge table has <= this many rows, the remaining dendrogram is finished
+    on the driver with the NumPy oracle (oracle.py implements the *same*
+    batched schedule, so results are identical by construction; asserted by
+    tests at both settings). Coarsening shrinks the graph geometrically, so
+    at any scale the tail phases are tiny — distributing them wastes more
+    time scheduling stages than the arithmetic costs. 0 disables.
+    """
     edges = truncate_lineage(edges)
     flat = singleton_labels(edges)  # orig vertex -> current super-vertex
     flat = truncate_lineage(flat)
@@ -255,6 +265,11 @@ def louvain(
             n_phases = start_phase
 
     while not done and n_phases < max_phases:
+        if local_threshold and edges.count() <= local_threshold:
+            return _finish_local(
+                edges, flat, n_phases, total_sweeps, history,
+                nbatches, tol, max_loops, tol_phase, max_phases, checkpointer,
+            )
         verts = truncate_lineage(G.vertices(edges))
         m = G.mass(edges)
         labels = truncate_lineage(singleton_labels(edges))
@@ -303,3 +318,52 @@ def louvain(
             checkpointer.save_phase(n_phases, edges, flat, history, done)
 
     return LouvainRunResult(flat, float(Q_final), n_phases, total_sweeps, history)
+
+
+def _finish_local(
+    edges: DataFrame,
+    flat: DataFrame,
+    n_phases: int,
+    total_sweeps: int,
+    history: list[dict],
+    nbatches: int,
+    tol: float,
+    max_loops: int,
+    tol_phase: float,
+    max_phases: int,
+    checkpointer,
+) -> LouvainRunResult:
+    """Finish the dendrogram tail on the driver via the NumPy oracle
+    (identical schedule/semantics; see louvain(local_threshold=...))."""
+    from nido_spark.oracle import louvain_numpy
+
+    spark = edges.sparkSession
+    pdf = edges.toPandas()
+    res = louvain_numpy(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
+        nbatches=nbatches, tol=tol, max_loops=max_loops,
+        tol_phase=tol_phase, max_phases=max_phases - n_phases,
+    )
+    for h in res.history:
+        history.append({**h, "phase": h["phase"] + n_phases})
+    mapping = spark.createDataFrame(
+        list(res.labels.items()), "phase_v long, new_comm long"
+    )
+    flat = truncate_lineage(
+        flat.join(F.broadcast(mapping), flat["comm"] == mapping["phase_v"])
+        .select("v", F.col("new_comm").alias("comm"))
+    )
+    out = LouvainRunResult(
+        flat, res.modularity, n_phases + res.n_phases,
+        total_sweeps + res.total_sweeps, history,
+    )
+    if checkpointer is not None:
+        final_edges = spark.createDataFrame(
+            [
+                (int(s), int(d), float(w))
+                for s, d, w in zip(pdf["src"], pdf["dst"], pdf["w"])
+            ],
+            "src long, dst long, w double",
+        )
+        checkpointer.save_phase(out.n_phases, final_edges, flat, history, True)
+    return out

@@ -14,7 +14,7 @@ def test_checkpoint_roundtrip_and_resume(karate, tmp_path):
     root = str(tmp_path / "ckpt")
 
     # uninterrupted run with checkpointing
-    res = L.louvain(edges, nbatches=4, checkpointer=LouvainCheckpointer(root))
+    res = L.louvain(edges, nbatches=4, checkpointer=LouvainCheckpointer(root), local_threshold=0)
     man = json.load(open(os.path.join(root, "manifest.json")))
     assert man["done"] is True
     assert man["phase"] == res.n_phases
@@ -32,7 +32,7 @@ def test_checkpoint_roundtrip_and_resume(karate, tmp_path):
     man["history"] = [h for h in man["history"] if h["phase"] < 1]
     json.dump(man, open(os.path.join(root, "manifest.json"), "w"))
 
-    res2 = L.louvain(edges, nbatches=4, checkpointer=LouvainCheckpointer(root))
+    res2 = L.louvain(edges, nbatches=4, checkpointer=LouvainCheckpointer(root), local_threshold=0)
     assert res2.modularity == pytest.approx(res.modularity, abs=1e-9)
     lab1 = {r["v"]: r["comm"] for r in res.labels.collect()}
     lab2 = {r["v"]: r["comm"] for r in res2.labels.collect()}
@@ -48,7 +48,7 @@ def test_resume_cold_start_when_no_manifest(karate, tmp_path):
 def test_corrupt_checkpoint_detected(karate, tmp_path):
     edges, _ = karate
     root = str(tmp_path / "ckpt2")
-    L.louvain(edges, nbatches=2, checkpointer=LouvainCheckpointer(root))
+    L.louvain(edges, nbatches=2, checkpointer=LouvainCheckpointer(root), local_threshold=0)
     man = json.load(open(os.path.join(root, "manifest.json")))
     man["done"] = False
     json.dump(man, open(os.path.join(root, "manifest.json"), "w"))

@@ -57,7 +57,7 @@ def test_louvain_sweep_matches_oracle(karate, nbatches):
 @pytest.mark.parametrize("nbatches", [1, 2])
 def test_louvain_full_matches_oracle_karate(karate, nbatches):
     edges, (src, dst, w) = karate
-    res = L.louvain(edges, nbatches=nbatches)
+    res = L.louvain(edges, nbatches=nbatches, local_threshold=0)
     ref = O.louvain_numpy(src, dst, w, nbatches=nbatches)
     assert res.modularity == pytest.approx(ref.modularity, abs=1e-6)
     got = {r["v"]: r["comm"] for r in res.labels.collect()}
@@ -69,7 +69,7 @@ def test_louvain_quality_band_karate(karate):
     (fully synchronous) oscillates from the singleton start and rolls
     straight back — batching is the reference's quality defense."""
     edges, (src, dst, w) = karate
-    res = L.louvain(edges, nbatches=4)
+    res = L.louvain(edges, nbatches=4, local_threshold=0)
     ref = O.louvain_numpy(src, dst, w, nbatches=4)
     assert res.modularity == pytest.approx(ref.modularity, abs=1e-6)
     assert 0.35 < res.modularity < 0.43
@@ -85,7 +85,7 @@ def test_louvain_two_cliques_bridge(spark):
         [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
         "src long, dst long, w double",
     )
-    res = L.louvain(edges, nbatches=1)
+    res = L.louvain(edges, nbatches=1, local_threshold=0)
     got = {r["v"]: r["comm"] for r in res.labels.collect()}
     assert len(set(got.values())) == 2
     assert len({got[v] for v in range(5)}) == 1
@@ -152,8 +152,21 @@ def test_arrow_kernel_matches_sql_kernel(karate, nbatches):
 
 def test_arrow_kernel_full_louvain(karate):
     edges, (src, dst, w) = karate
-    res = L.louvain(edges, nbatches=4, kernel="arrow")
+    res = L.louvain(edges, nbatches=4, kernel="arrow", local_threshold=0)
     ref = O.louvain_numpy(src, dst, w, nbatches=4)
     assert res.modularity == pytest.approx(ref.modularity, abs=1e-6)
     got = {r["v"]: r["comm"] for r in res.labels.collect()}
     assert labels_equivalent(got, ref.labels)
+
+
+def test_hybrid_local_tail_matches_distributed(karate):
+    """louvain(local_threshold=N) must produce the same labels/Q as the
+    fully distributed run — the oracle implements the identical schedule."""
+    edges, (src, dst, w) = karate
+    dist = L.louvain(edges, nbatches=4, local_threshold=0)
+    hyb = L.louvain(edges, nbatches=4)  # karate is below the threshold
+    assert hyb.modularity == pytest.approx(dist.modularity, abs=1e-12)
+    d = {r["v"]: r["comm"] for r in dist.labels.collect()}
+    h = {r["v"]: r["comm"] for r in hyb.labels.collect()}
+    assert labels_equivalent(d, h)
+    assert hyb.n_phases == dist.n_phases and hyb.total_sweeps == dist.total_sweeps
