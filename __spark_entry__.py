@@ -95,6 +95,41 @@ def _q_degree_histogram(spark, sf):
     return G.degree_histogram(lineitem_edges(spark, sf))
 
 
+def _q_max_order(spark, sf):
+    n = G.max_order(lineitem_edges(spark, sf))
+    return spark.createDataFrame([(n,)], "max_order long")
+
+
+def _q_doc_ngram_profile(spark, sf):
+    return X.ngram_profile(_docs(spark, sf).where(F.col("doc_id") < 50), n=3)
+
+
+def _q_luby_coloring(spark, sf):
+    return A.luby_mis_coloring(lineitem_edges(spark, sf))
+
+
+def _q_media_stats(spark, sf):
+    from nido_spark.multimodal import media_stats, synth_media
+
+    return media_stats(synth_media(spark, 300, seed=42))
+
+
+def _q_media_headers(spark, sf):
+    from nido_spark.multimodal import parse_headers, synth_media
+
+    return parse_headers(synth_media(spark, 300, seed=42))
+
+
+def _q_media_features(spark, sf):
+    from nido_spark.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 300, seed=42))
+
+
+def _q_embedding_near_dups(spark, sf):
+    return S.near_duplicates(_emb(spark, sf), tau=0.3)
+
+
 def _q_singleton_modularity(spark, sf):
     edges = lineitem_edges(spark, sf)
     q = L.modularity(edges, L.singleton_labels(edges), G.mass(edges))
@@ -271,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_weighted_degree": _q_salted_weighted_degree,
         "max_weight": _q_max_weight,
         "mass": _q_mass,
+        "max_order": _q_max_order,
         "degree_histogram": _q_degree_histogram,
         # Louvain kernels (L0-L9, C4)
         "singleton_modularity": _q_singleton_modularity,
@@ -298,6 +334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "doc_ngram_profile": _q_doc_ngram_profile,
+        # scheduling / diagnostics
+        "luby_coloring": _q_luby_coloring,
+        # multimodal plumbing (synth media; decode is env-stubbed)
+        "media_stats": _q_media_stats,
+        "media_headers": _q_media_headers,
+        "media_features": _q_media_features,
     }
 
 
@@ -326,6 +370,24 @@ def oracle_sql() -> dict[str, str]:
     sql["max_weight"] = f"{_E} SELECT src AS v, MAX(w) AS max_w FROM e GROUP BY src"
 
     sql["mass"] = f"{_E} SELECT SUM(w) / 2.0 AS m FROM e"
+
+    sql["max_order"] = f"""{_E},
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src)
+SELECT MAX(deg) AS max_order FROM deg"""
+
+    sql["doc_ngram_profile"] = r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS txt FROM documents WHERE doc_id < 50
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(length(txt) - 2, 1)),
+           i -> substring(txt, CAST(i AS INT), 3))) AS ngram
+  FROM t
+)
+SELECT doc_id, ngram, COUNT(*) AS cnt
+FROM grams WHERE length(ngram) = 3 GROUP BY 1, 2"""
 
     sql["degree_histogram"] = f"""{_E},
 deg AS (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src)
