@@ -121,9 +121,15 @@ def _q_media_headers(spark, sf):
 
 
 def _q_media_features(spark, sf):
+    # posexplode the features array to scalar rows — every queries() output
+    # must be sortable/hashable by the driver canonicalizer (round-1 ERR:
+    # array<double> is unhashable), and scalars make a future oracle possible
     from nido_spark.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 300, seed=42))
+    feats = extract_features(synth_media(spark, 300, seed=42))
+    return feats.select(
+        "media_id", "kind", F.posexplode("features").alias("idx", "value")
+    ).select("media_id", "kind", "idx", F.round("value", 9).alias("value"))
 
 
 def _q_embedding_near_dups(spark, sf):

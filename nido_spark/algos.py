@@ -82,6 +82,21 @@ def _pagerank_step_frac(
     )
 
 
+def _pagerank_vertices(edges: DataFrame) -> DataFrame:
+    """(v, k): every endpoint (src UNION dst) with its out-weight; pure-sink
+    vertices (dst-only in a one-directional input) get k=0, matching the
+    oracle's vertex set (oracle.pagerank_numpy uses the union index too)."""
+    out_k = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("k"))
+    all_v = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    return all_v.join(out_k, "v", "left").select(
+        "v", F.coalesce("k", F.lit(0.0)).alias("k")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -91,9 +106,12 @@ def pagerank(
 ) -> DataFrame:
     """Weighted PageRank to tolerance/iteration cap; returns (v, r).
 
-    The canonical edge table is symmetric so no dangling vertices exist, but
-    dangling mass (k=0) is handled for one-directional inputs too."""
-    verts = truncate_lineage(G.vertices(edges))
+    The vertex set is src UNION dst, so one-directional inputs with pure-sink
+    vertices are handled (k=0 -> dangling mass redistributed uniformly); on
+    the canonical symmetric table the union adds nothing. With ``tol <= 0``
+    the L1-delta convergence job is skipped entirely — each iteration is then
+    exactly one V-row join + one E-row aggregation."""
+    verts = truncate_lineage(_pagerank_vertices(edges))
     n = verts.count()
     if n == 0:
         return verts.select("v", F.lit(0.0).alias("r"))
@@ -121,14 +139,19 @@ def pagerank(
         new_ranks = _pagerank_step_frac(edges_frac, ranks, verts, n, damping, dm)
         if (i + 1) % checkpoint_every == 0 or i == max_iters - 1:
             new_ranks = truncate_lineage(new_ranks)
-            delta = (
-                new_ranks.join(ranks.withColumnRenamed("r", "r_old"), "v")
-                .agg(F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("d"))
-                .first()["d"]
-            )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
+            # tol <= 0 means "run exactly max_iters" — skip the V-row
+            # delta join+agg job entirely (it cannot trigger a break)
+            if tol > 0 and i < max_iters - 1:
+                delta = (
+                    new_ranks.join(ranks.withColumnRenamed("r", "r_old"), "v")
+                    .agg(F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("d"))
+                    .first()["d"]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
         else:
             ranks = new_ranks
     edges_frac.unpersist()
@@ -305,24 +328,54 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 64) -> DataFrame:
-    """(v, color) greedy Luby coloring: repeatedly take the MIS of the
-    remaining graph (vertex wins if its hash-priority beats every remaining
-    neighbor's), assign it the next color. Deterministic via xxhash64(v,
-    seed, round). O(log V) expected rounds per color."""
+def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 100_000) -> DataFrame:
+    """(v, color) proper vertex coloring: every vertex gets exactly one color
+    and no edge joins two same-colored vertices.
+
+    Fixed-priority parallel peeling (Jones & Plassmann 1993, a public
+    refinement of the reference's Luby-MIS loop, graph.cpp:548-694): each
+    vertex gets ONE deterministic priority ``(degree, xxhash64(v, seed))``;
+    in round r, every remaining vertex whose priority beats all remaining
+    neighbors is colored r and removed. Adjacent vertices can never fall in
+    the same round, so color = round index is proper. The degree-major
+    ordering (Welsh-Powell) makes hub vertices color FIRST: on hub-skewed
+    bipartite graphs the whole peel finishes in a handful of rounds instead
+    of walking a ~hundred-deep decreasing-hash path, and unlike the round-1
+    rendering (fresh hash per round, hard 64-color cap) the loop runs to
+    EMPTY — every vertex is always colored. ``max_colors`` is only a safety
+    valve (raises, never truncates)."""
+    spark = edges.sparkSession
+    # priority = degree-major, hash-minor, packed into one long:
+    # (min(deg, 2^18-1) << 44) | (hash mod 2^44)  — strict total order via
+    # the (p, v) tie-break below; stays under 2^63 (ANSI-safe)
+    deg = edges.where(F.col("src") != F.col("dst")).groupBy(
+        F.col("src").alias("v")
+    ).agg(F.count(F.lit(1)).alias("deg"))
     remaining = truncate_lineage(
         edges.select(F.col("src").alias("v")).distinct()
-    )
-    live_edges = truncate_lineage(edges.where(F.col("src") != F.col("dst")))
-    colored = None
-    for color in range(max_colors):
-        if remaining.limit(1).count() == 0:
-            break
-        prio = remaining.select(
-            "v", F.xxhash64(F.col("v"), F.lit(seed), F.lit(color)).alias("p")
+        .join(deg, "v", "left")
+        .select(
+            "v",
+            (
+                F.least(F.coalesce("deg", F.lit(0)), F.lit((1 << 18) - 1))
+                * F.lit(1 << 44)
+                + F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(1 << 44))
+            ).alias("p"),
         )
-        p_src = prio.select(F.col("v").alias("src"), F.col("p").alias("p_src"))
-        p_dst = prio.select(F.col("v").alias("dst"), F.col("p").alias("p_dst"))
+    )
+    live_edges = truncate_lineage(
+        edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    )
+    parts: list[DataFrame] = []
+    color = 0
+    while remaining.limit(1).count() > 0:
+        if color >= max_colors:
+            raise RuntimeError(
+                f"luby_mis_coloring: safety cap of {max_colors} rounds hit "
+                f"with vertices still uncolored — raise max_colors"
+            )
+        p_src = remaining.select(F.col("v").alias("src"), F.col("p").alias("p_src"))
+        p_dst = remaining.select(F.col("v").alias("dst"), F.col("p").alias("p_dst"))
         nbr_best = (
             live_edges.join(p_src, "src").join(p_dst, "dst")
             .groupBy(F.col("src").alias("v"))
@@ -330,19 +383,28 @@ def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 64) ->
             .select("v", F.col("best.p_dst").alias("nbr_p"), F.col("best.dst").alias("nbr_v"))
         )
         mis = (
-            prio.join(nbr_best, "v", "left")
+            remaining.join(nbr_best, "v", "left")
             .where(
                 F.col("nbr_p").isNull()
                 | (F.col("p") > F.col("nbr_p"))
                 | ((F.col("p") == F.col("nbr_p")) & (F.col("v") > F.col("nbr_v")))
             )
-            .select("v", F.lit(color).alias("color"))
+            .select("v", F.lit(color).cast("int").alias("color"))
         )
-        mis = truncate_lineage(mis)
-        colored = mis if colored is None else colored.unionByName(mis)
-        remaining = truncate_lineage(remaining.join(mis, "v", "left_anti"))
+        mis = truncate_lineage(mis)  # eager: consumed by 3 downstream plans
+        parts.append(mis)
+        remaining = truncate_lineage(
+            remaining.join(mis, "v", "left_anti"), eager=False
+        )
         live_edges = truncate_lineage(
             live_edges.join(mis.select(F.col("v").alias("src")), "src", "left_anti")
-            .join(mis.select(F.col("v").alias("dst")), "dst", "left_anti")
+            .join(mis.select(F.col("v").alias("dst")), "dst", "left_anti"),
+            eager=False,
         )
-    return colored
+        color += 1
+    if not parts:
+        return spark.createDataFrame([], "v long, color int")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

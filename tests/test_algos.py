@@ -110,3 +110,42 @@ def test_luby_coloring_is_proper(karate):
         .count()
     )
     assert conflicts == 0
+
+
+def test_luby_coloring_complete_and_proper_hub_graph(spark):
+    """Round-1 regression: hub-skewed bipartite graph (the shape that blew
+    past the old 64-color cap and silently dropped vertices). Every vertex
+    must be colored exactly once, coloring must be proper, and a single
+    edgeless input must yield one color (the empty-edges path returns an
+    empty DataFrame, not None)."""
+    from nido_spark.graph import normalize_edges
+
+    # 40 hubs x 400 leaves, each leaf attached to several hubs (id-arith
+    # deterministic) — hub degree ~50, plus a hub clique for hard conflicts
+    pairs = [(h, 1000 + l) for l in range(400) for h in (l % 40, (l * 7) % 40, (l * 13) % 40)]
+    pairs += [(a, b) for a in range(40) for b in range(a + 1, 40) if (a + b) % 3 == 0]
+    edges = normalize_edges(
+        spark.createDataFrame([(a, b, 1.0) for a, b in sorted(set(pairs))],
+                              "src long, dst long, w double")
+    ).cache()
+    nv = edges.select("src").distinct().count()
+    colors = A.luby_mis_coloring(edges)
+    rows = colors.collect()
+    assert len(rows) == nv  # complete: every vertex colored exactly once
+    got = {r["v"]: r["color"] for r in rows}
+    assert len(got) == nv
+    lab = spark.createDataFrame(list(got.items()), "v long, color long")
+    conflicts = (
+        edges.where(F.col("src") < F.col("dst"))
+        .join(lab.select(F.col("v").alias("src"), F.col("color").alias("c1")), "src")
+        .join(lab.select(F.col("v").alias("dst"), F.col("color").alias("c2")), "dst")
+        .where(F.col("c1") == F.col("c2"))
+        .count()
+    )
+    assert conflicts == 0
+
+    empty = A.luby_mis_coloring(
+        spark.createDataFrame([], "src long, dst long, w double")
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["v", "color"]
