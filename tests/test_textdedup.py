@@ -151,3 +151,47 @@ def test_lsh_ann_recall(emb):
     a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4  # 8 bands of 2 bits -> high recall on 500 vecs
+
+
+def test_topk_plan_has_no_corpus_collect_list(emb):
+    """VERDICT r1 item 4 regression: the top-k tail must be windowed
+    row_number, never a collect_list over the whole corpus per query."""
+    plan = S.cosine_topk(emb, emb.limit(3), k=5)._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+    plan2 = S.lsh_ann_topk(emb, emb.limit(3), k=5)._jdf.queryExecution().toString()
+    assert "collect_list" not in plan2
+
+
+def test_fuzzy_dedup_transitive_clusters(spark):
+    """A~B and B~C near-dups (A!~C below threshold is fine) must collapse to
+    ONE cluster with the smallest doc_id surviving; untouched docs survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    b = base.replace("lazy", "sleepy", 1)
+    c = b.replace("quick", "rapid", 1)
+    df = spark.createDataFrame(
+        [(10, base), (11, b), (12, c), (20, "entirely unrelated content " * 10)],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_dedup(df, threshold=0.5)
+    clusters = {r["doc_id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+    assert clusters == {10: 10, 11: 10, 12: 10}
+    kept = sorted(r["doc_id"] for r in D.fuzzy_dedup(df, threshold=0.5).collect())
+    assert kept == [10, 20]
+
+
+def test_lsh_degenerate_bucket_cap(spark):
+    """1k near-identical short docs collapse into one band bucket; with the
+    cap the self-join is bounded (bucket dropped), without it the pair count
+    is quadratic. Also: capped run completes and exact-dedup-first removes
+    the pathology entirely."""
+    rows = [(i, "spam spam spam spam spam") for i in range(1000)]
+    rows.append((5000, "totally different and unique text right here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df)
+    capped = D.lsh_candidate_pairs(sigs, max_bucket_size=100)
+    assert capped.count() == 0  # degenerate bucket dropped, bounded work
+    # the intended pipeline: exact dedup first leaves nothing degenerate
+    survivors = D.exact_dedup(df)
+    assert survivors.count() == 2
+    pairs = D.minhash_dedup(survivors, threshold=0.5)
+    assert pairs.count() == 0
