@@ -5,10 +5,14 @@
 ``queries()``        — one entry per implemented operator (SURVEY.md §2 +
                        training-data ops); each callable: (spark, sf_dir) ->
                        DataFrame.
-``oracle_sql()``     — DuckDB-equivalent SQL per query where expressible;
-                       iterative fixpoints (full Louvain/PageRank/CC/LPA,
-                       MinHash-LSH) are rows-only checked by the driver and
-                       pinned instead by NumPy oracles in pytest
+``oracle_sql()``     — DuckDB-equivalent SQL per query where expressible.
+                       Round 2 extends coverage to the LSH family (seeded
+                       hyperplanes embedded as SQL literals), fuzzy dedup
+                       (exhaustive Jaccard + recursive-CTE components) and
+                       the transcript derivation (fixture as VALUES, same
+                       seeded generator). Iterative fixpoints (full Louvain/
+                       PageRank/CC/LPA) remain rows-only in the driver and
+                       are pinned by NumPy oracles in pytest
                        (tests/test_louvain.py, tests/test_algos.py).
 
 Float-valued queries round to 9 decimals on BOTH sides: Spark and DuckDB
@@ -111,7 +115,12 @@ def _q_luby_coloring(spark, sf):
 def _q_media_stats(spark, sf):
     from nido_spark.multimodal import media_stats, synth_media
 
-    return media_stats(synth_media(spark, 300, seed=42))
+    return media_stats(synth_media(spark, 300, seed=42)).select(
+        "kind",
+        "n",
+        F.round("avg_width", 9).alias("avg_width"),
+        F.round("avg_duration_ms", 9).alias("avg_duration_ms"),
+    )
 
 
 def _q_media_headers(spark, sf):
@@ -133,7 +142,13 @@ def _q_media_features(spark, sf):
 
 
 def _q_embedding_near_dups(spark, sf):
-    return S.near_duplicates(_emb(spark, sf), tau=0.3)
+    return S.near_duplicates(_emb(spark, sf), tau=0.3).select(
+        "a", "b", F.round("cos", 6).alias("cos")
+    )
+
+
+def _q_fuzzy_dedup_survivors(spark, sf):
+    return D.fuzzy_dedup(_docs(spark, sf), threshold=0.6).select("doc_id")
 
 
 def _q_singleton_modularity(spark, sf):
@@ -258,7 +273,8 @@ def _q_louvain_full(spark, sf):
 
 
 def _q_pagerank_full(spark, sf):
-    return A.pagerank(lineitem_edges(spark, sf), max_iters=15).select(
+    # tol=0.0: exactly 15 iterations, matching the unrolled SQL oracle
+    return A.pagerank(lineitem_edges(spark, sf), max_iters=15, tol=0.0).select(
         "v", F.round("r", 9).alias("r")
     )
 
@@ -337,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_exact_dups": _q_doc_exact_dups,
         "minhash_near_dups": _q_minhash_near_dups,
+        "fuzzy_dedup_survivors": _q_fuzzy_dedup_survivors,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -356,6 +373,167 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in X.STOPWORDS) + "]"
+
+# exact char-5-gram Jaccard pairs over the full documents table — the
+# independent rendering of the MinHash-LSH + verify pipeline. The LSH is a
+# candidate generator with measured recall ~1 at these (bands, rows) for the
+# verify threshold (miss prob (1-J^4)^8 < 1e-4 at J >= 0.9, the planted-dup
+# band); equality against the exhaustive SQL IS the recall check.
+_JACCARD_PAIRS_CTE = """
+t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, substring(txt, CAST(i AS INT), 5) AS g
+  FROM t, LATERAL unnest(generate_series(1, GREATEST(length(txt) - 4, 0))) AS u(i)
+  WHERE length(txt) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS isz
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT a, b, isz * 1.0 / (sa.sz + sb.sz - isz) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+  JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE isz * 1.0 / (sa.sz + sb.sz - isz) >= 0.6
+)"""
+
+
+def _lsh_cte(n_bands: int, rows_per_band: int) -> str:
+    """Shared CTE replicating similarity.signature_col + banding in SQL: the
+    seeded hyperplanes are embedded as full-precision literals, so DuckDB
+    computes the SAME signatures/buckets (sign of a double dot product) and
+    the LSH queries get full value-level oracles instead of rows-only."""
+    planes = S._hyperplanes(64, 16, seed=42)
+    plane_rows = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}]::DOUBLE[])"
+        for j in range(16)
+    )
+    bands = ",".join(f"({b})" for b in range(n_bands))
+    mask = (1 << rows_per_band) - 1
+    return f"""
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(j, p) AS (VALUES {plane_rows}),
+sig AS (
+  SELECT ev.vec_id,
+         SUM(CASE WHEN list_inner_product(ev.v, planes.p) > 0
+                  THEN (1::BIGINT << planes.j) ELSE 0 END) AS s
+  FROM ev CROSS JOIN planes GROUP BY ev.vec_id
+),
+bands(band) AS (VALUES {bands}),
+banded AS (
+  SELECT vec_id, band, (s >> (band * {rows_per_band})) & {mask} AS key
+  FROM sig CROSS JOIN bands
+)"""
+
+
+def _pagerank_full_sql(iters: int = 15) -> str:
+    """The 15-iteration PageRank fixpoint unrolled as chained CTEs — each
+    iteration is the same join+agg the Spark loop runs, so the ROUND(,9)
+    comparison checks the whole trajectory, not just one step."""
+    parts = [
+        f"""{_E},
+k AS MATERIALIZED (SELECT src AS v, SUM(w) AS k FROM e GROUP BY src),
+n AS MATERIALIZED (SELECT COUNT(*) AS c FROM k),
+ef AS MATERIALIZED (SELECT e.src, e.dst, e.w / k.k AS frac FROM e JOIN k ON e.src = k.v),
+r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT c FROM n) AS r FROM k)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+c{i} AS MATERIALIZED (SELECT ef.dst AS v, SUM(r{i}.r * ef.frac) AS contrib
+         FROM ef JOIN r{i} ON ef.src = r{i}.v GROUP BY ef.dst),
+r{i + 1} AS MATERIALIZED (SELECT k.v, 0.15 / (SELECT c FROM n) + 0.85 * COALESCE(c{i}.contrib, 0) AS r
+           FROM k LEFT JOIN c{i} ON k.v = c{i}.v)""")
+    parts.append(f"\nSELECT v, ROUND(r, 9) AS r FROM r{iters}")
+    return "".join(parts)
+
+
+def _cc_full_sql(rounds: int = 12) -> str:
+    """Min-label propagation unrolled past the fixpoint (idempotent once
+    converged; the lineitem graph's diameter is ~6, 12 rounds is safely
+    past it, and extra rounds are exact no-ops)."""
+    parts = [
+        f"""{_E},
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comm FROM e)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+nb{i} AS MATERIALIZED (SELECT e.dst AS v, MIN(l{i}.comm) AS mn
+          FROM e JOIN l{i} ON e.src = l{i}.v GROUP BY e.dst),
+l{i + 1} AS MATERIALIZED (SELECT l{i}.v, LEAST(l{i}.comm, COALESCE(nb{i}.mn, l{i}.comm)) AS comm
+           FROM l{i} LEFT JOIN nb{i} USING (v))"""
+        )
+    parts.append(f"\nSELECT v, comm FROM l{rounds}")
+    return "".join(parts)
+
+
+def _lpa_full_sql(nbatches: int = 4, max_iters: int = 8) -> str:
+    """Batched LPA unrolled: max_iters sweeps x nbatches batch updates, the
+    exact schedule of algos.label_propagation (early sweep-stop in Spark is
+    a fixpoint, where extra unrolled sweeps are no-ops). Vote weights are
+    integer-valued doubles, so the argmax ties resolve identically."""
+    parts = [
+        f"""{_E},
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comm FROM e)"""
+    ]
+    t = 0
+    for _ in range(max_iters):
+        for b in range(nbatches):
+            parts.append(f""",
+v{t} AS MATERIALIZED (SELECT e.src, l{t}.comm AS dst_comm, SUM(e.w) AS wsum
+         FROM e JOIN l{t} ON e.dst = l{t}.v
+         WHERE e.src % {nbatches} = {b} AND e.src <> e.dst
+         GROUP BY 1, 2 HAVING SUM(e.w) > 0),
+w{t} AS MATERIALIZED (SELECT src, dst_comm,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY wsum DESC, dst_comm ASC) AS rn
+         FROM v{t}),
+l{t + 1} AS MATERIALIZED (SELECT l{t}.v, COALESCE(w{t}.dst_comm, l{t}.comm) AS comm
+           FROM l{t} LEFT JOIN w{t} ON l{t}.v = w{t}.src AND w{t}.rn = 1)"""
+            )
+            t += 1
+    parts.append(f"\nSELECT v, comm FROM l{t}")
+    return "".join(parts)
+
+
+def _media_values_sql(with_payload: bool) -> str:
+    """The synth-media fixture (300 rows, seed 42) as a VALUES literal —
+    metadata only, or with the payload as a hex string for the header-parse
+    and byte-statistics oracles."""
+    from nido_spark.multimodal import synth_media_pandas
+
+    pdf = synth_media_pandas(300, seed=42)
+
+    def lit(x):
+        import pandas as pd
+
+        return "NULL" if pd.isna(x) else str(int(x))
+
+    if with_payload:
+        return ",".join(
+            f"({r.media_id},'{r.kind}','{r.payload.hex().upper()}')"
+            for r in pdf.itertuples()
+        )
+    return ",".join(
+        f"({r.media_id},'{r.kind}',{lit(r.width)},{lit(r.height)},{lit(r.duration_ms)})"
+        for r in pdf.itertuples()
+    )
+
+
+def _transcript_values_sql() -> str:
+    """The synth-transcript fixture as a VALUES literal (driver-side pandas
+    rendering of the same seeded generator the Spark query runs), so the
+    window+groupBy+dense-id DERIVATION is value-checked in DuckDB."""
+    from nido_spark.io import synth_transcripts_pandas
+
+    pdf = synth_transcripts_pandas(500, seed=42)[["conv_id", "turn_idx", "role", "tool"]]
+    return ",".join(
+        f"('{r.conv_id}',{r.turn_idx},'{r.role}',"
+        + ("NULL" if r.tool is None else f"'{r.tool}'")
+        + ")"
+        for r in pdf.itertuples()
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -587,5 +765,133 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    sql["minhash_near_dups"] = f"""
+WITH {_JACCARD_PAIRS_CTE}
+SELECT a, b, ROUND(jaccard, 9) AS jaccard FROM jpairs"""
+
+    sql["fuzzy_dedup_survivors"] = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+und AS (SELECT a, b FROM jpairs UNION SELECT b AS a, a AS b FROM jpairs),
+reach(v, r) AS (
+  SELECT a AS v, b AS r FROM und
+  UNION
+  SELECT reach.v, und.b FROM reach JOIN und ON und.a = reach.r
+),
+losers AS (SELECT DISTINCT v AS doc_id FROM reach WHERE r < v)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
+
+    sql["ann_lsh_topk"] = f"""
+WITH {_lsh_cte(n_bands=8, rows_per_band=2)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+  FROM banded q JOIN banded c USING (band, key)
+  WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.nbr_id, list_cosine_similarity(eq.v, ec.v) AS cos
+  FROM cand
+  JOIN ev eq ON cand.query_id = eq.vec_id
+  JOIN ev ec ON cand.nbr_id = ec.vec_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
+FROM ranked WHERE rank <= 5"""
+
+    sql["embedding_near_dups"] = f"""
+WITH {_lsh_cte(n_bands=4, rows_per_band=4)},
+pairs AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM banded l JOIN banded r USING (band, key)
+  WHERE l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT pairs.a, pairs.b, list_cosine_similarity(ea.v, eb.v) AS cos
+  FROM pairs
+  JOIN ev ea ON pairs.a = ea.vec_id
+  JOIN ev eb ON pairs.b = eb.vec_id
+)
+SELECT a, b, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.3"""
+
+    sql["transcript_edges"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+actor AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN role = 'tool' THEN 'tool:' || tool
+              ELSE conv_id || ':' || role END AS a
+  FROM tr
+),
+adj0 AS (
+  SELECT a, lead(a) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b FROM actor
+),
+adj AS (
+  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM adj0 WHERE b IS NOT NULL GROUP BY 1, 2
+),
+ct AS (
+  SELECT 'conv:' || conv_id AS a, 'tool:' || tool AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM tr WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+se AS (
+  SELECT a, b, SUM(w) AS w
+  FROM (SELECT * FROM adj UNION ALL SELECT * FROM ct) GROUP BY 1, 2
+),
+names AS (SELECT DISTINCT name FROM (SELECT a AS name FROM se UNION SELECT b AS name FROM se)),
+vmap AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS v FROM names),
+e1 AS (
+  SELECT va.v AS src, vb.v AS dst, se.w
+  FROM se JOIN vmap va ON se.a = va.name JOIN vmap vb ON se.b = vb.name
+)
+SELECT src, dst, SUM(w) AS w
+FROM (SELECT src, dst, w FROM e1
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst)
+WHERE w > 0 GROUP BY 1, 2"""
+
+    sql["pagerank_full"] = _pagerank_full_sql(iters=15)
+    sql["cc_full"] = _cc_full_sql(rounds=12)
+    sql["lpa_full"] = _lpa_full_sql(nbatches=4, max_iters=8)
+
+    sql["media_stats"] = f"""
+WITH m(media_id, kind, width, height, duration_ms) AS (VALUES {_media_values_sql(False)})
+SELECT kind, COUNT(*) AS n,
+       ROUND(SUM(width)::DOUBLE / COUNT(width), 9) AS avg_width,
+       ROUND(SUM(duration_ms)::DOUBLE / COUNT(duration_ms), 9) AS avg_duration_ms
+FROM m GROUP BY kind"""
+
+    sql["media_headers"] = f"""
+WITH m(media_id, kind, hx) AS (VALUES {_media_values_sql(True)})
+SELECT media_id, kind,
+       substring(hx, 1, 8) = '4E49444F' AS header_valid,
+       ('0x' || substring(hx, 9, 8))::INT AS hdr_width,
+       ('0x' || substring(hx, 17, 8))::INT AS hdr_height,
+       ('0x' || substring(hx, 25, 8))::INT AS hdr_duration_ms,
+       (length(hx) / 2)::BIGINT AS payload_bytes
+FROM m"""
+
+    sql["media_features"] = f"""
+WITH m(media_id, kind, hx) AS (VALUES {_media_values_sql(True)}),
+b AS (
+  SELECT media_id, kind, u.i,
+         ('0x' || substring(hx, 33 + (u.i - 1) * 2, 2))::BIGINT AS byte,
+         (length(hx) / 2 - 16)::BIGINT AS n
+  FROM m, LATERAL unnest(generate_series(1, CAST(length(hx) / 2 - 16 AS BIGINT))) AS u(i)
+),
+f AS (
+  SELECT media_id, kind,
+         [SUM(byte)::DOUBLE / COUNT(*),
+          SUM(byte * byte)::DOUBLE / COUNT(*),
+          MIN(byte)::DOUBLE, MAX(byte)::DOUBLE, COUNT(*)::DOUBLE,
+          SUM(CASE WHEN i <= 32 THEN byte END)::DOUBLE / LEAST(32, COUNT(*)),
+          SUM(CASE WHEN i > n - 32 THEN byte END)::DOUBLE / LEAST(32, COUNT(*)),
+          SUM(CASE WHEN byte > 127 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)] AS feats
+  FROM b GROUP BY media_id, kind
+)
+SELECT media_id, kind, (u.i - 1)::INT AS idx, ROUND(feats[u.i], 9) AS value
+FROM f, LATERAL unnest(generate_series(1, 8)) AS u(i)"""
 
     return sql

@@ -73,51 +73,7 @@ def synth_transcripts(
 
     def gen(batches):
         for pdf in batches:
-            out = []
-            for conv_idx in pdf["id"].to_numpy():
-                rng = np.random.default_rng([seed, int(conv_idx)])
-                n_turns = int(min(3 + rng.geometric(0.15), 64))
-                conv_id = f"conv_{conv_idx:08d}"
-                rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": []}
-                turn = 0
-                while turn < n_turns:
-                    # user / assistant alternation; a tool turn (inserted
-                    # below) is followed by another assistant turn.
-                    prev = rows["role"][-1] if rows["role"] else None
-                    if prev is None or prev == "assistant":
-                        role = "user"
-                    elif prev == "tool":
-                        role = "assistant"
-                    else:
-                        role = "assistant"
-                    rows["conv_id"].append(conv_id)
-                    rows["turn_idx"].append(turn)
-                    rows["role"].append(role)
-                    rows["text"].append(f"{conv_id}:t{turn}:{role}:" + format(rng.integers(0, 2**32), "08x"))
-                    rows["tool"].append(None)
-                    turn += 1
-                    if role == "assistant" and turn < n_turns and rng.random() < 0.30:
-                        tool = _TOOLS[min(int(rng.zipf(1.5)) - 1, 49)]
-                        rows["conv_id"].append(conv_id)
-                        rows["turn_idx"].append(turn)
-                        rows["role"].append("tool")
-                        rows["text"].append(f"{conv_id}:t{turn}:tool:{tool}")
-                        rows["tool"].append(tool)
-                        turn += 1
-                n = len(rows["conv_id"])
-                ts = _BASE_EPOCH + (int(conv_idx) % 86_400) * 60 + np.arange(n) * 7
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": rows["conv_id"],
-                            "turn_idx": np.array(rows["turn_idx"], dtype="int32"),
-                            "role": rows["role"],
-                            "text": rows["text"],
-                            "tool": rows["tool"],
-                            "ts": pd.to_datetime(ts, unit="s"),
-                        }
-                    )
-                )
+            out = [_synth_conv_pdf(int(c), seed) for c in pdf["id"].to_numpy()]
             yield pd.concat(out) if out else pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in TRANSCRIPT_SCHEMA}
             )
@@ -125,6 +81,63 @@ def synth_transcripts(
     return (
         spark.range(0, n_convs, numPartitions=partitions)
         .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
+def _synth_conv_pdf(conv_idx: int, seed: int) -> pd.DataFrame:
+    """One conversation's rows, deterministic in (seed, conv_idx) — shared by
+    the distributed generator above and the driver-side oracle rendering
+    (synth_transcripts_pandas), so both produce identical tables."""
+    rng = np.random.default_rng([seed, int(conv_idx)])
+    n_turns = int(min(3 + rng.geometric(0.15), 64))
+    conv_id = f"conv_{conv_idx:08d}"
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": []}
+    turn = 0
+    while turn < n_turns:
+        # user / assistant alternation; a tool turn (inserted below) is
+        # followed by another assistant turn.
+        prev = rows["role"][-1] if rows["role"] else None
+        if prev is None or prev == "assistant":
+            role = "user"
+        elif prev == "tool":
+            role = "assistant"
+        else:
+            role = "assistant"
+        rows["conv_id"].append(conv_id)
+        rows["turn_idx"].append(turn)
+        rows["role"].append(role)
+        rows["text"].append(f"{conv_id}:t{turn}:{role}:" + format(rng.integers(0, 2**32), "08x"))
+        rows["tool"].append(None)
+        turn += 1
+        if role == "assistant" and turn < n_turns and rng.random() < 0.30:
+            tool = _TOOLS[min(int(rng.zipf(1.5)) - 1, 49)]
+            rows["conv_id"].append(conv_id)
+            rows["turn_idx"].append(turn)
+            rows["role"].append("tool")
+            rows["text"].append(f"{conv_id}:t{turn}:tool:{tool}")
+            rows["tool"].append(tool)
+            turn += 1
+    n = len(rows["conv_id"])
+    ts = _BASE_EPOCH + (int(conv_idx) % 86_400) * 60 + np.arange(n) * 7
+    return pd.DataFrame(
+        {
+            "conv_id": rows["conv_id"],
+            "turn_idx": np.array(rows["turn_idx"], dtype="int32"),
+            "role": rows["role"],
+            "text": rows["text"],
+            "tool": rows["tool"],
+            "ts": pd.to_datetime(ts, unit="s"),
+        }
+    )
+
+
+def synth_transcripts_pandas(n_convs: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side rendering of synth_transcripts (identical rows, no Spark)
+    — used to embed the fixture as a VALUES literal in DuckDB oracle SQL so
+    the transcript->edges DERIVATION is value-checked against an independent
+    engine."""
+    return pd.concat(
+        [_synth_conv_pdf(i, seed) for i in range(n_convs)], ignore_index=True
     )
 
 

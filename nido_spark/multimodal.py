@@ -36,6 +36,26 @@ MEDIA_SCHEMA = T.StructType(
 _MAGIC = b"NIDO"
 
 
+def _synth_media_row(i: int, seed: int) -> tuple:
+    """One deterministic media row from (seed, media_id) — shared by the
+    distributed generator and the driver-side oracle rendering."""
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+    rng = np.random.default_rng([seed, int(i)])
+    kind = kinds[int(i) % 3]
+    w = int(rng.integers(16, 512)) if kind != "audio" else None
+    h = int(rng.integers(16, 512)) if kind != "audio" else None
+    dur = int(rng.integers(100, 60_000)) if kind != "image" else None
+    header = (
+        _MAGIC
+        + int(w or 0).to_bytes(4, "big")
+        + int(h or 0).to_bytes(4, "big")
+        + int(dur or 0).to_bytes(4, "big")
+    )
+    body = rng.integers(0, 256, size=int(rng.integers(64, 1024)), dtype=np.uint8).tobytes()
+    return (int(i), kind, mimes[kind], w, h, dur, header + body)
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
     """Deterministic fake media table: payload = 4-byte magic + 12-byte
     header (w, h, duration) + pseudorandom body. Lets every pipeline stage
@@ -44,29 +64,23 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int | N
         partitions = max(spark.sparkContext.defaultParallelism, 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = ["image", "audio", "video"]
-        mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
         for pdf in batches:
-            rows = []
-            for i in pdf["id"].to_numpy():
-                rng = np.random.default_rng([seed, int(i)])
-                kind = kinds[int(i) % 3]
-                w = int(rng.integers(16, 512)) if kind != "audio" else None
-                h = int(rng.integers(16, 512)) if kind != "audio" else None
-                dur = int(rng.integers(100, 60_000)) if kind != "image" else None
-                header = (
-                    _MAGIC
-                    + int(w or 0).to_bytes(4, "big")
-                    + int(h or 0).to_bytes(4, "big")
-                    + int(dur or 0).to_bytes(4, "big")
-                )
-                body = rng.integers(0, 256, size=int(rng.integers(64, 1024)), dtype=np.uint8).tobytes()
-                rows.append((int(i), kind, mimes[kind], w, h, dur, header + body))
+            rows = [_synth_media_row(int(i), seed) for i in pdf["id"].to_numpy()]
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "mime", "width", "height", "duration_ms", "payload"]
             )
 
     return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_media_pandas(n: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side rendering of synth_media (identical rows, no Spark) —
+    lets the oracle SQL embed the fixture as VALUES and independently
+    re-derive header parses / feature statistics in DuckDB."""
+    return pd.DataFrame(
+        [_synth_media_row(i, seed) for i in range(n)],
+        columns=["media_id", "kind", "mime", "width", "height", "duration_ms", "payload"],
+    )
 
 
 def media_stats(media: DataFrame) -> DataFrame:
@@ -111,15 +125,25 @@ def set_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
 
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic decode stand-in: 8 features from byte statistics.
-    A real deployment replaces this via set_decoder (PIL/ffmpeg)."""
+    A real deployment replaces this via set_decoder (PIL/ffmpeg).
+
+    Every feature is an exact-integer sum divided by an exact-integer count
+    (no incremental mean/variance), so any engine recomputing it from the
+    same bytes produces bit-identical doubles — that is what lets the
+    driver's DuckDB oracle value-check the full mapInPandas pipeline."""
     arr = np.frombuffer(payload[16:], dtype=np.uint8).astype(np.float64)
     if len(arr) == 0:
         return np.zeros(8)
+    n = float(len(arr))
+    head = min(32, len(arr))
     return np.array(
         [
-            arr.mean(), arr.std(), arr.min(), arr.max(),
-            float(len(arr)), arr[:32].mean(), arr[-32:].mean(),
-            float(np.count_nonzero(arr > 127)) / len(arr),
+            arr.sum() / n,                      # mean (exact int sum / n)
+            (arr * arr).sum() / n,              # mean of squares
+            arr.min(), arr.max(), n,
+            arr[:32].sum() / head,              # head mean
+            arr[-32:].sum() / head,             # tail mean
+            float(np.count_nonzero(arr > 127)) / n,
         ]
     )
 
