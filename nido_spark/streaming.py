@@ -7,31 +7,42 @@ is the Spark-native extension for continuously arriving transcripts:
                              source with the same schema).
 - ``streaming_turn_counts``— watermarked windowed per-role turn counts
                              (operational monitoring of the ingest).
+- ``stateful_transcript_edges`` — per-conversation stateful turn reassembly
+                             (``applyInPandasWithState`` keyed by conv_id):
+                             emits role-adjacency and conv->tool edge
+                             increments with the SAME semantics as the batch
+                             derivation even when a conversation is split
+                             MID-stream across micro-batches — the state
+                             carries the last seen turn per conversation.
 - ``incremental_edges``    — foreachBatch loop that maintains a persistent
-                             edge table: per micro-batch, derive the batch's
-                             string edges and MERGE them into a parquet
-                             accumulator (read+union+groupBy+overwrite-next;
-                             with Delta/Iceberg on the classpath this becomes
-                             a real MERGE INTO — noted inline).
+                             edge table: per micro-batch, MERGE the batch's
+                             edge increments into a parquet accumulator.
+                             Replay-safe: each fold writes an epoch-unique
+                             directory and records the epoch in the pointer,
+                             so an at-least-once redelivery of an epoch is a
+                             no-op (idempotent), and a fold never overwrites
+                             the directory it is reading.
 
 Graph algorithms then run over the accumulated edge table on whatever
 cadence the deployment wants; community detection itself is inherently a
 batch fixpoint, so the streaming boundary is edge ACCUMULATION, not the
 Louvain loop.
 
-CAVEAT (semantics): the role-adjacency derivation windows over turns WITHIN
-a micro-batch, so it assumes conversations arrive sealed (all turns in one
-batch) — the natural contract for completed-transcript drops. For live
-mid-conversation streams, adjacency across batch boundaries needs stateful
-turn reassembly (``applyInPandasWithState`` keyed by conv_id holding the
-last seen turn) — left as the documented upgrade path; conv->tool edges are
-boundary-insensitive either way (pure per-row counts).
+Ordering contract: within a conversation, turns must arrive in turn_idx
+order ACROSS batches (the natural property of a live append-only feed);
+within a batch any order is fine (sorted before processing). State is one
+(turn_idx, actor) pair per open conversation — O(open convs), not O(turns);
+a production deployment adds an event-time timeout to reap idle
+conversations (GroupStateTimeout.EventTimeTimeout), noted inline.
 """
 
 from __future__ import annotations
 
+import json
 import os
+from collections.abc import Iterable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,56 +69,177 @@ def streaming_turn_counts(
     )
 
 
-class IncrementalEdgeStore:
-    """foreachBatch sink that folds each micro-batch's derived edges into a
-    persistent (a, b, w) accumulator.
+# ---------------------------------------------------------------------------
+# Stateful cross-batch turn reassembly
+# ---------------------------------------------------------------------------
 
-    Parquet rendering: read current + union + re-aggregate + write to the
-    alternate slot, then flip a pointer file (atomic rename). With
-    Delta/Iceberg jars this collapses to ``MERGE INTO edges USING batch ON
-    (a,b) WHEN MATCHED THEN UPDATE SET w = w + batch.w WHEN NOT MATCHED
-    INSERT *`` — same logical contract, kept behind this class so the
-    pipeline code does not change.
+_EDGE_INC_SCHEMA = "a string, b string, w double"
+_STATE_SCHEMA = "last_turn integer, last_actor string"
+
+
+def _actor_name(conv_id: str, role: str, tool) -> str:
+    return f"tool:{tool}" if role == "tool" else f"{conv_id}:{role}"
+
+
+def _reassemble_conv(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-conversation state function: emit one (a, b, w=1) row per
+    role-adjacency (including the adjacency that SPANS the batch boundary,
+    via the saved last actor) and per tool invocation (conv->tool)."""
+    (conv_id,) = key
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame(
+        {"conv_id": [], "turn_idx": [], "role": [], "tool": []}
+    )
+    if len(rows) == 0:
+        yield pd.DataFrame({"a": [], "b": [], "w": []})
+        return
+    rows = rows.sort_values("turn_idx")
+    last_turn, last_actor = state.get if state.exists else (None, None)
+    a_out, b_out = [], []
+    for turn, role, tool in zip(rows["turn_idx"], rows["role"], rows["tool"]):
+        actor = _actor_name(conv_id, role, tool)
+        if last_actor is not None:
+            a_out.append(min(last_actor, actor))
+            b_out.append(max(last_actor, actor))
+        if role == "tool":
+            a_out.append(f"conv:{conv_id}")
+            b_out.append(f"tool:{tool}")
+        last_turn, last_actor = int(turn), actor
+    # production: state.setTimeoutTimestamp(<watermark horizon>) to reap
+    # conversations that stop arriving; sealed-synth tests don't need it
+    state.update((last_turn, last_actor))
+    yield pd.DataFrame({"a": a_out, "b": b_out, "w": [1.0] * len(a_out)})
+
+
+def stateful_transcript_edges(transcripts_stream: DataFrame) -> DataFrame:
+    """Streaming edge INCREMENTS (a, b, w) with exact batch parity: a
+    conversation split mid-stream still yields the boundary adjacency,
+    because the last (turn_idx, actor) per conv_id is carried in group
+    state. Aggregate increments downstream (the accumulator store does)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        transcripts_stream.select("conv_id", "turn_idx", "role", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _reassemble_conv,
+            outputStructType=_EDGE_INC_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persistent accumulator
+# ---------------------------------------------------------------------------
+
+
+class IncrementalEdgeStore:
+    """foreachBatch sink that folds each micro-batch's (a, b, w) edge
+    increments into a persistent accumulator.
+
+    Parquet rendering: read current + union + re-aggregate + write to an
+    EPOCH-UNIQUE directory, then atomically flip a pointer file that records
+    both the directory and the epoch. Replay-safe under foreachBatch's
+    at-least-once contract: (1) an epoch <= the recorded one is a no-op, so
+    a crash between pointer flip and streaming-checkpoint commit cannot
+    double-count; (2) the fold never writes the directory it reads. With
+    Delta/Iceberg jars this collapses to ``MERGE INTO`` with the epoch
+    recorded in the table's commit metadata — same contract, kept behind
+    this class so the pipeline code does not change.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, keep_history: int = 2):
         self.spark = spark
         self.root = root
+        self.keep_history = max(keep_history, 1)
         os.makedirs(root, exist_ok=True)
 
-    def _pointer(self) -> str | None:
+    def _pointer(self) -> dict | None:
         p = os.path.join(self.root, "CURRENT")
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return f.read().strip()
+            raw = f.read().strip()
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:  # legacy slot-name pointer
+            return {"dir": raw, "epoch": -1}
+
+    def last_epoch(self) -> int:
+        ptr = self._pointer()
+        return -1 if ptr is None else int(ptr.get("epoch", -1))
 
     def current(self) -> DataFrame | None:
-        cur = self._pointer()
-        if cur is None:
+        ptr = self._pointer()
+        if ptr is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.root, cur))
+        return self.spark.read.parquet(os.path.join(self.root, ptr["dir"]))
 
-    def fold_batch(self, batch_transcripts: DataFrame, epoch_id: int) -> None:
-        batch_edges = transcript_string_edges(batch_transcripts)
-        cur = self.current()
-        merged = batch_edges if cur is None else (
-            cur.unionByName(batch_edges).groupBy("a", "b").agg(F.sum("w").alias("w"))
-        )
-        nxt = f"slot_{epoch_id % 2}"
-        merged.write.mode("overwrite").parquet(os.path.join(self.root, nxt))
+    def _commit(self, merged: DataFrame, epoch_id: int) -> None:
+        out_dir = f"epoch_{int(epoch_id):012d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.root, out_dir))
         tmp = os.path.join(self.root, "CURRENT.tmp")
         with open(tmp, "w") as f:
-            f.write(nxt)
+            f.write(json.dumps({"dir": out_dir, "epoch": int(epoch_id)}))
         os.replace(tmp, os.path.join(self.root, "CURRENT"))
+        self._gc(out_dir)
+
+    def _gc(self, current_dir: str) -> None:
+        epochs = sorted(
+            d for d in os.listdir(self.root)
+            if d.startswith("epoch_") and d != current_dir
+        )
+        for d in epochs[: max(0, len(epochs) - (self.keep_history - 1))]:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    def fold_edge_increments(self, batch_edges: DataFrame, epoch_id: int) -> None:
+        """foreachBatch callback for a stream of (a, b, w) increments
+        (e.g. stateful_transcript_edges output)."""
+        if int(epoch_id) <= self.last_epoch():
+            return  # at-least-once replay of an already-folded epoch: no-op
+        cur = self.current()
+        agg = batch_edges.groupBy("a", "b").agg(F.sum("w").alias("w"))
+        merged = agg if cur is None else (
+            cur.unionByName(agg).groupBy("a", "b").agg(F.sum("w").alias("w"))
+        )
+        self._commit(merged, epoch_id)
+
+    def fold_batch(self, batch_transcripts: DataFrame, epoch_id: int) -> None:
+        """foreachBatch callback for a raw transcript stream; derives the
+        batch's edges first (sealed-conversation contract — use
+        stateful_transcript_edges + fold_edge_increments for live
+        mid-conversation streams)."""
+        if int(epoch_id) <= self.last_epoch():
+            return
+        self.fold_edge_increments(transcript_string_edges(batch_transcripts), epoch_id)
 
 
 def incremental_edges(
     transcripts_stream: DataFrame, store: IncrementalEdgeStore, checkpoint_dir: str
 ):
-    """Start the accumulation query; caller owns lifecycle (stop/await)."""
+    """Start the accumulation query over sealed-conversation drops; caller
+    owns lifecycle (stop/await)."""
     return (
         transcripts_stream.writeStream.foreachBatch(store.fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def incremental_edges_stateful(
+    transcripts_stream: DataFrame, store: IncrementalEdgeStore, checkpoint_dir: str
+):
+    """Start the accumulation query with cross-batch turn reassembly —
+    exact batch parity even when conversations split across micro-batches."""
+    increments = stateful_transcript_edges(transcripts_stream)
+    return (
+        increments.writeStream.foreachBatch(store.fold_edge_increments)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
