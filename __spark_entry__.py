@@ -231,6 +231,10 @@ def _q_doc_token_count(spark, sf):
     return X.token_count(_docs(spark, sf))
 
 
+def _q_doc_token_count_bpe(spark, sf):
+    return X.token_count_bpe(_docs(spark, sf))
+
+
 def _q_doc_fingerprint(spark, sf):
     return X.fingerprint(_docs(spark, sf))
 
@@ -348,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         # training-data pipeline ops
         "doc_token_count": _q_doc_token_count,
+        "doc_token_count_bpe": _q_doc_token_count_bpe,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
@@ -696,6 +701,11 @@ JOIN closing c ON c.x = e1.b AND c.y = e2.b"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents"""
+
+    sql["doc_token_count_bpe"] = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}'))::INT AS n_tokens_bpe
 FROM documents"""
 
     sql["doc_fingerprint"] = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"

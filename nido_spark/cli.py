@@ -1,0 +1,153 @@
+"""Command-line entry point mirroring the reference binary's surface.
+
+Reference CLI (``/root/reference/main.cpp:30-78``, getopt "f:p:r:cb:i:t:ho:"):
+
+====  =============================================  =========================
+flag  reference meaning                              nido_spark rendering
+====  =============================================  =========================
+-f    binary CSR graph file                          parquet path: an edge
+                                                     table (src,dst,w), a
+                                                     transcripts table (the
+                                                     production input_hint
+                                                     shape — auto-detected by
+                                                     schema), or a TPC-H-ish
+                                                     dir containing
+                                                     lineitem.parquet
+-r    "<nv> <edge-factor>" synthetic graph           --random "NV M0" (seeded
+                                                     BA-ish generator, io.py)
+-b    batches per sweep (default 2)                  same (louvain nbatches)
+-i    max sweeps per phase (default 500)             same (max_loops)
+-t    tau convergence threshold (default 1e-6)       same (tol / tol_phase)
+-c    Luby-color vertices before scheduling          runs the coloring
+                                                     diagnostic; batching
+                                                     replaces color-order
+                                                     scheduling in Spark, so
+                                                     the labels are reported,
+                                                     not used to reorder
+-o    write one community id per line                labels parquet dir
+-p    GPU capacity partition args                    N/A (Spark partitioning)
+====  =============================================  =========================
+
+Also prints the load-time graph stats the reference prints
+(``graph.cpp:280-320``): nv, directed edge count, mass, max order.
+
+Usage::
+
+    python -m nido_spark -f /root/testdata/sf0.001 -b 4 -o /tmp/labels
+    python -m nido_spark --random "2000 4" -b 8 -t 1e-6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _load_edges(spark: SparkSession, path: str) -> DataFrame:
+    """Auto-detect the input shape: edge table / transcripts / TPC-H dir."""
+    import os
+
+    from nido_spark.graph import normalize_edges
+    from nido_spark.io import lineitem_edges, read_transcripts, transcripts_to_edges
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "lineitem.parquet")):
+        return lineitem_edges(spark, path)
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"src", "dst", "w"} <= cols:
+        return normalize_edges(df.select("src", "dst", "w"))
+    if {"conv_id", "turn_idx", "role"} <= cols:
+        return transcripts_to_edges(read_transcripts(spark, path))
+    raise SystemExit(
+        f"unrecognized input schema {sorted(cols)}: need (src,dst,w), "
+        f"transcripts (conv_id,turn_idx,role,...), or a dir with lineitem.parquet"
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="nido_spark",
+        description="Batched multi-phase Louvain over a link graph (PySpark)",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("-f", "--file", help="input parquet (edges / transcripts / TPC-H dir)")
+    src.add_argument("-r", "--random", metavar='"NV M0"',
+                     help="synthetic BA-ish graph: vertex count + edge factor")
+    p.add_argument("-b", "--nbatches", type=int, default=2,
+                   help="batches per sweep (reference DEFAULT_BATCHES=2)")
+    p.add_argument("-i", "--max-loops", type=int, default=500,
+                   help="max sweeps per phase (reference DEFAULT_ITERATIONS=500)")
+    p.add_argument("-t", "--tau", type=float, default=1e-6,
+                   help="convergence threshold (reference DEFAULT_THRESHOLD=1e-6)")
+    p.add_argument("-c", "--coloring", action="store_true",
+                   help="run the Luby/JP coloring diagnostic before Louvain")
+    p.add_argument("-o", "--output", help="labels parquet output dir")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--json", action="store_true", help="emit one JSON line of metrics")
+    args = p.parse_args(argv)
+
+    from nido_spark import algos as A
+    from nido_spark import graph as G
+    from nido_spark import louvain as L
+    from nido_spark.io import ba_random_edges, write_labels
+    from nido_spark.session import get_spark
+
+    spark = get_spark("nido_spark_cli", cores=args.cores)
+    t0 = time.time()
+    if args.random:
+        parts = args.random.split()
+        nv, m0 = int(parts[0]), int(parts[1]) if len(parts) > 1 else 4
+        edges = ba_random_edges(spark, nv, m0, seed=args.seed)
+    else:
+        edges = _load_edges(spark, args.file)
+    edges = edges.cache()
+
+    # load-time stats, as the reference prints after CSR load
+    stats = G.validate_edges(edges)
+    stats["max_order"] = G.max_order(edges)
+    stats["mass"] = G.mass(edges)
+    stats["load_sec"] = round(time.time() - t0, 2)
+    print(f"graph: nv={stats['nv']} ne_directed={stats['ne_directed']} "
+          f"mass={stats['mass']:.3f} max_order={stats['max_order']} "
+          f"asym={stats['asym']} [{stats['load_sec']}s]")
+    if stats["asym"] != 0:
+        raise SystemExit("input edge table failed symmetry validation")
+
+    metrics: dict = {"graph": stats}
+    if args.coloring:
+        t1 = time.time()
+        colors = A.luby_mis_coloring(edges, seed=args.seed)
+        ncolors = colors.agg({"color": "max"}).first()[0]
+        ncolors = 0 if ncolors is None else int(ncolors) + 1
+        metrics["coloring"] = {"n_colors": ncolors, "sec": round(time.time() - t1, 2)}
+        print(f"coloring: {ncolors} colors [{metrics['coloring']['sec']}s]")
+
+    t2 = time.time()
+    res = L.louvain(
+        edges, nbatches=args.nbatches, tol=args.tau,
+        max_loops=args.max_loops, tol_phase=args.tau,
+    )
+    metrics["louvain"] = {
+        "modularity": res.modularity,
+        "phases": res.n_phases,
+        "sweeps": res.total_sweeps,
+        "sec": round(time.time() - t2, 2),
+    }
+    print(f"louvain: Q={res.modularity:.6f} phases={res.n_phases} "
+          f"sweeps={res.total_sweeps} [{metrics['louvain']['sec']}s]")
+
+    if args.output:
+        write_labels(res.labels, args.output, order_by_vertex=True)
+        print(f"labels -> {args.output}")
+    if args.json:
+        print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,6 +45,23 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.size(tokens(F.col(text_col))).alias("n_tokens"))
 
 
+# BPE-ish lexer classes: a run of letters ~ one (merged) word token, each
+# digit its own token (GPT-2 convention), every other non-space symbol its
+# own token. Class-based pattern only — identical semantics under Java regex
+# (Spark) and RE2 (DuckDB), so the count is oracle-checkable.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens_bpe) — subword-budget estimate via the BPE-ish
+    lexer above; the cheap map-only proxy for tokenizer budget accounting
+    when the real BPE vocab isn't shipped to the cluster."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_tokens_bpe"),
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars_obs, n_tokens, punct_ratio, stopword_ratio, quality)
 
