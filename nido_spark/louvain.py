@@ -220,6 +220,22 @@ class LouvainRunResult:
     history: list[dict] = field(default_factory=list)
 
 
+def dense_relabel_map(new_edges: DataFrame) -> DataFrame:
+    """(old, new): order-preserving dense ids 0..ncomm-1 for a coarsened
+    edge table's vertex set (reference C1, graph_gpu.cpp:1151-1222).
+
+    Costs one global sort of the COMMUNITY set (post-coarsen V rows, which
+    shrink geometrically per phase — never E rows). Order-preserving rank
+    means every smallest-comm-id tie-break downstream is unchanged."""
+    from pyspark.sql import Window
+
+    comms = new_edges.select(F.col("src").alias("old")).distinct()
+    wnd = Window.orderBy("old")
+    return comms.select(
+        "old", (F.row_number().over(wnd) - 1).cast("long").alias("new")
+    )
+
+
 def louvain(
     edges: DataFrame,
     nbatches: int = 2,
@@ -230,10 +246,19 @@ def louvain(
     checkpointer=None,
     kernel: str = "sql",
     local_threshold: int = 100_000,
+    dense_relabel: bool = False,
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
     nido_spark.checkpoint.LouvainCheckpointer for durable resume.
+
+    ``dense_relabel``: renumber super-vertices densely (0..ncomm-1) at every
+    phase transition — the reference's C1 kernel. Sparse 64-bit ids stay
+    correct without it (the round-1 documented deviation), but on deep
+    dendrograms dense ids keep join keys compact and make the batched
+    ``pmod(v, nbatches)`` schedule balanced regardless of the id
+    distribution. Changes the trajectory only through batch membership; the
+    NumPy oracle supports the same flag, and parity is asserted either way.
 
     ``local_threshold``: hybrid tail execution — when a phase's coarsened
     edge table has <= this many rows, the remaining dendrogram is finished
@@ -269,6 +294,7 @@ def louvain(
             return _finish_local(
                 edges, flat, n_phases, total_sweeps, history,
                 nbatches, tol, max_loops, tol_phase, max_phases, checkpointer,
+                dense_relabel,
             )
         verts = truncate_lineage(G.vertices(edges))
         m = G.mass(edges)
@@ -305,6 +331,20 @@ def louvain(
 
         if Q - Q_phase_start > tol_phase:
             new_edges = truncate_lineage(coarsen(edges, labels))
+            if dense_relabel:
+                relab = truncate_lineage(dense_relabel_map(new_edges))
+                r_src = relab.select(F.col("old").alias("src"), F.col("new").alias("nsrc"))
+                r_dst = relab.select(F.col("old").alias("dst"), F.col("new").alias("ndst"))
+                new_edges = truncate_lineage(
+                    new_edges.join(r_src, "src").join(r_dst, "dst")
+                    .select(
+                        F.col("nsrc").alias("src"), F.col("ndst").alias("dst"), "w"
+                    )
+                )
+                flat = truncate_lineage(
+                    flat.join(relab, flat["comm"] == relab["old"])
+                    .select("v", F.col("new").alias("comm"))
+                )
             n_comms = new_edges.select("src").distinct().count()
             nv = verts.count()
             edges = new_edges
@@ -332,6 +372,7 @@ def _finish_local(
     tol_phase: float,
     max_phases: int,
     checkpointer,
+    dense_relabel: bool = False,
 ) -> LouvainRunResult:
     """Finish the dendrogram tail on the driver via the NumPy oracle
     (identical schedule/semantics; see louvain(local_threshold=...))."""
@@ -343,6 +384,7 @@ def _finish_local(
         pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
         nbatches=nbatches, tol=tol, max_loops=max_loops,
         tol_phase=tol_phase, max_phases=max_phases - n_phases,
+        dense_relabel=dense_relabel,
     )
     for h in res.history:
         history.append({**h, "phase": h["phase"] + n_phases})

@@ -147,8 +147,13 @@ def louvain_numpy(
     max_loops: int = 500,
     tol_phase: float = 1e-6,
     max_phases: int = 200,
+    dense_relabel: bool = False,
 ) -> LouvainResult:
-    """Full multi-phase batched Louvain. Input: symmetric edge arrays."""
+    """Full multi-phase batched Louvain. Input: symmetric edge arrays.
+
+    ``dense_relabel`` mirrors louvain(dense_relabel=True): order-preserving
+    renumbering of super-vertices to 0..ncomm-1 at every phase transition
+    (reference C1). Changes only batch membership (pmod over new ids)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     w = np.asarray(w, dtype=np.float64)
@@ -196,6 +201,13 @@ def louvain_numpy(
             # coarsen: super-vertex id = community id (sparse ids kept)
             new_src = uids[comm[s]]
             new_dst = uids[comm[d]]
+            if dense_relabel:
+                # order-preserving dense renumber (C1), applied to the
+                # coarsened edges AND the flat projection — same as Spark
+                dense_ids = np.unique(new_src)
+                new_src = np.searchsorted(dense_ids, new_src)
+                new_dst = np.searchsorted(dense_ids, new_dst)
+                flat = np.searchsorted(dense_ids, flat)
             # aggregation via lexsort (ids may be large/sparse)
             order = np.lexsort((new_dst, new_src))
             ns, nd, nw = new_src[order], new_dst[order], w[order]

@@ -62,6 +62,34 @@ def test_louvain_full_matches_oracle_karate(karate, nbatches):
     assert res.modularity == pytest.approx(ref.modularity, abs=1e-6)
     got = {r["v"]: r["comm"] for r in res.labels.collect()}
     assert labels_equivalent(got, ref.labels)
+@pytest.mark.parametrize("nbatches", [2, 4])
+def test_louvain_dense_relabel_matches_oracle(karate, nbatches):
+    """C1 dense relabel: Spark and NumPy renumber identically (order-
+    preserving), so labels match EXACTLY, and after the first coarsening
+    the label space is contiguous 0..ncomm-1."""
+    edges, (src, dst, w) = karate
+    res = L.louvain(edges, nbatches=nbatches, local_threshold=0, dense_relabel=True)
+    ref = O.louvain_numpy(src, dst, w, nbatches=nbatches, dense_relabel=True)
+    assert res.modularity == pytest.approx(ref.modularity, abs=1e-9)
+    got = {r["v"]: r["comm"] for r in res.labels.collect()}
+    assert got == ref.labels
+    if res.n_phases > 1:  # a coarsening happened -> ids are dense
+        assert set(got.values()) == set(range(len(set(got.values()))))
+
+
+def test_louvain_dense_relabel_same_partition_quality(karate):
+    """Dense ids change only batch membership; quality stays in the same
+    band and the hybrid local tail honors the flag."""
+    edges, (src, dst, w) = karate
+    dist = L.louvain(edges, nbatches=4, local_threshold=0, dense_relabel=True)
+    hyb = L.louvain(edges, nbatches=4, dense_relabel=True)  # local tail path
+    assert dist.modularity == pytest.approx(hyb.modularity, abs=1e-9)
+    a = {r["v"]: r["comm"] for r in dist.labels.collect()}
+    b = {r["v"]: r["comm"] for r in hyb.labels.collect()}
+    assert a == b
+    assert 0.3 < dist.modularity < 0.43
+
+
 def test_louvain_quality_band_karate(karate):
     """Quality scales with nbatches exactly as the reference README says
     (8-32 recommended, README:88-90): nbatches=4 -> Q=0.3869,
