@@ -302,6 +302,15 @@ def _q_simhash_near_pairs(spark, sf):
     return D.hamming_near_pairs(sigs, max_dist=3)
 
 
+def _q_ann_ivf_topk(spark, sf):
+    # rows-only: the k-means quantizer is not SQL-expressible; recall vs
+    # exact top-k is pinned in tests/test_textdedup.py
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") < 3)
+    out = S.ivf_ann_topk(emb, queries, k=5, n_lists=8, n_probe=3)
+    return out.select("query_id", "nbr_id", F.round("cos", 6).alias("cos"), "rank")
+
+
 def _q_ann_lsh_topk(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") < 3)
@@ -362,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_ngram_profile": _q_doc_ngram_profile,
         # scheduling / diagnostics

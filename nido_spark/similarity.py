@@ -207,6 +207,93 @@ def lsh_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``n_lists`` cells; each query exactly
+    re-ranks only its ``n_probe`` nearest cells — the classic FAISS-style
+    scale path (candidates drop to ~n_probe/n_lists of the corpus, and the
+    cell assignment is a plain equi-join key, so the inverted lists can be
+    bucketed/partitioned by cell at rest).
+
+    Training: pyspark.ml KMeans (seeded) over the corpus (or a
+    ``train_sample`` fraction at 100 TB — centroids need only a sample).
+    The n_lists x dim centroid table is tiny and ships as literal arrays in
+    the probe expression; corpus assignment runs JVM-side via the fitted
+    model. Returns (query_id, nbr_id, cos, rank)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus if train_sample is None else corpus.sample(
+        fraction=train_sample, seed=seed
+    )
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    assigned = model.transform(
+        corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("nbr_vec"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+    ).select("nbr_id", "nbr_vec", F.col("prediction").alias("cell"))
+
+    # query probes: squared L2 distance to each centroid as literal-array
+    # expressions (JVM-side), keep the n_probe nearest cells
+    def sqdist(vec, center):
+        arr = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = F.slice(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        sqdist(F.col("query_vec"), c).alias("d"),
+                        F.lit(j).alias("cell"),
+                    )
+                    for j, c in enumerate(centers)
+                ]
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    ).select(
+        "query_id", "query_vec", F.explode(probes).alias("p")
+    ).select("query_id", "query_vec", F.col("p.cell").alias("cell"))
+
+    cos = _dot(F.col("query_vec"), F.col("nbr_vec")) / (
+        F.greatest(_norm(F.col("query_vec")) * _norm(F.col("nbr_vec")), F.lit(1e-12))
+    )
+    # each corpus row lives in exactly one cell and probes are distinct
+    # cells, so (query, nbr) pairs are already unique — no dedup shuffle
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cos.alias("cos"))
+    )
+    return _topk_per_query(scored, k)
+
+
 def near_duplicates(
     corpus: DataFrame,
     tau: float = 0.95,

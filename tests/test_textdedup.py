@@ -153,6 +153,24 @@ def test_lsh_ann_recall(emb):
     assert recall >= 0.4  # 8 bands of 2 bits -> high recall on 500 vecs
 
 
+def test_ivf_ann_recall(emb):
+    queries = emb.limit(5)
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.ivf_ann_topk(emb, queries, k=5, n_lists=8, n_probe=3)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["nbr_id"]) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # probing 3/8 cells on 500 vecs
+    # every reported cos must equal the exact cosine (re-rank is exact)
+    exact_cos = {(r["query_id"], r["nbr_id"]): r["cos"] for r in
+                 S.cosine_topk(emb, queries, k=500).collect()}
+    for r in a_rows:
+        key = (r["query_id"], r["nbr_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+
 def test_topk_plan_has_no_corpus_collect_list(emb):
     """VERDICT r1 item 4 regression: the top-k tail must be windowed
     row_number, never a collect_list over the whole corpus per query."""
