@@ -151,6 +151,14 @@ def _q_fuzzy_dedup_survivors(spark, sf):
     return D.fuzzy_dedup(_docs(spark, sf), threshold=0.6).select("doc_id")
 
 
+def _q_corpus_prepare(spark, sf):
+    from nido_spark.pipeline import prepare_corpus
+
+    return prepare_corpus(
+        _docs(spark, sf), min_quality=0.4, langs=("en",), jaccard_threshold=0.7
+    )
+
+
 def _q_singleton_modularity(spark, sf):
     edges = lineitem_edges(spark, sf)
     q = L.modularity(edges, L.singleton_labels(edges), G.mass(edges))
@@ -368,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dups": _q_doc_exact_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "fuzzy_dedup_survivors": _q_fuzzy_dedup_survivors,
+        "corpus_prepare": _q_corpus_prepare,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -389,13 +398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in X.STOPWORDS) + "]"
 
-# exact char-5-gram Jaccard pairs over the full documents table — the
-# independent rendering of the MinHash-LSH + verify pipeline. The LSH is a
-# candidate generator with measured recall ~1 at these (bands, rows) for the
-# verify threshold (miss prob (1-J^4)^8 < 1e-4 at J >= 0.9, the planted-dup
-# band); equality against the exhaustive SQL IS the recall check.
-_JACCARD_PAIRS_CTE = """
-t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+def _jaccard_pairs_cte(table: str = "documents", threshold: float = 0.6) -> str:
+    """Exact char-5-gram Jaccard pairs over ``table`` — the independent
+    rendering of the MinHash-LSH + verify pipeline. The LSH is a candidate
+    generator with measured recall ~1 at these (bands, rows) for the verify
+    threshold (miss prob (1-J^4)^8 < 1e-4 at J >= 0.9, the planted-dup
+    band); equality against the exhaustive SQL IS the recall check."""
+    return f"""
+t AS (SELECT doc_id, lower(trim(text)) AS txt FROM {table}),
 grams AS (
   SELECT DISTINCT doc_id, substring(txt, CAST(i AS INT), 5) AS g
   FROM t, LATERAL unnest(generate_series(1, GREATEST(length(txt) - 4, 0))) AS u(i)
@@ -412,7 +422,7 @@ jpairs AS (
   FROM inter
   JOIN sizes sa ON inter.a = sa.doc_id
   JOIN sizes sb ON inter.b = sb.doc_id
-  WHERE isz * 1.0 / (sa.sz + sb.sz - isz) >= 0.6
+  WHERE isz * 1.0 / (sa.sz + sb.sz - isz) >= {threshold}
 )"""
 
 
@@ -787,11 +797,11 @@ SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
 
     sql["minhash_near_dups"] = f"""
-WITH {_JACCARD_PAIRS_CTE}
+WITH {_jaccard_pairs_cte()}
 SELECT a, b, ROUND(jaccard, 9) AS jaccard FROM jpairs"""
 
     sql["fuzzy_dedup_survivors"] = f"""
-WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+WITH RECURSIVE {_jaccard_pairs_cte()},
 und AS (SELECT a, b FROM jpairs UNION SELECT b AS a, a AS b FROM jpairs),
 reach(v, r) AS (
   SELECT a AS v, b AS r FROM und
@@ -871,6 +881,56 @@ FROM (SELECT src, dst, w FROM e1
       UNION ALL
       SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst)
 WHERE w > 0 GROUP BY 1, 2"""
+
+    lang_lateral = " UNION ALL ".join(lang_cases)
+    sql["corpus_prepare"] = rf"""
+WITH RECURSIVE
+fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents),
+keep0(doc_id) AS (SELECT MIN(doc_id) FROM fp GROUP BY f),
+docs0 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep0 USING (doc_id)),
+{_jaccard_pairs_cte("docs0", 0.7)},
+und AS (SELECT a, b FROM jpairs UNION SELECT b AS a, a AS b FROM jpairs),
+reach(v, r) AS (
+  SELECT a AS v, b AS r FROM und
+  UNION
+  SELECT reach.v, und.b FROM reach JOIN und ON und.a = reach.r
+),
+losers AS (SELECT DISTINCT v AS doc_id FROM reach WHERE r < v),
+docs1 AS (SELECT * FROM docs0 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+qt AS (
+  SELECT doc_id,
+         length(text) AS n_chars_obs,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> list_contains({_STOP_SQL}, lower(x)))) END AS n_stop
+  FROM docs1
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+         * (1.0 - LEAST((n_punct / GREATEST(n_chars_obs, 1)) * 2, 1.0))
+         * LEAST((n_stop / GREATEST(n_tokens, 1)) * 4 + 0.2, 1.0) AS quality
+  FROM qt
+),
+scored AS (
+  SELECT doc_id, l.c, l.s
+  FROM docs1, LATERAL (
+    {lang_lateral}
+  ) AS l
+),
+lbest AS (
+  SELECT doc_id, CASE WHEN s > 0 THEN c ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, c, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, c ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT q.doc_id, q.n_tokens, ROUND(q.quality, 9) AS quality, lbest.lang_pred
+FROM q JOIN lbest USING (doc_id)
+WHERE q.quality >= 0.4 AND lbest.lang_pred IN ('en')"""
 
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["cc_full"] = _cc_full_sql(rounds=12)

@@ -197,6 +197,32 @@ def test_fuzzy_dedup_transitive_clusters(spark):
     assert kept == [10, 20]
 
 
+def test_prepare_corpus_stages_compose(spark):
+    """Exact dup, fuzzy dup, low-quality, and wrong-language docs are all
+    dropped; the clean English doc survives with its metrics."""
+    from nido_spark.pipeline import prepare_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river where it drinks the cool water in the morning sun") * 2
+    fuzzy = good.replace("lazy", "sleepy", 1)
+    german = ("der hund und die katze ist da und der vogel ist hier oben "
+              "und das haus ist alt") * 2
+    rows = [
+        (1, good),
+        (2, good),          # exact dup of 1 -> dropped
+        (3, fuzzy),         # fuzzy dup of 1 -> dropped
+        (4, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),  # junk -> quality 0
+        (5, german),        # de -> dropped by lang allowlist
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, min_quality=0.3, langs=("en",), jaccard_threshold=0.5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1}
+    assert got[1]["lang_pred"] == "en"
+    assert got[1]["quality"] >= 0.3
+    assert got[1]["n_tokens"] > 20
+
+
 def test_lsh_degenerate_bucket_cap(spark):
     """1k near-identical short docs collapse into one band bucket; with the
     cap the self-join is bounded (bucket dropped), without it the pair count
