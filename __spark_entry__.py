@@ -141,6 +141,18 @@ def _q_media_features(spark, sf):
     ).select("media_id", "kind", "idx", F.round("value", 9).alias("value"))
 
 
+def _q_media_frames(spark, sf):
+    from nido_spark.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 300, seed=42), every_ms=5000)
+
+
+def _q_media_thumbs(spark, sf):
+    from nido_spark.multimodal import resize_media, synth_media
+
+    return resize_media(synth_media(spark, 300, seed=42), thumb_w=8, thumb_h=8)
+
+
 def _q_embedding_near_dups(spark, sf):
     return S.near_duplicates(_emb(spark, sf), tau=0.3).select(
         "a", "b", F.round("cos", 6).alias("cos")
@@ -389,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "media_headers": _q_media_headers,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_thumbs": _q_media_thumbs,
     }
 
 
@@ -973,5 +987,30 @@ f AS (
 )
 SELECT media_id, kind, (u.i - 1)::INT AS idx, ROUND(feats[u.i], 9) AS value
 FROM f, LATERAL unnest(generate_series(1, 8)) AS u(i)"""
+
+    sql["media_frames"] = f"""
+WITH m(media_id, kind, hx) AS (VALUES {_media_values_sql(True)}),
+f AS (
+  SELECT media_id, kind, hx,
+         LEAST(('0x' || substring(hx, 25, 8))::BIGINT // 5000 + 1,
+               (length(hx) // 2 - 16) // 16)::INT AS n
+  FROM m WHERE kind <> 'image'
+)
+SELECT media_id, kind, u.i::INT AS frame_idx, (u.i * 5000)::BIGINT AS ts_ms,
+       substring(hx, 33 + u.i * 32, 32) AS frame_hex
+FROM f, LATERAL unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(i)
+WHERE n >= 1"""
+
+    sql["media_thumbs"] = f"""
+WITH m(media_id, kind, hx) AS (VALUES {_media_values_sql(True)}),
+meta AS (SELECT media_id, kind, hx, (length(hx) // 2 - 16)::BIGINT AS n FROM m),
+samples AS (
+  SELECT media_id, kind, u.i,
+         substring(hx, CAST(33 + 2 * ((u.i * (n - 1)) // 63) AS BIGINT), 2) AS b
+  FROM meta, LATERAL unnest(generate_series(0, 63)) AS u(i)
+)
+SELECT media_id, kind, 8::INT AS thumb_w, 8::INT AS thumb_h,
+       string_agg(b, '' ORDER BY i) AS thumb_hex
+FROM samples GROUP BY media_id, kind"""
 
     return sql

@@ -112,6 +112,84 @@ def parse_headers(media: DataFrame) -> DataFrame:
     )
 
 
+def sample_frames(media: DataFrame, every_ms: int = 5000, frame_bytes: int = 16) -> DataFrame:
+    """(media_id, kind, frame_idx, ts_ms, frame_hex) — frame-sampling
+    plumbing for audio/video rows, entirely JVM-side: the header-parsed
+    duration decides the frame count (one per ``every_ms``, capped by the
+    body length), and each frame is a ``frame_bytes`` slice of the payload
+    body at a deterministic offset. A real deployment replaces the slice
+    with an ffmpeg keyframe fetch; the schema, explode shape and
+    partitioning are what the pipeline needs either way. Images produce no
+    frames."""
+    dur = F.conv(F.hex(F.substring("payload", 13, 4)), 16, 10).cast("long")
+    body_len = (F.length("payload") - 16).cast("long")
+    n_frames = F.least(
+        F.floor(dur / every_ms) + 1, F.floor(body_len / frame_bytes)
+    ).cast("int")
+    return (
+        media.where(F.col("kind") != "image")
+        .select("media_id", "kind", n_frames.alias("n"), "payload")
+        .where(F.col("n") >= 1)
+        .select(
+            "media_id",
+            "kind",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("frame_idx"),
+            "payload",
+        )
+        .select(
+            "media_id",
+            "kind",
+            "frame_idx",
+            (F.col("frame_idx").cast("long") * every_ms).alias("ts_ms"),
+            F.hex(
+                F.substring(
+                    "payload",
+                    F.lit(17) + F.col("frame_idx") * frame_bytes,
+                    F.lit(frame_bytes),
+                )
+            ).alias("frame_hex"),
+        )
+    )
+
+
+def resize_media(media: DataFrame, thumb_w: int = 8, thumb_h: int = 8) -> DataFrame:
+    """(media_id, kind, thumb_w, thumb_h, thumb_hex) — thumbnail/resize
+    plumbing via mapInPandas: decode stub -> integer-stride downsample of
+    the body to thumb_w*thumb_h samples -> hex. The stride uses pure
+    integer arithmetic (idx_i = i*(n-1) // (k-1)), so any engine reproduces
+    the exact bytes; a real deployment swaps the sampler for
+    PIL.Image.resize behind the same schema."""
+    k = max(thumb_w * thumb_h, 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                body = np.frombuffer(bytes(payload)[16:], dtype=np.uint8)
+                n = len(body)
+                if n == 0:
+                    thumbs.append("")
+                    continue
+                if k == 1:
+                    idx = [0]
+                else:
+                    idx = [(i * (n - 1)) // (k - 1) for i in range(k)]
+                thumbs.append(body[idx].tobytes().hex().upper())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "thumb_w": thumb_w,
+                    "thumb_h": thumb_h,
+                    "thumb_hex": thumbs,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id long, kind string, thumb_w int, thumb_h int, thumb_hex string"
+    )
+
+
 # --- decode / feature extraction (stub-gated) -------------------------------
 
 _DECODER: Callable[[bytes, str], np.ndarray] | None = None

@@ -52,6 +52,37 @@ def test_extract_features_shape_and_determinism(media):
     assert first == again
 
 
+def test_sample_frames_layout(media):
+    frames = M.sample_frames(media, every_ms=5000, frame_bytes=16).collect()
+    assert frames  # audio/video rows exist
+    meta = {r["media_id"]: r for r in media.collect()}
+    by_media: dict[int, list] = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    for mid, fs in by_media.items():
+        m = meta[mid]
+        assert m["kind"] != "image"
+        payload = bytes(m["payload"])
+        n_expected = min(m["duration_ms"] // 5000 + 1, (len(payload) - 16) // 16)
+        assert len(fs) == n_expected
+        for f in sorted(fs, key=lambda r: r["frame_idx"]):
+            start = 16 + f["frame_idx"] * 16
+            assert bytes.fromhex(f["frame_hex"]) == payload[start:start + 16]
+            assert f["ts_ms"] == f["frame_idx"] * 5000
+
+
+def test_resize_media_deterministic_stride(media):
+    thumbs = {r["media_id"]: r for r in M.resize_media(media, 8, 8).collect()}
+    meta = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(thumbs) == set(meta)
+    for mid, r in thumbs.items():
+        body = meta[mid][16:]
+        n = len(body)
+        idx = [(i * (n - 1)) // 63 for i in range(64)]
+        assert bytes.fromhex(r["thumb_hex"]) == bytes(body[j] for j in idx)
+        assert (r["thumb_w"], r["thumb_h"]) == (8, 8)
+
+
 def test_real_decoder_stub_raises():
     with pytest.raises(NotImplementedError):
         M.real_decoder_stub(b"x" * 32, "image")
