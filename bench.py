@@ -92,6 +92,15 @@ def _run_queries(sf_dir: str, cpus: int) -> dict:
         "q12_transcript_edges",
         lambda: transcripts_to_edges(synth_transcripts(spark, 2000, seed=42)).count(),
     )
+    from nido_spark.pipeline import prepare_corpus
+
+    timed(
+        "q13_corpus_prepare",
+        lambda: prepare_corpus(
+            docs, min_quality=0.4, langs=("en",), jaccard_threshold=0.7
+        ).count(),
+    )
+    timed("q14_luby_coloring", lambda: A.luby_mis_coloring(edges).count())
 
     # throughput: edges-processed/sec over the PageRank loop (10 iterations
     # touch each directed edge once per iteration)

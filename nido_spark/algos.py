@@ -184,7 +184,12 @@ def connected_components(edges: DataFrame, max_iters: int = 100) -> DataFrame:
     Converges in O(diameter) rounds; each round is one E-shuffle. (For
     extreme diameters a pointer-doubling/star-contraction variant halves the
     round count — transcript-derived graphs have tiny diameters, so the
-    simple propagation wins on constant factors.)"""
+    simple propagation wins on constant factors.)
+
+    The input plan is materialized once up front: callers often pass DERIVED
+    edge tables (e.g. fuzzy-dedup pair graphs), and without the cut every
+    iteration would recompute the whole upstream pipeline."""
+    edges = truncate_lineage(edges)
     labels = truncate_lineage(
         edges.select(F.col("src").alias("v")).distinct()
         .withColumn("comm", F.col("v"))

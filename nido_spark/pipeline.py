@@ -40,17 +40,20 @@ def prepare_corpus(
     survives exact dedup, fuzzy dedup, the quality floor, and the language
     allowlist. Deterministic survivor choice: smallest doc_id per duplicate
     group/cluster."""
-    survivors = D.exact_dedup(docs, text_col)
+    # each stage's output feeds multiple downstream branches, so pin the
+    # stage boundaries (otherwise Catalyst re-executes the whole upstream
+    # dedup per consumer — stage-boundary persistence is the standard
+    # shape for multi-consumer pipelines at any scale)
+    exact_survivors = D.exact_dedup(docs, text_col).persist()
     survivors = D.fuzzy_dedup(
-        survivors, text_col, num_perm, k, bands, rows,
+        exact_survivors, text_col, num_perm, k, bands, rows,
         jaccard_threshold, max_bucket_size,
-    )
+    ).persist()
     q = X.quality_score(survivors, text_col).select("doc_id", "n_tokens", "quality")
     lang = X.lang_id(survivors, text_col).select("doc_id", "lang_pred")
-    return (
-        survivors.select("doc_id")
-        .join(q, "doc_id")
-        .join(lang, "doc_id")
+    out = (
+        q.join(lang, "doc_id")
         .where((F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs))
         .select("doc_id", "n_tokens", F.round("quality", 9).alias("quality"), "lang_pred")
     )
+    return out
