@@ -238,6 +238,40 @@ def _q_lpa_step(spark, sf):
     return A.lpa_step(edges, L.singleton_labels(edges), 0, 1)
 
 
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _q_events_asof_click(spark, sf):
+    from nido_spark.relational import asof_join
+
+    ev = _events(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(ev, clicks, on="user_id", right_cols=["event_id", "value"],
+                    suffix="_click")
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("event_id_click").alias("click_event_id"),
+        F.round("value_click", 9).alias("click_value"),
+    )
+
+
+def _q_events_sessionize(spark, sf):
+    from nido_spark.relational import sessionize
+
+    return sessionize(_events(spark, sf), gap_seconds=1800).select(
+        "event_id", "user_id", "session_idx"
+    )
+
+
+def _q_events_session_stats(spark, sf):
+    from nido_spark.relational import session_stats
+
+    return session_stats(_events(spark, sf), gap_seconds=1800)
+
+
 def _q_triangle_count(spark, sf):
     n = A.triangle_count(lineitem_edges(spark, sf))
     return spark.createDataFrame([(n,)], "n_triangles long")
@@ -355,6 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges": _q_edges,
         "events_edges": _q_events_edges,
         "transcript_edges": _q_transcript_edges,
+        # time-series relational ops
+        "events_asof_click": _q_events_asof_click,
+        "events_sessionize": _q_events_sessionize,
+        "events_session_stats": _q_events_session_stats,
         # vertex aggregates (A1-A5)
         "degree": _q_degree,
         "weighted_degree": _q_weighted_degree,
@@ -581,6 +619,50 @@ def oracle_sql() -> dict[str, str]:
     sql["edges"] = f"{_E} SELECT src, dst, w FROM e"
 
     sql["events_edges"] = EVENTS_EDGES_SQL
+
+    sql["events_asof_click"] = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       c.event_id AS click_event_id,
+       ROUND(c.value, 9) AS click_value
+FROM events e
+ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts"""
+
+    sql["events_sessionize"] = """
+WITH flagged AS (
+  SELECT event_id, user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id,
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+FROM flagged"""
+
+    sql["events_session_stats"] = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MAX(us) - MIN(us) AS duration_us,
+       MIN(us) AS t_start_us, MAX(us) AS t_end_us
+FROM sess GROUP BY 1, 2"""
 
     sql["degree"] = f"{_E} SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src"
 
