@@ -367,6 +367,28 @@ def ba_random_edges(
     return normalize_edges(one_dir)
 
 
+def write_bucketed_edges(
+    edges: DataFrame, table_name: str, buckets: int = 64, path: str | None = None
+) -> None:
+    """Bucketed + sorted edge sink: ``bucketBy(buckets, "src").sortBy("src")``
+    parquet table. Two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle (bucket alignment replaces the exchange) —
+    the at-rest layout for repeated joins/aggregations on src at 100 TB,
+    where re-shuffling E rows per query is the dominant cost. The same idea
+    the reference bakes into its CSR layout (adjacency grouped by vertex,
+    graph.cpp:322-495), expressed as a Spark table property instead of a
+    file format."""
+    writer = (
+        edges.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def write_labels(labels: DataFrame, path: str, order_by_vertex: bool = False) -> None:
     """Community sink (reference: one id per line text dump,
     /root/reference/clustering.cpp:23-46) — parquet, optionally

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed tables (io.write_bucketed_edges) land here, not in $PWD
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/nido-spark-warehouse"),
+        )
         # iterative loops churn checkpointed RDDs/broadcasts; default
         # periodic cleaner GC is 30min — far too lazy for 100-sweep loops
         .config("spark.cleaner.periodicGC.interval", "60s")

@@ -75,3 +75,32 @@ def test_label_sink_roundtrip(karate, tmp_path):
     write_labels(lab, str(tmp_path / "labels"), order_by_vertex=True)
     back = read_labels(edges.sparkSession, str(tmp_path / "labels"))
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, lab.collect()))
+
+
+def test_bucketed_edge_tables_join_without_shuffle(spark, karate, tmp_path):
+    """write_bucketed_edges: two tables bucketed on src with equal bucket
+    counts must join with NO Exchange on either side (bucket alignment),
+    and produce the same rows as the plain join."""
+    from nido_spark.io import write_bucketed_edges
+
+    edges, _ = karate
+    write_bucketed_edges(edges, "bk_a", buckets=4, path=str(tmp_path / "a"))
+    write_bucketed_edges(
+        edges.withColumnRenamed("w", "w2").select("src", "dst", "w2"),
+        "bk_b", buckets=4, path=str(tmp_path / "b"),
+    )
+    try:
+        a = spark.table("bk_a")
+        b = spark.table("bk_b").groupBy("src").count()
+        joined = a.join(b, "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        got = joined.groupBy().sum("count").first()[0]
+        want = (
+            edges.join(edges.groupBy("src").count(), "src")
+            .groupBy().sum("count").first()[0]
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
