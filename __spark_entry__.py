@@ -112,6 +112,12 @@ def _q_luby_coloring(spark, sf):
     return A.luby_mis_coloring(lineitem_edges(spark, sf))
 
 
+def _q_k_core(spark, sf):
+    # rows-only: data-dependent peeling depth is not unrollable in SQL;
+    # pinned by the Batagelj-Zaversnik NumPy oracle in tests/test_algos.py
+    return A.k_core(lineitem_edges(spark, sf))
+
+
 def _q_media_stats(spark, sf):
     from nido_spark.multimodal import media_stats, synth_media
 
@@ -258,6 +264,14 @@ def _q_events_asof_click(spark, sf):
     )
 
 
+def _q_events_json_props(spark, sf):
+    from nido_spark.relational import extract_json_field
+
+    return extract_json_field(
+        _events(spark, sf), "props", "$.k", "prop_k", cast="long"
+    ).select("event_id", "prop_k")
+
+
 def _q_events_sessionize(spark, sf):
     from nido_spark.relational import sessionize
 
@@ -391,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_edges": _q_transcript_edges,
         # time-series relational ops
         "events_asof_click": _q_events_asof_click,
+        "events_json_props": _q_events_json_props,
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
         # vertex aggregates (A1-A5)
@@ -417,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_step": _q_lpa_step,
         "lpa_full": _q_lpa_full,
         "triangle_count": _q_triangle_count,
+        "k_core": _q_k_core,
         # training-data pipeline ops
         "doc_token_count": _q_doc_token_count,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
@@ -629,6 +645,10 @@ SELECT e.event_id, e.user_id, e.event_type,
        ROUND(c.value, 9) AS click_value
 FROM events e
 ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts"""
+
+    sql["events_json_props"] = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS prop_k
+FROM events"""
 
     sql["events_sessionize"] = """
 WITH flagged AS (

@@ -326,6 +326,60 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+    """(v, core) coreness via H-index iteration (Lu et al., "The H-index of
+    a network node and its relation to degree and coreness", Nat. Commun.
+    2016): c_0(v) = degree, c_{t+1}(v) = H-index of the neighbors' c_t;
+    the sequence is monotone non-increasing and converges exactly to the
+    core number. Distributed shape: one E-row join + one bounded groupBy
+    per iteration (the collect_list is bounded by a vertex's DEGREE, never
+    the corpus), iterations ~ graph's core-hierarchy depth.
+
+    Self-loops ignored; parallel edges collapse (simple-graph semantics).
+    Isolated/self-loop-only vertices get core 0."""
+    all_v = truncate_lineage(edges.select(F.col("src").alias("v")).distinct())
+    live = truncate_lineage(
+        edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    labels = truncate_lineage(
+        live.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    for _ in range(max_iters):
+        lab_src = labels.select(F.col("v").alias("src"), F.col("c").alias("c_src"))
+        nbr = (
+            live.join(lab_src, "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sort_array(F.collect_list("c_src"), asc=False).alias("cs"))
+        )
+        n = F.size("cs")
+        h = F.size(
+            F.filter(
+                F.zip_with("cs", F.sequence(F.lit(1), n), lambda c, i: c >= i),
+                lambda x: x,
+            )
+        ).cast("long")
+        new_labels = truncate_lineage(
+            labels.join(nbr, "v").select("v", F.least("c", h).alias("c"))
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("c", "old"), "v")
+            .where(F.col("c") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return all_v.join(labels, "v", "left").select(
+        "v", F.coalesce("c", F.lit(0)).alias("core")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Luby maximal-independent-set coloring (reference's optional -c scheduling
 # heuristic, /root/reference/graph.cpp:548-694). In Spark the batched sweep
 # replaces coloring as the scheduling mechanism, so this is exposed as a

@@ -341,3 +341,29 @@ def triangle_count_numpy(src, dst, w=None) -> int:
         for v in nbrs:
             t += len(nbrs & out[v])
     return t
+
+
+def k_core_numpy(src, dst) -> dict[int, int]:
+    """Exact coreness via Batagelj-Zaversnik peeling (min-degree removal).
+    Simple-graph semantics: self-loops dropped, parallel edges collapsed;
+    vertices with no proper neighbors get core 0."""
+    src = np.asarray(src, np.int64); dst = np.asarray(dst, np.int64)
+    verts = set(np.unique(np.concatenate([src, dst])).tolist())
+    adj: dict[int, set] = {int(v): set() for v in verts}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    live = set(verts)
+    core: dict[int, int] = {}
+    k = 0
+    while live:
+        v = min(live, key=lambda u: (deg[u], u))
+        k = max(k, deg[v])
+        core[v] = k
+        live.discard(v)
+        for u in adj[v]:
+            if u in live:
+                deg[u] -= 1
+    return {int(v): int(c) for v, c in core.items()}

@@ -114,6 +114,23 @@ def sessionize(
     )
 
 
+def extract_json_field(
+    df: DataFrame,
+    json_col: str,
+    path: str,
+    out_col: str,
+    cast: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` extracted from a JSON string column via a JSONPath
+    (``$.field``). JVM-side ``get_json_object`` — no Python, pushes through
+    codegen; prefer ``from_json`` with an explicit schema when the whole
+    object is needed instead of one field."""
+    c = F.get_json_object(F.col(json_col), path)
+    if cast:
+        c = c.cast(cast)
+    return df.withColumn(out_col, c)
+
+
 def session_stats(
     events: DataFrame,
     key: str = "user_id",

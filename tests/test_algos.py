@@ -149,3 +149,23 @@ def test_luby_coloring_complete_and_proper_hub_graph(spark):
     )
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["v", "color"]
+
+
+def test_k_core_matches_peeling_oracle(karate):
+    edges, (src, dst, w) = karate
+    got = {r["v"]: r["core"] for r in A.k_core(edges).collect()}
+    ref = O.k_core_numpy(src, dst)
+    assert got == ref
+    assert max(got.values()) == 4  # karate's known degeneracy
+
+
+def test_k_core_hub_and_isolated(spark):
+    # star: hub core 1, leaves core 1; triangle: core 2; self-loop-only: 0
+    pairs = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 10)]
+    rows = [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs]
+    rows.append((99, 99, 1.0))  # self-loop-only vertex
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["v"]: r["core"] for r in A.k_core(edges).collect()}
+    ref = O.k_core_numpy([r[0] for r in rows], [r[1] for r in rows])
+    assert got == ref
+    assert got[0] == 1 and got[10] == got[11] == got[12] == 2 and got[99] == 0
