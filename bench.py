@@ -192,10 +192,11 @@ def _louvain_sweep_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     return ne / dt
 
 
-def _map_probe(sf_dir: str, cpus: int, replicate: int = 200) -> float:
+def _map_probe(sf_dir: str, cpus: int, replicate: int = 600) -> float:
     """Map-only compute probe (no shuffle): quality scoring over a
-    replicated documents table — shows the parallel-compute ceiling that
-    the shuffle-bound graph probe should be judged against."""
+    replicated documents table (3M docs at sf0.1) — enough per-task regex
+    compute that fixed job costs stop dominating; shows the parallel-compute
+    ceiling that the shuffle-bound graph probes should be judged against."""
     from pyspark.sql import functions as F
 
     from nido_spark import textops as X
@@ -212,7 +213,7 @@ def _map_probe(sf_dir: str, cpus: int, replicate: int = 200) -> float:
     n = big.count()
     X.quality_score(big).agg(F.sum("quality")).first()  # warm-up
     runs = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         X.quality_score(big).agg(F.sum("quality")).first()
         runs.append(time.time() - t0)
