@@ -198,3 +198,43 @@ def test_hybrid_local_tail_matches_distributed(karate):
     h = {r["v"]: r["comm"] for r in hyb.labels.collect()}
     assert labels_equivalent(d, h)
     assert hyb.n_phases == dist.n_phases and hyb.total_sweeps == dist.total_sweeps
+
+
+def test_louvain_random_weight_stress(spark):
+    """Mirror of the reference's CHECK-mode stress (graph.hpp:88-100 random
+    weights, fixed seed): random weighted graph, full Spark Louvain vs the
+    NumPy oracle — modularity 1e-9, labels equivalent."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2)) if a != b})
+    weights = [float(w) for w in rng.uniform(0.1, 5.0, size=len(pairs))]
+    src, dst, w = symmetric_arrays(pairs, weights)
+    edges = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    res = L.louvain(edges, nbatches=2, local_threshold=0)
+    ref = O.louvain_numpy(src, dst, w, nbatches=2)
+    assert res.modularity == pytest.approx(ref.modularity, abs=1e-9)
+    got = {r["v"]: r["comm"] for r in res.labels.collect()}
+    assert labels_equivalent(got, ref.labels)
+
+
+def test_modularity_random_two_community_labels(karate):
+    """Mirror of the reference's CHECK-mode random 2-community labels
+    (graph_gpu.cpp:421-431): Q of an arbitrary labeling matches the oracle."""
+    import numpy as np
+
+    edges, (src, dst, w) = karate
+    rng = np.random.default_rng(99)
+    verts = sorted(set(src.tolist()) | set(dst.tolist()))
+    labels = {int(v): int(rng.integers(0, 2)) for v in verts}
+    lab_df = edges.sparkSession.createDataFrame(
+        list(labels.items()), "v long, comm long"
+    )
+    from nido_spark import graph as G
+
+    q_spark = L.modularity(edges, lab_df, G.mass(edges))
+    q_ref = O.modularity_numpy(src, dst, w, labels)
+    assert q_spark == pytest.approx(q_ref, abs=1e-12)
