@@ -652,7 +652,7 @@ FROM events"""
 
     sql["events_sessionize"] = """
 WITH flagged AS (
-  SELECT event_id, user_id,
+  SELECT event_id, user_id, ts,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_sess
@@ -660,13 +660,13 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT event_id, user_id,
-       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
 FROM flagged"""
 
     sql["events_session_stats"] = """
 WITH flagged AS (
-  SELECT user_id, epoch_us(ts) AS us,
+  SELECT user_id, event_id, epoch_us(ts) AS us,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_sess
@@ -675,7 +675,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, us,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
   FROM flagged
 )

@@ -1,3 +1,4 @@
 from nido_spark.cli import main
 
-raise SystemExit(main())
+if __name__ == "__main__":
+    raise SystemExit(main())

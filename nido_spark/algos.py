@@ -186,16 +186,19 @@ def connected_components(edges: DataFrame, max_iters: int = 100) -> DataFrame:
     round count — transcript-derived graphs have tiny diameters, so the
     simple propagation wins on constant factors.)
 
-    The input plan is materialized once up front: callers often pass DERIVED
-    edge tables (e.g. fuzzy-dedup pair graphs), and without the cut every
-    iteration would recompute the whole upstream pipeline."""
-    edges = truncate_lineage(edges)
+    The input plan is pinned once up front: callers often pass DERIVED edge
+    tables (e.g. fuzzy-dedup pair graphs), and without it every iteration
+    would recompute the whole upstream pipeline. Columnar .persist(), not
+    truncate_lineage — E-row tables belong in the compressed DataFrame
+    cache, and the trivial projection gives it a distinct cache entry so
+    unpersisting never evicts a caller-owned cache of the same input."""
+    e = edges.select("src", "dst").persist()
     labels = truncate_lineage(
-        edges.select(F.col("src").alias("v")).distinct()
+        e.select(F.col("src").alias("v")).distinct()
         .withColumn("comm", F.col("v"))
     )
     for _ in range(max_iters):
-        new_labels = truncate_lineage(cc_step(edges, labels))
+        new_labels = truncate_lineage(cc_step(e, labels))
         changed = (
             new_labels.join(labels.withColumnRenamed("comm", "old"), "v")
             .where(F.col("comm") != F.col("old"))
@@ -205,6 +208,7 @@ def connected_components(edges: DataFrame, max_iters: int = 100) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    e.unpersist()
     return labels
 
 
@@ -339,11 +343,19 @@ def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
     per iteration (the collect_list is bounded by a vertex's DEGREE, never
     the corpus), iterations ~ graph's core-hierarchy depth.
 
-    Self-loops ignored; parallel edges collapse (simple-graph semantics).
-    Isolated/self-loop-only vertices get core 0."""
-    all_v = truncate_lineage(edges.select(F.col("src").alias("v")).distinct())
+    Self-loops ignored; parallel edges collapse, and one-directional input
+    is symmetrized internally (simple-graph semantics, matching the
+    k_core_numpy oracle). Isolated/self-loop-only vertices get core 0."""
+    all_v = truncate_lineage(
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
     live = truncate_lineage(
-        edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
     )
     labels = truncate_lineage(
         live.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -158,14 +158,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    if max_bucket_size:
-        keep = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "key")
-        )
-        banded = banded.join(keep, ["band", "key"], "left_semi")
+    from nido_spark.similarity import _cap_buckets
+
+    banded = _cap_buckets(banded, max_bucket_size)
     left = banded.select("band", "key", F.col("doc_id").alias("a"))
     right = banded.select("band", "key", F.col("doc_id").alias("b"))
     return (

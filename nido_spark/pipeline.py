@@ -56,4 +56,12 @@ def prepare_corpus(
         .where((F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs))
         .select("doc_id", "n_tokens", F.round("quality", 9).alias("quality"), "lang_pred")
     )
+    # materialize the (small) result, then release the stage caches — a
+    # long-lived session calling this per shard must not leak corpus-sized
+    # cache entries
+    from nido_spark.plans import truncate_lineage
+
+    out = truncate_lineage(out)
+    exact_survivors.unpersist()
+    survivors.unpersist()
     return out

@@ -53,6 +53,13 @@ def asof_join(
     if clash:
         raise ValueError(f"suffix collision on {sorted(clash)}; pick another suffix")
 
+    # a NULL right timestamp would sort FIRST under asc() and poison every
+    # left row of its key with a bogus match; ASOF semantics (and DuckDB's
+    # ts >= ts, NULL -> false) say it can never match — drop it up front.
+    # NULL LEFT timestamps need no handling: they sort before every real
+    # right row, so last(payload) is null = no match, same as the oracle.
+    right = right.where(F.col(right_ts).isNotNull())
+
     # the union carries the LEFT payload through the window too (nulls on
     # right rows), so no row-id + re-join is needed — one shuffle total and
     # no nondeterministic ids that could diverge across branch recomputes

@@ -97,6 +97,10 @@ def _reassemble_conv(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.Da
     last_turn, last_actor = state.get if state.exists else (None, None)
     a_out, b_out = [], []
     for turn, role, tool in zip(rows["turn_idx"], rows["role"], rows["tool"]):
+        if last_turn is not None and int(turn) <= last_turn:
+            # replayed/out-of-order turn (violates the in-order contract):
+            # drop instead of double-counting its adjacency increments
+            continue
         actor = _actor_name(conv_id, role, tool)
         if last_actor is not None:
             a_out.append(min(last_actor, actor))

@@ -169,3 +169,14 @@ def test_k_core_hub_and_isolated(spark):
     ref = O.k_core_numpy([r[0] for r in rows], [r[1] for r in rows])
     assert got == ref
     assert got[0] == 1 and got[10] == got[11] == got[12] == 2 and got[99] == 0
+
+
+def test_k_core_one_directional_input(spark):
+    """Review regression: k_core symmetrizes internally, matching the
+    peeling oracle on a one-directional edge list."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["v"]: r["core"] for r in A.k_core(edges).collect()}
+    ref = O.k_core_numpy([r[0] for r in rows], [r[1] for r in rows])
+    assert got == ref
+    assert got[1] == got[2] == got[3] == 2 and got[4] == 1

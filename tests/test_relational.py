@@ -79,3 +79,18 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(7, 0)] == (2, 600 * 1_000_000)
     assert stats[(7, 1)] == (1, 0)
     assert stats[(8, 0)] == (1, 0)
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """Review regression: a NULL-timestamp right row must never match (it
+    used to sort first and poison every earlier left row of its key)."""
+    right = spark.createDataFrame(
+        [(1, None, 42.0), (1, _ts(5), 7.0)], "key long, ts timestamp, px double"
+    )
+    left = spark.createDataFrame(
+        [(1, _ts(1), "early"), (1, _ts(6), "late")],
+        "key long, ts timestamp, tag string",
+    )
+    out = {r["tag"]: r["px_asof"] for r in
+           asof_join(left, right, on="key", right_cols=["px"]).collect()}
+    assert out == {"early": None, "late": 7.0}
