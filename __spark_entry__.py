@@ -169,6 +169,13 @@ def _q_fuzzy_dedup_survivors(spark, sf):
     return D.fuzzy_dedup(_docs(spark, sf), threshold=0.6).select("doc_id")
 
 
+def _q_corpus_sample(spark, sf):
+    from nido_spark.pipeline import assign_shards, sample_corpus
+
+    s = sample_corpus(_docs(spark, sf), rate=0.25, seed=7)
+    return assign_shards(s, n_shards=4, seed=11).select("doc_id", "shard")
+
+
 def _q_corpus_prepare(spark, sf):
     from nido_spark.pipeline import prepare_corpus
 
@@ -443,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "fuzzy_dedup_survivors": _q_fuzzy_dedup_survivors,
         "corpus_prepare": _q_corpus_prepare,
+        "corpus_sample": _q_corpus_sample,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1047,6 +1055,19 @@ lbest AS (
 SELECT q.doc_id, q.n_tokens, ROUND(q.quality, 9) AS quality, lbest.lang_pred
 FROM q JOIN lbest USING (doc_id)
 WHERE q.quality >= 0.4 AND lbest.lang_pred IN ('en')"""
+
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+    )
+
+    def _bkt_sql(seed: int) -> str:
+        r1 = f"(({_SAMPLE_A1} * (doc_id + {seed}) + {_SAMPLE_B1}) % {_SAMPLE_P})"
+        return f"(({_SAMPLE_A2} * ({r1} % {1 << 30}) + {_SAMPLE_B2}) % {_SAMPLE_P2})"
+
+    thr = int(0.25 * _SAMPLE_P2)
+    sql["corpus_sample"] = f"""
+SELECT doc_id, ({_bkt_sql(11)} % 4)::INT AS shard
+FROM documents WHERE {_bkt_sql(7)} < {thr}"""
 
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["cc_full"] = _cc_full_sql(rounds=12)

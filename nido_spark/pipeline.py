@@ -24,6 +24,60 @@ from nido_spark import dedup as D
 from nido_spark import textops as X
 
 
+# two-round affine hash over a 61-bit Mersenne prime: deterministic,
+# partition- and engine-independent (plain integer arithmetic, reproducible
+# in any SQL dialect — unlike xxhash/rand-based sampling). One affine step
+# over CONSECUTIVE ids is a lattice (consecutive ids advance the bucket by
+# a constant, so short id ranges cluster badly); the second round re-mixes
+# the first round's low 30 bits, which cycle with full period (a1 odd).
+# The final modulus must be SMALL relative to a2*2^30 so the product wraps
+# it many thousands of times (equidistribution) — a 61-bit modulus wraps
+# ~once and the output is a lattice (measured 0.39 kept at rate 0.25).
+# With P2 = 2^31-1 and the MINSTD multiplier, 500 consecutive ids keep
+# 0.252-0.254 at rate 0.25 and shards split within +/-2%.
+# Overflow discipline (ANSI-safe): a1 < 2^31 against (id+seed) < 2^32;
+# a2*2^30 < 2^47.
+_SAMPLE_P = (1 << 61) - 1
+_SAMPLE_P2 = (1 << 31) - 1
+_SAMPLE_A1 = 1_103_515_245          # < 2^31, odd
+_SAMPLE_B1 = 12_345
+_SAMPLE_A2 = 48_271                 # MINSTD multiplier for mod 2^31-1
+_SAMPLE_B2 = 11_213
+
+
+def _bucket(id_col, seed: int):
+    """Two-round mix -> uniform bucket in [0, 2^31-1)."""
+    r1 = F.pmod(
+        F.lit(_SAMPLE_A1) * (F.col(id_col) + F.lit(seed)) + F.lit(_SAMPLE_B1),
+        F.lit(_SAMPLE_P),
+    )
+    low = F.pmod(r1, F.lit(1 << 30))
+    return F.pmod(F.lit(_SAMPLE_A2) * low + F.lit(_SAMPLE_B2), F.lit(_SAMPLE_P2))
+
+
+def sample_corpus(
+    docs: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ~``rate`` subsample keyed on the id: a row is kept iff
+    its affine-hash bucket falls below rate*P. Reproducible across runs,
+    engines and partitionings (never ``rand()``/``df.sample`` — those are
+    partition-layout-dependent); the standard way to carve stable
+    evaluation slices out of a 100 TB corpus. Map-only, no shuffle."""
+    threshold = int(rate * _SAMPLE_P2)
+    return docs.where(_bucket(id_col, seed) < threshold)
+
+
+def assign_shards(
+    docs: DataFrame, n_shards: int, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Add a deterministic ``shard`` column in [0, n_shards): the stable
+    train/eval/holdout or worker-sharding assignment (same hash family as
+    sample_corpus, so slices and shards compose consistently)."""
+    return docs.withColumn(
+        "shard", F.pmod(_bucket(id_col, seed), F.lit(n_shards)).cast("int")
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -239,3 +239,26 @@ def test_lsh_degenerate_bucket_cap(spark):
     assert survivors.count() == 2
     pairs = D.minhash_dedup(survivors, threshold=0.5)
     assert pairs.count() == 0
+
+
+def test_sample_and_shard_deterministic_and_balanced(docs, spark):
+    from nido_spark.pipeline import assign_shards, sample_corpus
+
+    s1 = sorted(r["doc_id"] for r in sample_corpus(docs, 0.25, seed=7).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in sample_corpus(docs.repartition(13), 0.25, seed=7).collect()
+    )
+    assert s1 == s2  # partition-layout independent
+    n = docs.count()
+    assert 0.18 * n <= len(s1) <= 0.32 * n  # close to the nominal rate
+    # different seeds give different slices
+    s3 = sorted(r["doc_id"] for r in sample_corpus(docs, 0.25, seed=8).collect())
+    assert s1 != s3
+    # shards cover every doc exactly once, reasonably balanced
+    sh = assign_shards(docs, n_shards=4, seed=11)
+    counts = {r["shard"]: r["c"] for r in
+              sh.groupBy("shard").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    assert sum(counts.values()) == n
+    assert max(counts.values()) <= 2 * min(counts.values())
