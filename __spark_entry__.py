@@ -326,6 +326,10 @@ def _q_doc_quality(spark, sf):
     )
 
 
+def _q_doc_winnow(spark, sf):
+    return X.winnow_fingerprints(_docs(spark, sf), k=5, window=4)
+
+
 def _q_doc_lang_id(spark, sf):
     return X.lang_id(_docs(spark, sf))
 
@@ -444,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _q_doc_token_count,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_winnow_fingerprints": _q_doc_winnow,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_exact_dups": _q_doc_exact_dups,
@@ -851,6 +856,26 @@ FROM documents"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}'))::INT AS n_tokens_bpe
 FROM documents"""
+
+    # winnowing: identical Horner-with-interleaved-mod integer math
+    _wh = "ord(substring(txt, CAST(p + 1 AS INT), 1))::BIGINT"
+    for _i in range(1, 5):
+        _wh = f"(({_wh}) * 257 + ord(substring(txt, CAST(p + 1 + {_i} AS INT), 1))::BIGINT) % 2147483647"
+    sql["doc_winnow_fingerprints"] = f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, length(txt) - 5), p -> ({_wh}) % 2147483647) AS hs,
+         length(txt) - 4 AS m
+  FROM t
+),
+mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, m - 3),
+                                      j -> list_min(hs[j:j+3]))) AS fps
+  FROM h WHERE m >= 4
+)
+SELECT doc_id, unnest(fps) AS fp FROM mins"""
 
     sql["doc_fingerprint"] = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
 

@@ -262,3 +262,27 @@ def test_sample_and_shard_deterministic_and_balanced(docs, spark):
     assert set(counts) == {0, 1, 2, 3}
     assert sum(counts.values()) == n
     assert max(counts.values()) <= 2 * min(counts.values())
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two docs sharing a
+    substring of length >= k + window - 1 share >= 1 fingerprint; disjoint
+    texts share none; partition-layout independent."""
+    shared = "a very distinctive shared passage of text"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " different end"),
+            (3, "zq zq zq completely unrelated material 12345 zq"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in X.winnow_fingerprints(df, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]          # shared passage -> shared fingerprint
+    assert not (fps[1] & fps[3])    # disjoint content -> disjoint prints
+    fps2 = {}
+    for r in X.winnow_fingerprints(df.repartition(3), k=5, window=4).collect():
+        fps2.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps == fps2
