@@ -158,8 +158,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    from nido_spark.plans import truncate_lineage
     from nido_spark.similarity import _cap_buckets
 
+    # the banded table feeds BOTH sides of the self-join plus the cap's
+    # bucket count — materialize once or the whole signature pipeline
+    # (explode + 32 min-aggregates) re-executes per consumer
+    banded = truncate_lineage(banded)
     banded = _cap_buckets(banded, max_bucket_size)
     left = banded.select("band", "key", F.col("doc_id").alias("a"))
     right = banded.select("band", "key", F.col("doc_id").alias("b"))
@@ -316,6 +321,9 @@ def hamming_near_pairs(signatures: DataFrame, sig_col: str = "simhash", max_dist
             )
         ).alias("bk"),
     ).select("doc_id", F.col(sig_col).alias("sig"), "bk.band", "bk.key")
+    from nido_spark.plans import truncate_lineage
+
+    bands = truncate_lineage(bands)  # both sides of the self-join read it
     left = bands.select("band", "key", F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     right = bands.select("band", "key", F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
     pairs = (

@@ -182,8 +182,12 @@ def lsh_ann_topk(
     planes = _hyperplanes(dim, n_bits, seed)
     rows_per_band = n_bits // n_bands
 
+    from nido_spark.plans import truncate_lineage
+
     cb = _cap_buckets(
-        _banded_ids(corpus, planes, n_bands, rows_per_band, id_col, vec_col, "nbr_id"),
+        truncate_lineage(
+            _banded_ids(corpus, planes, n_bands, rows_per_band, id_col, vec_col, "nbr_id")
+        ),
         max_bucket_size,
     )
     qb = _banded_ids(queries, planes, n_bands, rows_per_band, id_col, vec_col, "query_id")
@@ -312,8 +316,15 @@ def near_duplicates(
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits, seed)
     rows_per_band = n_bits // n_bands
+    # materialize the (id, band, key) table once: it feeds the bucket-cap
+    # count AND both sides of the self-join — without the cut the signature
+    # expressions (n_bits dot products per row) re-execute per consumer
+    from nido_spark.plans import truncate_lineage
+
     banded = _cap_buckets(
-        _banded_ids(corpus, planes, n_bands, rows_per_band, id_col, vec_col, "id"),
+        truncate_lineage(
+            _banded_ids(corpus, planes, n_bands, rows_per_band, id_col, vec_col, "id")
+        ),
         max_bucket_size,
     )
     left = banded.select("band", "key", F.col("id").alias("a"))
