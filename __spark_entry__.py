@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_edges(spark, sf):
-    return lineitem_edges(spark, sf)
+    return lineitem_edges(spark, sf).select("src", "dst", F.round("w", 9).alias("w"))
 
 
 def _q_degree(spark, sf):
@@ -79,7 +79,7 @@ def _q_degree(spark, sf):
 
 
 def _q_weighted_degree(spark, sf):
-    return G.vertices(lineitem_edges(spark, sf)).select("v", "k")
+    return G.vertices(lineitem_edges(spark, sf)).select("v", F.round("k", 9).alias("k"))
 
 
 def _q_max_weight(spark, sf):
@@ -87,12 +87,14 @@ def _q_max_weight(spark, sf):
 
 
 def _q_salted_weighted_degree(spark, sf):
-    return G.salted_weighted_degree(lineitem_edges(spark, sf), n_salts=8)
+    return G.salted_weighted_degree(lineitem_edges(spark, sf), n_salts=8).select(
+        "v", F.round("k", 9).alias("k")
+    )
 
 
 def _q_mass(spark, sf):
     m = G.mass(lineitem_edges(spark, sf))
-    return spark.createDataFrame([(m,)], "m double")
+    return spark.createDataFrame([(round(m, 9),)], "m double")
 
 
 def _q_degree_histogram(spark, sf):
@@ -160,7 +162,7 @@ def _q_media_thumbs(spark, sf):
 
 
 def _q_embedding_near_dups(spark, sf):
-    return S.near_duplicates(_emb(spark, sf), tau=0.3).select(
+    return S.near_duplicates(_emb(spark, sf), tau=0.3, dim=64).select(
         "a", "b", F.round("cos", 6).alias("cos")
     )
 
@@ -205,13 +207,15 @@ def _q_neighbor_comm_agg(spark, sf):
         )
         .join(lab_dst, "dst")
         .groupBy("src", "dst_comm")
-        .agg(F.sum("w_eff").alias("e_vc"))
+        .agg(F.round(F.sum("w_eff"), 9).alias("e_vc"))
     )
 
 
 def _q_coarsen(spark, sf):
     edges = lineitem_edges(spark, sf)
-    return L.coarsen(edges, _mod10_labels(edges))
+    return L.coarsen(edges, _mod10_labels(edges)).select(
+        "src", "dst", F.round("w", 9).alias("w")
+    )
 
 
 def _q_modularity_mod10(spark, sf):
@@ -393,7 +397,9 @@ def _q_ann_ivf_topk(spark, sf):
 def _q_ann_lsh_topk(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") < 3)
-    out = S.lsh_ann_topk(emb, queries, k=5, n_bits=16, n_bands=8)
+    # dim pinned to 64 on BOTH sides (the oracle embeds 64-dim plane
+    # literals); a fixture dim change must fail loudly, not desynchronize
+    out = S.lsh_ann_topk(emb, queries, k=5, n_bits=16, n_bands=8, dim=64)
     return out.select("query_id", "nbr_id", F.round("cos", 6).alias("cos"), "rank")
 
 
@@ -645,7 +651,7 @@ def _transcript_values_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
-    sql["edges"] = f"{_E} SELECT src, dst, w FROM e"
+    sql["edges"] = f"{_E} SELECT src, dst, ROUND(w, 9) AS w FROM e"
 
     sql["events_edges"] = EVENTS_EDGES_SQL
 
@@ -699,15 +705,15 @@ FROM sess GROUP BY 1, 2"""
 
     sql["degree"] = f"{_E} SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src"
 
-    sql["weighted_degree"] = f"{_E} SELECT src AS v, SUM(w) AS k FROM e GROUP BY src"
+    sql["weighted_degree"] = f"{_E} SELECT src AS v, ROUND(SUM(w), 9) AS k FROM e GROUP BY src"
 
     sql["salted_weighted_degree"] = (
-        f"{_E} SELECT src AS v, SUM(w) AS k FROM e GROUP BY src"
+        f"{_E} SELECT src AS v, ROUND(SUM(w), 9) AS k FROM e GROUP BY src"
     )
 
     sql["max_weight"] = f"{_E} SELECT src AS v, MAX(w) AS max_w FROM e GROUP BY src"
 
-    sql["mass"] = f"{_E} SELECT SUM(w) / 2.0 AS m FROM e"
+    sql["mass"] = f"{_E} SELECT ROUND(SUM(w) / 2.0, 9) AS m FROM e"
 
     sql["max_order"] = f"""{_E},
 deg AS (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src)
@@ -750,11 +756,11 @@ FROM i, m"""
 
     sql["neighbor_comm_agg"] = f"""{_E}
 SELECT src, dst % 10 AS dst_comm,
-       SUM(CASE WHEN src = dst THEN 0 ELSE w END) AS e_vc
+       ROUND(SUM(CASE WHEN src = dst THEN 0 ELSE w END), 9) AS e_vc
 FROM e GROUP BY 1, 2"""
 
     sql["coarsen_contract"] = f"""{_E}
-SELECT src % 10 AS src, dst % 10 AS dst, SUM(w) AS w FROM e GROUP BY 1, 2"""
+SELECT src % 10 AS src, dst % 10 AS dst, ROUND(SUM(w), 9) AS w FROM e GROUP BY 1, 2"""
 
     sql["louvain_gain_step"] = f"""{_E},
 k AS (SELECT src AS v, SUM(w) AS k FROM e GROUP BY src),
@@ -848,8 +854,8 @@ JOIN closing c ON c.x = e1.b AND c.y = e2.b"""
 
     sql["doc_token_count"] = r"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+            ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
 FROM documents"""
 
     sql["doc_token_count_bpe"] = rf"""
@@ -883,11 +889,11 @@ SELECT doc_id, unnest(fps) AS fp FROM mins"""
 WITH t AS (
   SELECT doc_id,
          length(text) AS n_chars_obs,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
          length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
                                    x -> list_contains({_STOP_SQL}, lower(x)))) END AS n_stop
   FROM documents
 )
@@ -904,8 +910,8 @@ FROM t"""
     for code in sorted(X.LANG_MARKERS):
         marks = "[" + ", ".join(f"'{m}'" for m in X.LANG_MARKERS[code]) + "]"
         lang_cases.append(
-            f"(SELECT '{code}' AS c, CASE WHEN trim(text)='' THEN 0 ELSE "
-            f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"(SELECT '{code}' AS c, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 ELSE "
+            f"len(list_filter(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
             f"x -> list_contains({marks}, lower(x)))) END AS s)"
         )
     sql["doc_lang_id"] = rf"""
@@ -1049,11 +1055,11 @@ docs1 AS (SELECT * FROM docs0 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
 qt AS (
   SELECT doc_id,
          length(text) AS n_chars_obs,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
          length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
                                    x -> list_contains({_STOP_SQL}, lower(x)))) END AS n_stop
   FROM docs1
 ),

@@ -124,10 +124,24 @@ class LouvainCheckpointer:
         flat = spark.read.parquet(os.path.join(pdir, "flat"))
         with open(os.path.join(pdir, "metrics.json")) as f:
             metrics = json.load(f)
-        want_edges = sum(p["rows"] for p in metrics["edges"]["partitions"])
-        want_flat = sum(p["rows"] for p in metrics["flat"]["partitions"])
-        if edges.count() != want_edges or flat.count() != want_flat:
-            raise IOError(
-                f"checkpoint {pdir} is corrupt: row counts do not match metrics"
-            )
+        for name, df in (("edges", edges), ("flat", flat)):
+            parts = metrics[name]["partitions"]
+            want_rows = sum(p["rows"] for p in parts)
+            # per-partition checksums are write-layout-specific, but their
+            # SUM is a partition-independent content checksum (sum of
+            # per-row xxhash64) — verify it, not just the row count, so a
+            # same-cardinality corruption (duplicated row replacing a lost
+            # one, bit-rot in values) cannot slip through
+            want_sum = sum(int(p["checksum"]) for p in parts)
+            got = df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+            ).first()
+            got_rows = got["rows"]
+            got_sum = int(got["h"]) if got["h"] is not None else 0
+            if got_rows != want_rows or got_sum != want_sum:
+                raise IOError(
+                    f"checkpoint {pdir}/{name} is corrupt: rows {got_rows} vs "
+                    f"{want_rows}, content checksum {got_sum} vs {want_sum}"
+                )
         return edges, flat, phase, man.get("history", [])

@@ -59,7 +59,14 @@ def _load_edges(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     cols = set(df.columns)
     if {"src", "dst", "w"} <= cols:
-        return normalize_edges(df.select("src", "dst", "w"))
+        e = df.select("src", "dst", "w")
+        # an already-symmetric table (e.g. one this engine wrote) must NOT
+        # be mirrored again — that doubles every weight. validate_edges'
+        # asym==0 detects the canonical form exactly.
+        from nido_spark.graph import validate_edges
+
+        already_symmetric = validate_edges(e)["asym"] == 0
+        return normalize_edges(e, symmetrize=not already_symmetric)
     if {"conv_id", "turn_idx", "role"} <= cols:
         return transcripts_to_edges(read_transcripts(spark, path))
     raise SystemExit(

@@ -272,7 +272,8 @@ def louvain(
     flat = singleton_labels(edges)  # orig vertex -> current super-vertex
     flat = truncate_lineage(flat)
 
-    if G.mass(edges) <= 0.0:  # empty / all-nonpositive input: nothing to do
+    m_first = G.mass(edges)  # reused by phase 0 below — one E-scan, not two
+    if m_first <= 0.0:  # empty / all-nonpositive input: nothing to do
         return LouvainRunResult(flat, 0.0, 0, 0, [])
 
     history: list[dict] = []
@@ -288,6 +289,7 @@ def louvain(
             edges, flat, start_phase, history = resumed
             total_sweeps = sum(1 for h in history)
             n_phases = start_phase
+            m_first = None  # edges replaced — recompute mass in the loop
 
     while not done and n_phases < max_phases:
         if local_threshold and edges.count() <= local_threshold:
@@ -297,7 +299,11 @@ def louvain(
                 dense_relabel,
             )
         verts = truncate_lineage(G.vertices(edges))
-        m = G.mass(edges)
+        # mass is invariant across phases, but per-phase recompute keeps the
+        # FP provenance identical to the NumPy oracle (which re-sums the
+        # coarsened weights); only the duplicate phase-0 scan is skipped
+        m = m_first if m_first is not None else G.mass(edges)
+        m_first = None
         labels = truncate_lineage(singleton_labels(edges))
         Q = modularity(edges, labels, m, verts)
         Q_phase_start = Q

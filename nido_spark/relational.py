@@ -62,21 +62,26 @@ def asof_join(
 
     # the union carries the LEFT payload through the window too (nulls on
     # right rows), so no row-id + re-join is needed — one shuffle total and
-    # no nondeterministic ids that could diverge across branch recomputes
+    # no nondeterministic ids that could diverge across branch recomputes.
+    # The right payload travels as ONE struct: per-column last(ignorenulls)
+    # would backfill a NULL field from an OLDER right row, stitching fields
+    # of different right rows together (and an all-NULL payload row would
+    # be invisible). A struct is non-null whenever the row exists, so the
+    # window carries the whole matched row or nothing.
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        F.struct(*[F.col(c).alias(p) for c, p in zip(right_cols, payload)]).alias("_pay"),
     )
+    pay_type = r.schema["_pay"].dataType
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *left_cols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(p)
-          for c, p in zip(right_cols, payload)],
+        F.lit(None).cast(pay_type).alias("_pay"),
     )
     # side=0 sorts before side=1 at equal ts -> inclusive match
     w = (
@@ -87,9 +92,11 @@ def asof_join(
     carried = r.unionByName(l).select(
         "_side",
         *left_cols,
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
     )
-    return carried.where(F.col("_side") == 1).select(*left_cols, *payload)
+    return carried.where(F.col("_side") == 1).select(
+        *left_cols, *[F.col(f"_pay.{p}").alias(p) for p in payload]
+    )
 
 
 def sessionize(

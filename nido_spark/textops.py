@@ -34,9 +34,16 @@ LANG_MARKERS = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens; empty/blank text -> empty array."""
-    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(col), r"\s+")
+    """Whitespace tokens; empty/blank text -> empty array.
+
+    Trims ALL leading/trailing whitespace via regex before splitting —
+    plain trim() strips spaces only, and a trailing \\n/\\t makes Spark's
+    split (drops trailing empties) and DuckDB's regexp_split_to_array
+    (keeps them) disagree on the token count. Regex-trim on both sides
+    removes the divergence class entirely."""
+    t = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
     )
 
 

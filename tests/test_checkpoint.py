@@ -66,3 +66,23 @@ def test_partition_metrics_shape(karate):
     pm = partition_metrics(edges)
     assert sum(p["rows"] for p in pm) == edges.count()
     assert all(set(p) == {"partition", "rows", "checksum"} for p in pm)
+
+
+def test_same_cardinality_corruption_detected(karate, tmp_path):
+    """Row counts intact but content tampered: the partition-independent
+    content checksum (sum of per-row xxhash64) must catch it."""
+    edges, _ = karate
+    root = str(tmp_path / "ckpt3")
+    L.louvain(edges, nbatches=2, checkpointer=LouvainCheckpointer(root), local_threshold=0)
+    man = json.load(open(os.path.join(root, "manifest.json")))
+    man["done"] = False
+    json.dump(man, open(os.path.join(root, "manifest.json"), "w"))
+    pdir = os.path.join(root, f"phase_{man['phase']:04d}")
+    metrics = json.load(open(os.path.join(pdir, "metrics.json")))
+    # same rows, different content claim -> checksum mismatch on resume
+    metrics["flat"]["partitions"][0]["checksum"] = str(
+        int(metrics["flat"]["partitions"][0]["checksum"]) + 1
+    )
+    json.dump(metrics, open(os.path.join(pdir, "metrics.json"), "w"))
+    with pytest.raises(IOError, match="content checksum"):
+        LouvainCheckpointer(root).resume(edges.sparkSession)
