@@ -679,8 +679,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT event_id, user_id,
-       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+       (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
 FROM flagged"""
 
     sql["events_session_stats"] = """
@@ -694,8 +694,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, us,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,

@@ -25,6 +25,41 @@ TABLES = [
 ]
 
 
+def dtype_family(dt) -> str:
+    """Coarse dtype family used to replicate the driver's value-hash semantics.
+
+    The driver canonicalizes cell values before hashing, so Spark bigint 0 vs
+    DuckDB HUGEINT-surfaced-as-float 0.0 hash DIFFERENTLY even though numpy
+    broadcast equality says they match. Round 2 shipped exactly that bug
+    (events_sessionize/events_session_stats): values identical row-for-row,
+    driver hash red. Int-vs-float (or any family mismatch) is therefore a
+    local FAILURE, not a pass.
+    """
+    if isinstance(dt, pd.CategoricalDtype):
+        return "object"
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.datetime64):
+        return "datetime"
+    return "object"
+
+
+def family_mismatch(g: pd.DataFrame, w: pd.DataFrame) -> str | None:
+    """Return a description of the first per-column dtype-family divergence."""
+    for c in sorted(set(g.columns) & set(w.columns)):
+        fg, fw = dtype_family(g[c].dtype), dtype_family(w[c].dtype)
+        if fg != fw:
+            return (
+                f"col {c} dtype family spark={fg}({g[c].dtype}) vs "
+                f"oracle={fw}({w[c].dtype}) — driver value-hash WILL differ"
+            )
+    return None
+
+
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -65,6 +100,11 @@ def main() -> int:
             want = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error {str(ex)[:200]}")
+            failures += 1
+            continue
+        fam_bad = family_mismatch(got, want)
+        if fam_bad:
+            print(f"FAIL  {name}: {fam_bad}")
             failures += 1
             continue
         g, w = norm_frame(got), norm_frame(want)
