@@ -115,8 +115,9 @@ def _q_luby_coloring(spark, sf):
 
 
 def _q_k_core(spark, sf):
-    # rows-only: data-dependent peeling depth is not unrollable in SQL;
-    # pinned by the Batagelj-Zaversnik NumPy oracle in tests/test_algos.py
+    # value-checked vs _k_core_full_sql (unrolled H-index iteration, no-op
+    # past the fixpoint); also pinned by the Batagelj-Zaversnik NumPy
+    # oracle in tests/test_algos.py
     return A.k_core(lineitem_edges(spark, sf))
 
 
@@ -578,6 +579,40 @@ l{i + 1} AS MATERIALIZED (SELECT l{i}.v, LEAST(l{i}.comm, COALESCE(nb{i}.mn, l{i
            FROM l{i} LEFT JOIN nb{i} USING (v))"""
         )
     parts.append(f"\nSELECT v, comm FROM l{rounds}")
+    return "".join(parts)
+
+
+def _k_core_full_sql(iters: int = 8) -> str:
+    """H-index iteration unrolled past the fixpoint (the lineitem graph
+    converges in 4 iterations at sf0.01; extra rounds are exact no-ops).
+    Mirrors algos.k_core: same count-based H-index
+    H = max_i LEAST(d_i, cumulative-count-at-d_i) over distinct neighbor
+    values. Every windowed SUM and COUNT is cast to BIGINT so the DuckDB
+    HUGEINT surface can never diverge from Spark's long (the r2
+    events_sessionize hash-fail class)."""
+    parts = [
+        f"""{_E},
+half AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT src, dst FROM half UNION SELECT dst, src FROM half),
+allv AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+k0 AS MATERIALIZED (SELECT src AS v, COUNT(*)::BIGINT AS c FROM sym GROUP BY 1)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+b{i} AS MATERIALIZED (SELECT s.dst AS v, k{i}.c AS cv, COUNT(*)::BIGINT AS cnt
+        FROM sym s JOIN k{i} ON s.src = k{i}.v GROUP BY 1, 2),
+h{i} AS MATERIALIZED (SELECT v, MAX(LEAST(cv, cum))::BIGINT AS h FROM (
+          SELECT v, cv,
+                 (SUM(cnt) OVER (PARTITION BY v ORDER BY cv DESC))::BIGINT AS cum
+          FROM b{i}) GROUP BY v),
+k{i + 1} AS MATERIALIZED (SELECT k{i}.v, LEAST(k{i}.c, h{i}.h) AS c
+          FROM k{i} JOIN h{i} USING (v))"""
+        )
+    parts.append(
+        f"""
+SELECT allv.v, COALESCE(k{iters}.c, 0)::BIGINT AS core
+FROM allv LEFT JOIN k{iters} ON allv.v = k{iters}.v"""
+    )
     return "".join(parts)
 
 
@@ -1103,6 +1138,7 @@ FROM documents WHERE {_bkt_sql(7)} < {thr}"""
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["cc_full"] = _cc_full_sql(rounds=12)
     sql["lpa_full"] = _lpa_full_sql(nbatches=4, max_iters=8)
+    sql["k_core"] = _k_core_full_sql(iters=8)
 
     sql["media_stats"] = f"""
 WITH m(media_id, kind, width, height, duration_ms) AS (VALUES {_media_values_sql(False)})

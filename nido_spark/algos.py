@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nido_spark import graph as G
@@ -337,15 +337,30 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
 def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
     """(v, core) coreness via H-index iteration (Lu et al., "The H-index of
     a network node and its relation to degree and coreness", Nat. Commun.
-    2016): c_0(v) = degree, c_{t+1}(v) = H-index of the neighbors' c_t;
+    2016): c_0(v) = degree, c_{t+1}(v) = min(c_t(v), H(neighbors' c_t));
     the sequence is monotone non-increasing and converges exactly to the
-    core number. Distributed shape: one E-row join + one bounded groupBy
-    per iteration (the collect_list is bounded by a vertex's DEGREE, never
-    the corpus), iterations ~ graph's core-hierarchy depth.
+    core number.
+
+    The H-index is computed WITHOUT materializing a neighbor array:
+    H(S) = max{h : |{x in S : x >= h}| >= h} = max_i min(d_i, N_i), where
+    d_1 > d_2 > ... are the distinct values of S and N_i the count of
+    elements >= d_i. Per iteration that is (a) one E-row join + groupBy
+    (v, value) -> cnt (map-side combinable; output is DISTINCT neighbor
+    values per vertex, not neighbors), (b) a per-vertex window cumulative
+    sum over those distinct-value rows (sort-based and SPILLABLE — unlike a
+    collect_list aggregation buffer, a 10^8-degree hub never builds a
+    10^8-element in-memory array in one task), (c) a groupBy(v) max. The
+    iteration count ~ the graph's core-hierarchy depth.
 
     Self-loops ignored; parallel edges collapse, and one-directional input
     is symmetrized internally (simple-graph semantics, matching the
-    k_core_numpy oracle). Isolated/self-loop-only vertices get core 0."""
+    k_core_numpy oracle). Isolated/self-loop-only vertices get core 0.
+
+    Raises ``RuntimeError`` if ``max_iters`` is exhausted before the
+    fixpoint (same safety-valve contract as ``luby_mis_coloring`` — a
+    silently non-converged upper bound is not a core number); path-like
+    graphs can need O(diameter) iterations, so raise ``max_iters`` rather
+    than trusting a truncated result."""
     all_v = truncate_lineage(
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -360,22 +375,22 @@ def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
     labels = truncate_lineage(
         live.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    w_desc = Window.partitionBy("v").orderBy(F.desc("cv"))
+    converged = False
     for _ in range(max_iters):
         lab_src = labels.select(F.col("v").alias("src"), F.col("c").alias("c_src"))
-        nbr = (
+        buckets = (
             live.join(lab_src, "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sort_array(F.collect_list("c_src"), asc=False).alias("cs"))
+            .groupBy(F.col("dst").alias("v"), F.col("c_src").alias("cv"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
-        n = F.size("cs")
-        h = F.size(
-            F.filter(
-                F.zip_with("cs", F.sequence(F.lit(1), n), lambda c, i: c >= i),
-                lambda x: x,
-            )
-        ).cast("long")
+        hidx = (
+            buckets.withColumn("cum", F.sum("cnt").over(w_desc))
+            .groupBy("v")
+            .agg(F.max(F.least(F.col("cv"), F.col("cum"))).alias("h"))
+        )
         new_labels = truncate_lineage(
-            labels.join(nbr, "v").select("v", F.least("c", h).alias("c"))
+            labels.join(hidx, "v").select("v", F.least("c", "h").alias("c"))
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("c", "old"), "v")
@@ -385,7 +400,14 @@ def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"k_core: max_iters={max_iters} exhausted before the H-index "
+            f"fixpoint — the labels are an upper bound, not core numbers; "
+            f"raise max_iters"
+        )
     return all_v.join(labels, "v", "left").select(
         "v", F.coalesce("c", F.lit(0)).alias("core")
     )
