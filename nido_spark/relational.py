@@ -14,18 +14,85 @@ composition the build brief calls out for operators Spark lacks natively:
   exact integer microseconds (unix_micros / epoch_us), never floating
   seconds.
 
-Skew note (100 TB): both partition by the entity key; a mega-hot key lands
-in one window partition. The sort spills, but if one key's event volume
-exceeds a single task's disk budget, pre-split by coarse time range and
-stitch the boundary rows (the asof tag-union makes the stitch a second
-tiny window over range boundaries). Not implemented here — documented as
-the scale-out path.
+Skew (100 TB): both partition by the entity key, so a mega-hot key lands in
+one window partition. The sort spills, but one task still reads the whole
+key. Both operators therefore take ``hot_key_threshold``: keys whose row
+count exceeds it are PRE-SPLIT into ``hot_key_buckets`` coarse time ranges,
+the window runs per (key, bucket), and a second TINY window over the
+per-bucket boundary summaries (≤ buckets rows per hot key) stitches the
+carried state across range boundaries — bounded per-task input, identical
+output to the single-window rendering (equality is pytest-pinned in
+tests/test_relational.py). Default ``None`` keeps the one-shuffle plan for
+ordinary data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+
+def _free_names(wanted: list[str], taken: set[str]) -> list[str]:
+    """Derive internal working-column names guaranteed absent from ``taken``
+    (user tables may legitimately contain ``_k``/``_pay``/...; silently
+    colliding would misbind or fail at analysis time)."""
+    out: list[str] = []
+    used = set(taken)
+    for w in wanted:
+        n = w
+        while n in used:
+            n += "_"
+        used.add(n)
+        out.append(n)
+    return out
+
+
+def _ts_long(df: DataFrame, ts_name: str) -> Column:
+    """A sortable integer rendering of the timestamp column: exact unix
+    microseconds for temporal types, a long cast otherwise. Only used for
+    COARSE bucket assignment, so any monotone mapping is correct."""
+    dt = df.schema[ts_name].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+        return F.unix_micros(F.col(ts_name).cast("timestamp"))
+    return F.col(ts_name).cast("long")
+
+
+def _with_time_buckets(
+    df: DataFrame,
+    key: str,
+    us: Column,
+    threshold: int,
+    n_buckets: int,
+    bucket_name: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Add ``bucket_name``: 0 for ordinary keys; for keys with more than
+    ``threshold`` rows, a coarse time-range index in [0, n_buckets]. The
+    per-key stats aggregation is map-side combinable and its output (hot
+    keys only) is broadcast back — no extra shuffle of the data itself.
+    Returns (bucketed df, hot-key table). Bucket assignment is monotone in
+    the timestamp, which is all the boundary stitch requires."""
+    mn, mx, n = _free_names(["_mn", "_mx", "_n"], set(df.columns) | {bucket_name})
+    stats = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias(n), F.min(us).alias(mn), F.max(us).alias(mx))
+        .where(F.col(n) > threshold)
+    )
+    # width = floor((mx-mn)/n_buckets)+1 >= 1 => bucket in [0, n_buckets];
+    # micro timestamps are ~2^50, differences far below 2^53, so the
+    # double division inside floor() is exact (ANSI-safe, no overflow).
+    width = F.floor((F.col(mx) - F.col(mn)) / F.lit(n_buckets)) + F.lit(1)
+    out = (
+        df.join(F.broadcast(stats.select(key, mn, mx)), key, "left")
+        .withColumn(
+            bucket_name,
+            F.when(F.col(mn).isNull(), F.lit(0))
+            .otherwise(F.floor((us - F.col(mn)) / width))
+            .cast("long"),
+        )
+        .drop(mn, mx)
+    )
+    return out, stats.select(key)
 
 
 def asof_join(
@@ -36,6 +103,8 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    hot_key_threshold: int | None = None,
+    hot_key_buckets: int = 32,
 ) -> DataFrame:
     """Backward-inclusive as-of join: each left row gains the right row with
     the largest ``right_ts <= left_ts`` for the same ``on`` key (nulls when
@@ -44,7 +113,13 @@ def asof_join(
 
     Plan shape: tag both sides, union, ONE window over (key, ts, side) with
     ``last(payload, ignorenulls=True)`` — a single hash-partition shuffle,
-    no range join, no per-key collect."""
+    no range join, no per-key collect.
+
+    With ``hot_key_threshold`` set, keys above the threshold are pre-split
+    into ``hot_key_buckets`` time ranges; the carry window runs per
+    (key, bucket) and a second tiny window over per-bucket last-payload
+    summaries computes each bucket's carry-in, coalesced onto rows whose
+    within-bucket carry is null. Identical output, bounded per-task sort."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     payload = [f"{c}{suffix}" for c in right_cols]
@@ -52,6 +127,10 @@ def asof_join(
     clash = set(payload) & set(left_cols)
     if clash:
         raise ValueError(f"suffix collision on {sorted(clash)}; pick another suffix")
+    K, TS, SIDE, PAY, B, BLAST, CARRY = _free_names(
+        ["_k", "_ts", "_side", "_pay", "_b", "_blast", "_carry"],
+        set(left_cols) | set(right.columns) | set(payload),
+    )
 
     # a NULL right timestamp would sort FIRST under asc() and poison every
     # left row of its key with a bogus match; ASOF semantics (and DuckDB's
@@ -69,33 +148,76 @@ def asof_join(
     # be invisible). A struct is non-null whenever the row exists, so the
     # window carries the whole matched row or nothing.
     r = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.col(on).alias(K),
+        F.col(right_ts).alias(TS),
+        F.lit(0).alias(SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        F.struct(*[F.col(c).alias(p) for c, p in zip(right_cols, payload)]).alias("_pay"),
+        F.struct(*[F.col(c).alias(p) for c, p in zip(right_cols, payload)]).alias(PAY),
     )
-    pay_type = r.schema["_pay"].dataType
+    pay_type = r.schema[PAY].dataType
     l = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.col(on).alias(K),
+        F.col(left_ts).alias(TS),
+        F.lit(1).alias(SIDE),
         *left_cols,
-        F.lit(None).cast(pay_type).alias("_pay"),
+        F.lit(None).cast(pay_type).alias(PAY),
     )
-    # side=0 sorts before side=1 at equal ts -> inclusive match
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+    u = r.unionByName(l)
+
+    if hot_key_threshold is None:
+        # side=0 sorts before side=1 at equal ts -> inclusive match
+        w = (
+            Window.partitionBy(K)
+            .orderBy(F.col(TS).asc(), F.col(SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.select(
+            SIDE,
+            *left_cols,
+            F.last(PAY, ignorenulls=True).over(w).alias(PAY),
+        )
+        return carried.where(F.col(SIDE) == 1).select(
+            *left_cols, *[F.col(f"{PAY}.{p}").alias(p) for p in payload]
+        )
+
+    u, hot_keys = _with_time_buckets(
+        u, K, _ts_long(u, TS), hot_key_threshold, hot_key_buckets, B
+    )
+    w1 = (
+        Window.partitionBy(K, B)
+        .orderBy(F.col(TS).asc(), F.col(SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l).select(
-        "_side",
+    carried = u.select(
+        SIDE, K, B,
         *left_cols,
-        F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
+        F.last(PAY, ignorenulls=True).over(w1).alias(PAY),
     )
-    return carried.where(F.col("_side") == 1).select(
-        *left_cols, *[F.col(f"_pay.{p}").alias(p) for p in payload]
+    # boundary stitch: per HOT (key, bucket), the last right payload inside
+    # the bucket; a tiny per-key window (<= buckets rows) carries it across
+    # bucket boundaries. Ordinary keys (single bucket, no carry row) fall
+    # out of the left join as null carry — exact single-window semantics.
+    hot_u = u.join(F.broadcast(hot_keys), K, "left_semi")
+    blast = (
+        hot_u.where(F.col(PAY).isNotNull())
+        .groupBy(K, B)
+        .agg(F.max_by(PAY, F.struct(F.col(TS), F.col(SIDE))).alias(BLAST))
+    )
+    w2 = (
+        Window.partitionBy(K)
+        .orderBy(F.col(B).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        hot_u.select(K, B).distinct()
+        .join(blast, [K, B], "left")
+        .select(K, B, F.last(BLAST, ignorenulls=True).over(w2).alias(CARRY))
+    )
+    stitched = carried.join(F.broadcast(carry), [K, B], "left").withColumn(
+        PAY, F.coalesce(PAY, CARRY)
+    )
+    return stitched.where(F.col(SIDE) == 1).select(
+        *left_cols, *[F.col(f"{PAY}.{p}").alias(p) for p in payload]
     )
 
 
@@ -105,27 +227,86 @@ def sessionize(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     order_tiebreak: str | None = "event_id",
+    hot_key_threshold: int | None = None,
+    hot_key_buckets: int = 32,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the key's previous event exceeds ``gap_seconds``. Adds ``session_idx``
     (0-based per key) — one window partition pass, integer-microsecond
-    comparisons."""
+    comparisons.
+
+    With ``hot_key_threshold`` set, hot keys are pre-split into coarse time
+    buckets; per (key, bucket) windows compute local lags and interior
+    session starts, a tiny per-key window over bucket summaries resolves
+    each bucket's carry-in (previous bucket's last timestamp) and start
+    offset, and the per-row index is offset + local running sum. Identical
+    output, bounded per-task sort."""
     order = [F.col(ts_col).asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
-    w = Window.partitionBy(key).orderBy(*order)
     # parquet TIMESTAMP_NTZ -> timestamp (session tz is pinned to UTC)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev = F.lag(us).over(w)
-    new_sess = F.when(
-        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
-    ).otherwise(0)
-    running = Window.partitionBy(key).orderBy(*order).rowsBetween(
+    gap_us = gap_seconds * 1_000_000
+
+    if hot_key_threshold is None:
+        w = Window.partitionBy(key).orderBy(*order)
+        prev = F.lag(us).over(w)
+        new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+        running = Window.partitionBy(key).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return events.withColumn(
+            "session_idx", (F.sum(new_sess).over(running) - 1).cast("long")
+        )
+
+    cols = list(events.columns)
+    B, FIRST, LAST, INT, PREVL, OFF = _free_names(
+        ["_b", "_first_us", "_last_us", "_interior", "_prev_last", "_off"], set(cols)
+    )
+    ev, _hot = _with_time_buckets(
+        events, key, us, hot_key_threshold, hot_key_buckets, B
+    )
+    w_kb = Window.partitionBy(key, B).orderBy(*order)
+    running_kb = Window.partitionBy(key, B).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return events.withColumn(
-        "session_idx", (F.sum(new_sess).over(running) - 1).cast("long")
+    prev_local = F.lag(us).over(w_kb)
+    interior = F.when(prev_local.isNotNull() & ((us - prev_local) > gap_us), 1).otherwise(0)
+    # bucket summaries reuse the (key, bucket) hash partitioning from the
+    # window — no second shuffle of the event rows.
+    bstats = (
+        ev.select(key, B, us.alias(FIRST), interior.alias(INT))
+        .groupBy(key, B)
+        .agg(
+            F.min(FIRST).alias(FIRST),
+            F.max(FIRST).alias(LAST),
+            F.sum(INT).alias(INT),
+        )
     )
+    wb = Window.partitionBy(key).orderBy(F.col(B).asc())
+    prev_last = F.lag(LAST).over(wb)
+    first_start = F.when(
+        prev_last.isNull() | ((F.col(FIRST) - prev_last) > gap_us), 1
+    ).otherwise(0)
+    starts = first_start + F.col(INT)
+    offset = F.coalesce(
+        F.sum(starts).over(
+            Window.partitionBy(key).orderBy(F.col(B).asc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    carry = bstats.select(
+        key, B, prev_last.alias(PREVL), offset.alias(OFF)
+    )
+    ev2 = ev.join(F.broadcast(carry), [key, B], "left")
+    prev_any = F.coalesce(F.lag(us).over(w_kb), F.col(PREVL))
+    new_sess = F.when(prev_any.isNull() | ((us - prev_any) > gap_us), 1).otherwise(0)
+    return ev2.withColumn(
+        "session_idx",
+        (F.col(OFF) + F.sum(new_sess).over(running_kb) - 1).cast("long"),
+    ).select(*cols, "session_idx")
 
 
 def extract_json_field(
@@ -150,10 +331,15 @@ def session_stats(
     key: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    hot_key_threshold: int | None = None,
+    hot_key_buckets: int = 32,
 ) -> DataFrame:
     """(key, session_idx, n_events, duration_us, t_start, t_end) — the
     per-session rollup on top of sessionize; one additional groupBy."""
-    s = sessionize(events, key, ts_col, gap_seconds)
+    s = sessionize(
+        events, key, ts_col, gap_seconds,
+        hot_key_threshold=hot_key_threshold, hot_key_buckets=hot_key_buckets,
+    )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     return s.groupBy(key, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -3,6 +3,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from nido_spark.relational import asof_join, session_stats, sessionize
 
@@ -94,3 +95,108 @@ def test_asof_join_null_right_ts_never_matches(spark):
     out = {r["tag"]: r["px_asof"] for r in
            asof_join(left, right, on="key", right_cols=["px"]).collect()}
     assert out == {"early": None, "late": 7.0}
+
+
+# ---------------------------------------------------------------------------
+# hot-key pre-split (coarse-time-range bucketing + boundary stitch)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def skewed_events(spark):
+    """One mega-hot key (~2000 rows, bursty gaps) + a handful of cold keys;
+    deterministic timestamps so both renderings are exactly comparable."""
+    rows = []
+    eid = 0
+    t = 0
+    for i in range(2000):
+        # bursts of ~7 events 1s apart, then a gap alternating above/below
+        # the 30-minute session threshold; exercises session boundaries
+        # falling ON and OFF bucket boundaries
+        t += 1_000_000 if i % 7 else (2_000_000_000 if i % 14 else 1_500_000_000)
+        rows.append((eid, 999, t)); eid += 1
+    for k in range(5):
+        for i in range(10):
+            rows.append((eid, k, i * 2_000_000_000 + k)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    return df.select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+
+
+def test_sessionize_hot_key_split_equals_single_window(skewed_events):
+    base = sessionize(skewed_events).select("event_id", "session_idx")
+    split = sessionize(
+        skewed_events, hot_key_threshold=100, hot_key_buckets=16
+    ).select("event_id", "session_idx")
+    assert split.schema == base.schema
+    got = {r["event_id"]: r["session_idx"] for r in split.collect()}
+    want = {r["event_id"]: r["session_idx"] for r in base.collect()}
+    assert got == want
+
+
+def test_sessionize_hot_key_split_bounds_partition_size(skewed_events):
+    """The point of the split: no (key, bucket) window partition sees the
+    hot key's full row count."""
+    from nido_spark.relational import _with_time_buckets
+
+    us = F.unix_micros(F.col("ts"))
+    bucketed, hot = _with_time_buckets(
+        skewed_events, "user_id", us, threshold=100, n_buckets=16, bucket_name="_b"
+    )
+    assert [r["user_id"] for r in hot.collect()] == [999]
+    sizes = (
+        bucketed.where(F.col("user_id") == 999)
+        .groupBy("_b").count().collect()
+    )
+    assert len(sizes) > 4  # genuinely split across many time ranges
+    assert max(r["count"] for r in sizes) < 2000 / 2  # bounded per-task input
+
+
+def test_session_stats_hot_key_split_equals_single_window(skewed_events):
+    cols = ["user_id", "session_idx", "n_events", "duration_us"]
+    base = sorted(session_stats(skewed_events).select(cols).collect())
+    split = sorted(
+        session_stats(skewed_events, hot_key_threshold=100, hot_key_buckets=16)
+        .select(cols).collect()
+    )
+    assert split == base
+
+
+def test_asof_join_hot_key_split_equals_single_window(spark, skewed_events):
+    """Right side sparse (every ~50th event is a 'click'): most buckets have
+    NO right row, so the carry-in must stitch across several empty buckets."""
+    left = skewed_events
+    right = (
+        skewed_events.where(F.col("event_id") % 50 == 0)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    kw = dict(on="user_id", right_cols=["click_id"])
+    base = asof_join(left, right, **kw).select("event_id", "click_id_asof")
+    split = asof_join(
+        left, right, hot_key_threshold=100, hot_key_buckets=16, **kw
+    ).select("event_id", "click_id_asof")
+    assert split.schema == base.schema
+    got = {r["event_id"]: r["click_id_asof"] for r in split.collect()}
+    want = {r["event_id"]: r["click_id_asof"] for r in base.collect()}
+    assert got == want
+
+
+def test_asof_join_internal_name_clash_tolerated(spark):
+    """Left tables may legitimately contain _k/_ts/_pay/... — internal
+    working names must be derived clash-free (review finding)."""
+    left = spark.createDataFrame(
+        [(1, _ts(5), "x", "y", "z")],
+        "key long, ts timestamp, _k string, _pay string, _b string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 7.0)], "key long, ts timestamp, px double"
+    )
+    for thr in (None, 0):
+        out = asof_join(
+            left, right, on="key", right_cols=["px"],
+            hot_key_threshold=thr,
+        ).collect()
+        assert len(out) == 1 and out[0]["px_asof"] == 7.0
+        assert out[0]["_k"] == "x" and out[0]["_pay"] == "y"
