@@ -32,8 +32,8 @@ Ordering contract: within a conversation, turns must arrive in turn_idx
 order ACROSS batches (the natural property of a live append-only feed);
 within a batch any order is fine (sorted before processing). State is one
 (turn_idx, actor) pair per open conversation — O(open convs), not O(turns);
-a production deployment adds an event-time timeout to reap idle
-conversations (GroupStateTimeout.EventTimeTimeout), noted inline.
+pass ``watermark`` + ``idle_timeout_s`` to reap idle conversations via
+GroupStateTimeout.EventTimeTimeout (state bounded at O(ACTIVE convs)).
 """
 
 from __future__ import annotations
@@ -81,52 +81,99 @@ def _actor_name(conv_id: str, role: str, tool) -> str:
     return f"tool:{tool}" if role == "tool" else f"{conv_id}:{role}"
 
 
-def _reassemble_conv(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """Per-conversation state function: emit one (a, b, w=1) row per
-    role-adjacency (including the adjacency that SPANS the batch boundary,
-    via the saved last actor) and per tool invocation (conv->tool)."""
-    (conv_id,) = key
-    chunks = list(pdfs)
-    rows = pd.concat(chunks) if chunks else pd.DataFrame(
-        {"conv_id": [], "turn_idx": [], "role": [], "tool": []}
-    )
-    if len(rows) == 0:
-        yield pd.DataFrame({"a": [], "b": [], "w": []})
-        return
-    rows = rows.sort_values("turn_idx")
-    last_turn, last_actor = state.get if state.exists else (None, None)
-    a_out, b_out = [], []
-    for turn, role, tool in zip(rows["turn_idx"], rows["role"], rows["tool"]):
-        if last_turn is not None and int(turn) <= last_turn:
-            # replayed/out-of-order turn (violates the in-order contract):
-            # drop instead of double-counting its adjacency increments
-            continue
-        actor = _actor_name(conv_id, role, tool)
-        if last_actor is not None:
-            a_out.append(min(last_actor, actor))
-            b_out.append(max(last_actor, actor))
-        if role == "tool":
-            a_out.append(f"conv:{conv_id}")
-            b_out.append(f"tool:{tool}")
-        last_turn, last_actor = int(turn), actor
-    # production: state.setTimeoutTimestamp(<watermark horizon>) to reap
-    # conversations that stop arriving; sealed-synth tests don't need it
-    state.update((last_turn, last_actor))
-    yield pd.DataFrame({"a": a_out, "b": b_out, "w": [1.0] * len(a_out)})
+def _make_reassemble(idle_timeout_ms: int | None):
+    """Build the per-conversation state function. With ``idle_timeout_ms``
+    set (EventTimeTimeout mode), each update arms a timeout at
+    max-event-time + horizon; when the watermark passes it the
+    conversation's state is REMOVED — long-running deployments no longer
+    leak one state row per abandoned conversation. A conversation that
+    resumes after its reap restarts cleanly (no boundary adjacency across
+    the reap, by definition: the reap declared it closed)."""
+
+    def _reassemble_conv(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        """Per-conversation state function: emit one (a, b, w=1) row per
+        role-adjacency (including the adjacency that SPANS the batch
+        boundary, via the saved last actor) and per tool invocation
+        (conv->tool)."""
+        (conv_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"a": [], "b": [], "w": []})
+            return
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame(
+            {"conv_id": [], "turn_idx": [], "role": [], "tool": []}
+        )
+        if len(rows) == 0:
+            yield pd.DataFrame({"a": [], "b": [], "w": []})
+            return
+        rows = rows.sort_values("turn_idx")
+        last_turn, last_actor = state.get if state.exists else (None, None)
+        a_out, b_out = [], []
+        for turn, role, tool in zip(rows["turn_idx"], rows["role"], rows["tool"]):
+            if last_turn is not None and int(turn) <= last_turn:
+                # replayed/out-of-order turn (violates the in-order contract):
+                # drop instead of double-counting its adjacency increments
+                continue
+            actor = _actor_name(conv_id, role, tool)
+            if last_actor is not None:
+                a_out.append(min(last_actor, actor))
+                b_out.append(max(last_actor, actor))
+            if role == "tool":
+                a_out.append(f"conv:{conv_id}")
+                b_out.append(f"tool:{tool}")
+            last_turn, last_actor = int(turn), actor
+        state.update((last_turn, last_actor))
+        if idle_timeout_ms is not None:
+            # arm the reap at max event time + horizon; must stay strictly
+            # ahead of the current watermark or Spark rejects the timestamp
+            ts_max_ms = int(rows["ts"].max().value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(ts_max_ms + idle_timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame({"a": a_out, "b": b_out, "w": [1.0] * len(a_out)})
+
+    return _reassemble_conv
 
 
-def stateful_transcript_edges(transcripts_stream: DataFrame) -> DataFrame:
+def stateful_transcript_edges(
+    transcripts_stream: DataFrame,
+    watermark: str | None = None,
+    idle_timeout_s: int = 0,
+) -> DataFrame:
     """Streaming edge INCREMENTS (a, b, w) with exact batch parity: a
     conversation split mid-stream still yields the boundary adjacency,
     because the last (turn_idx, actor) per conv_id is carried in group
-    state. Aggregate increments downstream (the accumulator store does)."""
+    state. Aggregate increments downstream (the accumulator store does).
+
+    With ``watermark`` (e.g. ``"10 minutes"``) and ``idle_timeout_s`` set,
+    state runs under ``GroupStateTimeout.EventTimeTimeout``: a conversation
+    idle past the horizon is reaped once the watermark passes, bounding
+    state at O(ACTIVE conversations) instead of O(all conversations ever).
+    Default (no watermark) keeps NoTimeout for sealed/synthetic replays
+    where every conversation completes."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if watermark is not None:
+        if idle_timeout_s <= 0:
+            raise ValueError("watermark requires a positive idle_timeout_s")
+        return (
+            transcripts_stream.withWatermark("ts", watermark)
+            .select("conv_id", "turn_idx", "role", "tool", "ts")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                _make_reassemble(idle_timeout_s * 1000),
+                outputStructType=_EDGE_INC_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return (
         transcripts_stream.select("conv_id", "turn_idx", "role", "tool")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _reassemble_conv,
+            _make_reassemble(None),
             outputStructType=_EDGE_INC_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
@@ -201,10 +248,33 @@ class IncrementalEdgeStore:
 
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
+    def _replayed(self, epoch_id: int) -> bool:
+        """True when the epoch was already folded (at-least-once replay).
+
+        foreachBatch epoch ids restart at 0 under a FRESH streaming
+        checkpoint; silently skipping them would make a stream that appears
+        healthy while folding nothing (the checkpoint-deleted-but-store-kept
+        footgun). Within one run, a replay can only be of the LAST committed
+        epoch, so epoch 0 arriving when epochs >= 1 are committed can only
+        mean a new run — and folding a from-scratch replay into an
+        accumulator that already contains the data would double-count, so
+        the only safe remedy is a fresh store root. Raise with that."""
+        last = self.last_epoch()
+        if int(epoch_id) == 0 and last >= 1:
+            raise RuntimeError(
+                f"IncrementalEdgeStore at {self.root}: received epoch 0 but "
+                f"epoch {last} is already committed — this is a NEW streaming "
+                f"run (fresh checkpoint) over an existing accumulator. The "
+                f"new run will replay its source from scratch; folding it "
+                f"here would double-count. Point the query at a fresh store "
+                f"root (or keep the original checkpoint to resume)."
+            )
+        return int(epoch_id) <= last
+
     def fold_edge_increments(self, batch_edges: DataFrame, epoch_id: int) -> None:
         """foreachBatch callback for a stream of (a, b, w) increments
         (e.g. stateful_transcript_edges output)."""
-        if int(epoch_id) <= self.last_epoch():
+        if self._replayed(epoch_id):
             return  # at-least-once replay of an already-folded epoch: no-op
         cur = self.current()
         agg = batch_edges.groupBy("a", "b").agg(F.sum("w").alias("w"))
@@ -218,7 +288,7 @@ class IncrementalEdgeStore:
         batch's edges first (sealed-conversation contract — use
         stateful_transcript_edges + fold_edge_increments for live
         mid-conversation streams)."""
-        if int(epoch_id) <= self.last_epoch():
+        if self._replayed(epoch_id):
             return
         self.fold_edge_increments(transcript_string_edges(batch_transcripts), epoch_id)
 
@@ -237,11 +307,19 @@ def incremental_edges(
 
 
 def incremental_edges_stateful(
-    transcripts_stream: DataFrame, store: IncrementalEdgeStore, checkpoint_dir: str
+    transcripts_stream: DataFrame,
+    store: IncrementalEdgeStore,
+    checkpoint_dir: str,
+    watermark: str | None = None,
+    idle_timeout_s: int = 0,
 ):
     """Start the accumulation query with cross-batch turn reassembly —
-    exact batch parity even when conversations split across micro-batches."""
-    increments = stateful_transcript_edges(transcripts_stream)
+    exact batch parity even when conversations split across micro-batches.
+    Pass ``watermark`` + ``idle_timeout_s`` to reap idle-conversation state
+    (see stateful_transcript_edges)."""
+    increments = stateful_transcript_edges(
+        transcripts_stream, watermark=watermark, idle_timeout_s=idle_timeout_s
+    )
     return (
         increments.writeStream.foreachBatch(store.fold_edge_increments)
         .option("checkpointLocation", checkpoint_dir)

@@ -121,3 +121,93 @@ def test_fold_replay_is_idempotent(spark, tmp_path):
     store.fold_edge_increments(batch, epoch_id=1)
     after = {(r["a"], r["b"]): r["w"] for r in store.current().collect()}
     assert after == {("x", "y"): 2.0, ("x", "z"): 4.0}
+
+
+# ---------------------------------------------------------------------------
+# idle-conversation state reap (EventTimeTimeout) + epoch-floor guard
+# ---------------------------------------------------------------------------
+
+
+def _write_wave(spark, path, rows):
+    from nido_spark.io import TRANSCRIPT_SCHEMA
+
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def abandoned_conv_dir(spark, tmp_path):
+    """Conversation A goes idle for hours (state should be reaped), B keeps
+    the watermark moving, then A 'resumes' long after the idle horizon."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    path = str(tmp_path / "abandoned")
+    _write_wave(spark, path + "/wave1", [
+        ("A", 0, "user", "hi", None, t0),
+        ("A", 1, "assistant", "hello", None, t0 + timedelta(seconds=10)),
+        ("A", 2, "user", "thanks", None, t0 + timedelta(seconds=20)),
+    ])
+    # B advances event time 3h past A (watermark passes A's 1h idle horizon)
+    _write_wave(spark, path + "/wave2", [
+        ("B", 0, "user", "x", None, t0 + timedelta(hours=3)),
+        ("B", 1, "assistant", "y", None, t0 + timedelta(hours=3, seconds=5)),
+    ])
+    # this batch carries no A data -> A's armed timeout FIRES here
+    _write_wave(spark, path + "/wave3", [
+        ("B", 2, "user", "z", None, t0 + timedelta(hours=3, minutes=1)),
+    ])
+    # A resumes after the reap
+    _write_wave(spark, path + "/wave4", [
+        ("A", 3, "assistant", "back", None, t0 + timedelta(hours=4)),
+    ])
+    return path
+
+
+def _run_accumulation(spark, src_dir, tmp_path, tag, **stateful_kw):
+    store = ST.IncrementalEdgeStore(spark, str(tmp_path / f"edges_{tag}"))
+    stream = ST.stream_transcripts(spark, src_dir + "/wave*", max_files_per_trigger=1)
+    q = ST.incremental_edges_stateful(
+        stream, store, str(tmp_path / f"ck_{tag}"), **stateful_kw
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return {(r["a"], r["b"]): r["w"] for r in store.current().collect()}
+
+
+def test_idle_conversation_state_is_reaped(spark, abandoned_conv_dir, tmp_path):
+    """With EventTimeTimeout, A's state is dropped once the watermark passes
+    its idle horizon: the resumed turn starts a FRESH conversation (no
+    boundary adjacency across the reap), while B's edges are unaffected."""
+    with_reap = _run_accumulation(
+        spark, abandoned_conv_dir, tmp_path, "reap",
+        watermark="1 second", idle_timeout_s=3600,
+    )
+    control = _run_accumulation(spark, abandoned_conv_dir, tmp_path, "noreap")
+    au = ("A:assistant", "A:user")
+    # control (NoTimeout): turn3 bridges to turn2's actor -> 3 adjacencies
+    assert control[au] == 3.0
+    # reaped: state gone before A resumes -> only the 2 pre-idle adjacencies
+    assert with_reap[au] == 2.0
+    # every other edge (B's conversation) identical in both runs
+    assert {k: v for k, v in with_reap.items() if k != au} == {
+        k: v for k, v in control.items() if k != au
+    }
+
+
+def test_fresh_checkpoint_over_existing_store_raises(spark, tmp_path):
+    """Epoch ids restart at 0 under a fresh streaming checkpoint; silently
+    skipping them would fold nothing forever, and folding them would
+    double-count — the store must refuse loudly (review finding)."""
+    store = ST.IncrementalEdgeStore(spark, str(tmp_path / "edges_guard"))
+    batch = spark.createDataFrame([("x", "y", 1.0)], "a string, b string, w double")
+    store.fold_edge_increments(batch, epoch_id=0)
+    store.fold_edge_increments(batch, epoch_id=1)
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        store.fold_edge_increments(batch, epoch_id=0)
+    # same-run replay of the LAST committed epoch stays a silent no-op
+    store.fold_edge_increments(batch, epoch_id=1)
+    assert store.last_epoch() == 1
