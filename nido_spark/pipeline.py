@@ -35,8 +35,12 @@ from nido_spark import textops as X
 # ~once and the output is a lattice (measured 0.39 kept at rate 0.25).
 # With P2 = 2^31-1 and the MINSTD multiplier, 500 consecutive ids keep
 # 0.252-0.254 at rate 0.25 and shards split within +/-2%.
-# Overflow discipline (ANSI-safe): a1 < 2^31 against (id+seed) < 2^32;
-# a2*2^30 < 2^47.
+# Overflow discipline (ANSI-safe for the FULL int64 id range, including
+# 64-bit hash-derived ids): the id is reduced mod P up front, then A1*x
+# mod P is computed by a 31/30-bit split using the Mersenne identity
+# 2^61 = 1 (mod P) — every intermediate stays below 2^63 (bounds inline).
+# Mathematically identical to (A1*(id+seed)+B1) mod P, which is what the
+# DuckDB oracle runs verbatim in HUGEINT; a2*2^30 < 2^47 for round two.
 _SAMPLE_P = (1 << 61) - 1
 _SAMPLE_P2 = (1 << 31) - 1
 _SAMPLE_A1 = 1_103_515_245          # < 2^31, odd
@@ -47,10 +51,18 @@ _SAMPLE_B2 = 11_213
 
 def _bucket(id_col, seed: int):
     """Two-round mix -> uniform bucket in [0, 2^31-1)."""
-    r1 = F.pmod(
-        F.lit(_SAMPLE_A1) * (F.col(id_col) + F.lit(seed)) + F.lit(_SAMPLE_B1),
-        F.lit(_SAMPLE_P),
-    )
+    # x = (id mod P) + seed          < 2^61 + 2^31, non-negative
+    x = F.pmod(F.col(id_col).cast("long"), F.lit(_SAMPLE_P)) + F.lit(seed)
+    # splits use shifts, NOT `/` (double division is inexact above 2^53)
+    xh = F.shiftright(x, 31)                  # < 2^30 + 1
+    xl = F.pmod(x, F.lit(1 << 31))            # < 2^31
+    t = F.lit(_SAMPLE_A1) * xh                # < 2^31 * (2^30+1) < 2^61
+    th = F.shiftright(t, 30)                  # < 2^31
+    tl = F.pmod(t, F.lit(1 << 30))            # < 2^30
+    # t*2^31 = th*2^61 + tl*2^31 = th + tl*2^31 (mod P); tl*2^31 < 2^61
+    hi = th + tl * F.lit(1 << 31)             # < 2^31 + 2^61 < 2^62
+    # hi + A1*xl + B1 < 2^62 + 2^62 < 2^63: no ANSI overflow anywhere
+    r1 = F.pmod(hi + F.lit(_SAMPLE_A1) * xl + F.lit(_SAMPLE_B1), F.lit(_SAMPLE_P))
     low = F.pmod(r1, F.lit(1 << 30))
     return F.pmod(F.lit(_SAMPLE_A2) * low + F.lit(_SAMPLE_B2), F.lit(_SAMPLE_P2))
 

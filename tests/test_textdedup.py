@@ -286,3 +286,30 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     for r in X.winnow_fingerprints(df.repartition(3), k=5, window=4).collect():
         fps2.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps == fps2
+
+
+def test_bucket_hash_safe_for_full_int64_id_range(spark):
+    """Review fix: 64-bit hash-derived doc_ids (>= 2^33) must neither throw
+    ANSI ARITHMETIC_OVERFLOW nor silently wrap — the split-multiply must
+    equal the plain formula (A1*((id mod P)+seed)+B1) mod P computed in
+    unbounded Python ints, for ids across the whole int64 range."""
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_B1, _SAMPLE_A2, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+        _bucket,
+    )
+
+    seed = 7
+    ids = [0, 1, 12345, 2**31, 2**33 + 17, 2**40 + 3, 2**62 - 5, 2**63 - 1,
+           -1, -(2**62)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    with_ansi = df.sparkSession.conf.get("spark.sql.ansi.enabled")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", _bucket("doc_id", seed).alias("b")).collect()
+    }
+
+    def ref(i):
+        r1 = (_SAMPLE_A1 * ((i % _SAMPLE_P) + seed) + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    assert got == {i: ref(i) for i in ids}, f"ansi={with_ansi}"
