@@ -491,7 +491,17 @@ def _jaccard_pairs_cte(table: str = "documents", threshold: float = 0.6) -> str:
     rendering of the MinHash-LSH + verify pipeline. The LSH is a candidate
     generator with measured recall ~1 at these (bands, rows) for the verify
     threshold (miss prob (1-J^4)^8 < 1e-4 at J >= 0.9, the planted-dup
-    band); equality against the exhaustive SQL IS the recall check."""
+    band); equality against the exhaustive SQL IS the recall check.
+
+    FIXTURE INVARIANT this equality depends on: 8-band/4-row LSH has
+    MATERIAL miss probability in the mid band ((1-J^4)^8 ~ 0.33 at J=0.6),
+    so exact equality is only a sound gate because the driver fixture is
+    BIMODAL — measured at sf0.01: 25 pairs at J >= 0.99 (planted dups) and
+    nothing else above J = 0.31. A pair landing in [0.6, 0.9) would make
+    this gate probabilistically flaky WITHOUT indicating an engine bug.
+    tests/test_textdedup.py::test_driver_fixture_jaccard_is_bimodal pins
+    the invariant, so a regenerated fixture fails THERE with a named
+    diagnosis instead of flaking here."""
     return f"""
 t AS (SELECT doc_id, lower(trim(text)) AS txt FROM {table}),
 grams AS (

@@ -313,3 +313,45 @@ def test_bucket_hash_safe_for_full_int64_id_range(spark):
         return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
 
     assert got == {i: ref(i) for i in ids}, f"ansi={with_ansi}"
+
+
+def test_driver_fixture_jaccard_is_bimodal():
+    """Pins the fixture invariant the driver's minhash/fuzzy-dedup equality
+    gates depend on (see __spark_entry__._jaccard_pairs_cte): 8-band/4-row
+    LSH misses mid-band pairs with probability ~(1-J^4)^8, so comparing LSH
+    output against an EXHAUSTIVE Jaccard oracle is only sound while the
+    fixture has no pairs in the miss-risk band [0.4, 0.9). If a regenerated
+    fixture breaks this, the driver gates become probabilistically flaky —
+    fix by restricting the oracle to the high-recall band and asserting
+    recall separately, not by rerolling seeds until green."""
+    import os
+
+    import duckdb
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("driver fixture not present")
+    con = duckdb.connect()
+    n_mid = con.execute(f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS txt
+           FROM read_parquet('{path}')),
+grams AS (
+  SELECT DISTINCT doc_id, substring(txt, CAST(i AS INT), 5) AS g
+  FROM t, LATERAL unnest(generate_series(1, GREATEST(length(txt) - 4, 0))) AS u(i)
+  WHERE length(txt) >= 5),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS isz
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2)
+SELECT COUNT(*) FROM inter
+JOIN sizes sa ON inter.a = sa.doc_id
+JOIN sizes sb ON inter.b = sb.doc_id
+WHERE isz * 1.0 / (sa.sz + sb.sz - isz) BETWEEN 0.4 AND 0.9
+""").fetchone()[0]
+    assert n_mid == 0, (
+        f"{n_mid} document pairs in the LSH miss-risk Jaccard band "
+        f"[0.4, 0.9) — the driver's exact-equality dedup gates are no "
+        f"longer statistically sound on this fixture"
+    )
