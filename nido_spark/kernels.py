@@ -97,24 +97,38 @@ def louvain_move_candidates_arrow(
 ) -> DataFrame:
     """Arrow-block rendering of louvain_move_candidates: same output schema
     (v, cur_comm, best_comm, gain) for every vertex with >=1 candidate."""
-    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
+    state = labels.join(verts.select("v", "k"), "v")
+    return louvain_move_candidates_arrow_state(edges, state, a_c, m, n_blocks)
+
+
+def louvain_move_candidates_arrow_state(
+    edges: DataFrame,
+    state: DataFrame,
+    a_c: DataFrame,
+    m: float,
+    n_blocks: int = 64,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """Arrow kernel over the combined (v, comm, k) state table (one V-row
+    join attaches my_comm and k together — see louvain._move_candidates_state;
+    ``broadcast_state`` statically broadcasts the V-row sides, same gate)."""
+    bc = F.broadcast if broadcast_state else (lambda df: df)
+    lab_dst = state.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
     cand = (
         edges.withColumn(
             "w_eff", F.when(F.col("src") == F.col("dst"), F.lit(0.0)).otherwise(F.col("w"))
         )
-        .join(lab_dst, "dst")
+        .join(bc(lab_dst), "dst")
         .groupBy("src", "dst_comm")
         .agg(F.sum("w_eff").alias("e_vc"))
     )
-    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("my_comm"))
-    kv = verts.select(F.col("v").alias("src"), "k")
+    sk = state.select(F.col("v").alias("src"), F.col("comm").alias("my_comm"), "k")
     a_dst = a_c.select(F.col("comm").alias("dst_comm"), F.col("a_c").alias("a_dst"))
     a_my = a_c.select(F.col("comm").alias("my_comm"), F.col("a_c").alias("a_my"))
     scored = (
-        cand.join(lab_src, "src")
-        .join(kv, "src")
-        .join(a_dst, "dst_comm")
-        .join(a_my, "my_comm")
+        cand.join(bc(sk), "src")
+        .join(bc(a_dst), "dst_comm")
+        .join(bc(a_my), "my_comm")
         .withColumn("m", F.lit(m))
         .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(n_blocks)))
     )

@@ -64,16 +64,25 @@ def community_weights(labels: DataFrame, verts: DataFrame) -> DataFrame:
     )
 
 
-def modularity(edges: DataFrame, labels: DataFrame, m: float, verts: DataFrame | None = None) -> float:
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    m: float,
+    verts: DataFrame | None = None,
+    broadcast_labels: bool = False,
+) -> float:
     """Q = internal/(2m) - sum(a_c^2)/(4m^2); self-loops count as internal.
 
     Both scalar reductions run as ONE Spark job (union of two tagged
     aggregates) — Q is evaluated once per sweep, so action count here is a
-    direct multiplier on the driver's per-sweep overhead."""
+    direct multiplier on the driver's per-sweep overhead.
+    ``broadcast_labels`` statically broadcasts the label table (gated by
+    the caller on vertex count, same as the sweep kernel)."""
     if verts is None:
         verts = G.vertices(edges)
-    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("c_src"))
-    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("c_dst"))
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
+    lab_src = bc(labels.select(F.col("v").alias("src"), F.col("comm").alias("c_src")))
+    lab_dst = bc(labels.select(F.col("v").alias("dst"), F.col("comm").alias("c_dst")))
     internal = (
         edges.join(lab_src, "src")
         .join(lab_dst, "dst")
@@ -105,24 +114,44 @@ def louvain_move_candidates(
     (graph_cuda.cu:49-121 gather, :2263-2348 mask, thrust sort+reduce,
     :1450-1540 argmax) as one aggregation pipeline.
     """
-    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
+    state = labels.join(verts.select("v", "k"), "v")
+    return _move_candidates_state(edges, state, a_c, m)
+
+
+def _move_candidates_state(
+    edges: DataFrame, state: DataFrame, a_c: DataFrame, m: float,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """Inner kernel over the combined (v, comm, k) state table: one V-row
+    join attaches (my_comm, k) together, instead of separate labels + verts
+    joins. louvain_sweep builds the state once per sweep and maintains it
+    through batch updates, saving ~2 V-row joins per batch.
+
+    ``broadcast_state``: statically broadcast the V-row tables. With edges
+    pinned hash-partitioned on src (louvain._pin_edges), the WHOLE kernel
+    then runs without a single E-row exchange: broadcast joins preserve the
+    scan's src-partitioning, which satisfies the clustered distribution of
+    both groupBy(src, dst_comm) and groupBy(src). Only safe when the
+    current phase's vertex count fits a broadcast (louvain gates it on
+    ``broadcast_threshold``); at huge V leave False and AQE localizes the
+    join reads instead."""
+    bc = F.broadcast if broadcast_state else (lambda df: df)
+    lab_dst = state.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
     cand = (
         edges.withColumn(
             "w_eff", F.when(F.col("src") == F.col("dst"), F.lit(0.0)).otherwise(F.col("w"))
         )
-        .join(lab_dst, "dst")
+        .join(bc(lab_dst), "dst")
         .groupBy("src", "dst_comm")
         .agg(F.sum("w_eff").alias("e_vc"))
     )
-    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("my_comm"))
-    kv = verts.select(F.col("v").alias("src"), "k")
+    sk = state.select(F.col("v").alias("src"), F.col("comm").alias("my_comm"), "k")
     a_dst = a_c.select(F.col("comm").alias("dst_comm"), F.col("a_c").alias("a_dst"))
     a_my = a_c.select(F.col("comm").alias("my_comm"), F.col("a_c").alias("a_my"))
     scored = (
-        cand.join(lab_src, "src")
-        .join(kv, "src")
-        .join(a_dst, "dst_comm")
-        .join(a_my, "my_comm")
+        cand.join(bc(sk), "src")
+        .join(bc(a_dst), "dst_comm")
+        .join(bc(a_my), "my_comm")
     )
     two_m = 2.0 * m
     gain_col = (F.col("e_vc") - F.col("k") * F.col("a_dst") / F.lit(two_m)) / F.lit(m)
@@ -162,6 +191,7 @@ def louvain_sweep(
     m: float,
     nbatches: int,
     kernel: str = "sql",
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """One block-synchronous sweep over all batches; returns new labels DF.
 
@@ -172,29 +202,39 @@ def louvain_sweep(
     ``kernel``: 'sql' (Tungsten max_by aggregate) or 'arrow' (vectorized
     pandas-UDF segment argmax over vertex blocks, kernels.py) — identical
     semantics, benchmarked against each other in bench.py.
+
+    The iterative state is the combined (v, comm, k) table, built with ONE
+    V-row join at sweep start and carried through batch updates: per-batch
+    community weights are then a bare groupBy (no labels-x-verts join) and
+    the candidate scoring attaches (my_comm, k) in one join instead of two
+    — ~2 fewer V-row joins per batch x nbatches x sweeps.
     """
     if kernel == "arrow":
-        from nido_spark.kernels import louvain_move_candidates_arrow as cand_fn
+        from nido_spark.kernels import louvain_move_candidates_arrow_state as cand_fn
     else:
-        cand_fn = louvain_move_candidates
+        cand_fn = _move_candidates_state
+    bc = F.broadcast if broadcast_state else (lambda df: df)
+    state = truncate_lineage(
+        labels.join(verts.select("v", "k"), "v"), eager=False
+    )
     for b in range(nbatches):
-        a_c = community_weights(labels, verts)
+        a_c = state.groupBy("comm").agg(F.sum("k").alias("a_c"))
         batch_edges = (
             edges if nbatches == 1 else edges.where(F.pmod(F.col("src"), F.lit(nbatches)) == b)
         )
         moves = (
-            cand_fn(batch_edges, labels, verts, a_c, m)
+            cand_fn(batch_edges, state, a_c, m, broadcast_state=broadcast_state)
             .where(F.col("gain") > 0)
             .select("v", F.col("best_comm").alias("new_comm"))
         )
-        labels = (
-            labels.join(moves, "v", "left")
-            .select("v", F.coalesce("new_comm", "comm").alias("comm"))
+        state = (
+            state.join(bc(moves), "v", "left")
+            .select("v", F.coalesce("new_comm", "comm").alias("comm"), "k")
         )
         # truncate per-batch lineage; lazy — materializes inside the next
         # batch's (or the Q evaluation's) job instead of costing its own
-        labels = truncate_lineage(labels, eager=False)
-    return labels
+        state = truncate_lineage(state, eager=False)
+    return state.select("v", "comm")
 
 
 def coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -247,6 +287,7 @@ def louvain(
     kernel: str = "sql",
     local_threshold: int = 100_000,
     dense_relabel: bool = False,
+    broadcast_threshold: int = 8_000_000,
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
@@ -267,6 +308,16 @@ def louvain(
     tests at both settings). Coarsening shrinks the graph geometrically, so
     at any scale the tail phases are tiny — distributing them wastes more
     time scheduling stages than the arithmetic costs. 0 disables.
+
+    ``broadcast_threshold``: when a phase's vertex count is at or below
+    this, the sweep statically broadcasts the V-row state/label tables.
+    Combined with the per-phase edge pinning (hash-partitioned on src,
+    persisted — the in-memory rendering of a src-bucketed at-rest table;
+    io.write_bucketed_edges is the durable variant), every batch kernel
+    then runs with ZERO E-row exchanges: broadcast joins preserve the
+    cached scan's src-partitioning, which already satisfies both
+    groupBy(src, dst_comm) and groupBy(src). Above the threshold (huge-V
+    cluster phases) the sweep falls back to AQE-planned joins.
     """
     edges = truncate_lineage(edges)
     flat = singleton_labels(edges)  # orig vertex -> current super-vertex
@@ -291,29 +342,55 @@ def louvain(
             n_phases = start_phase
             m_first = None  # edges replaced — recompute mass in the loop
 
+    pinned = None  # the current phase's src-partitioned persisted edge table
+
+    def _pin_edges(e: DataFrame) -> DataFrame:
+        """Pin the phase's edge table hash-partitioned on src and persisted
+        — the in-memory equivalent of iterating over a src-bucketed at-rest
+        table. Every sweep/batch job then reads co-located edges; with
+        broadcast_state the batch kernels run with zero E-row exchanges.
+        One E-row shuffle per PHASE, amortized over that phase's sweeps."""
+        nonlocal pinned
+        p = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        newp = e.repartition(p, "src").persist()
+        newp.count()
+        if pinned is not None:
+            pinned.unpersist()
+        pinned = newp
+        return newp
+
     while not done and n_phases < max_phases:
         if local_threshold and edges.count() <= local_threshold:
-            return _finish_local(
+            res = _finish_local(
                 edges, flat, n_phases, total_sweeps, history,
                 nbatches, tol, max_loops, tol_phase, max_phases, checkpointer,
                 dense_relabel,
             )
+            if pinned is not None:
+                pinned.unpersist()
+            return res
+        edges = _pin_edges(edges)
         verts = truncate_lineage(G.vertices(edges))
+        nv = verts.count()
+        bcast = nv <= broadcast_threshold
         # mass is invariant across phases, but per-phase recompute keeps the
         # FP provenance identical to the NumPy oracle (which re-sums the
         # coarsened weights); only the duplicate phase-0 scan is skipped
         m = m_first if m_first is not None else G.mass(edges)
         m_first = None
         labels = truncate_lineage(singleton_labels(edges))
-        Q = modularity(edges, labels, m, verts)
+        Q = modularity(edges, labels, m, verts, broadcast_labels=bcast)
         Q_phase_start = Q
 
         dQ = float("inf")
         loops = 0
         while tol < dQ and loops < max_loops:
             labels_prev = labels
-            labels = louvain_sweep(edges, labels, verts, m, nbatches, kernel=kernel)
-            Qtmp = modularity(edges, labels, m, verts)
+            labels = louvain_sweep(
+                edges, labels, verts, m, nbatches, kernel=kernel,
+                broadcast_state=bcast,
+            )
+            Qtmp = modularity(edges, labels, m, verts, broadcast_labels=bcast)
             dQ = Qtmp - Q
             loops += 1
             if dQ < 0:
@@ -352,7 +429,6 @@ def louvain(
                     .select("v", F.col("new").alias("comm"))
                 )
             n_comms = new_edges.select("src").distinct().count()
-            nv = verts.count()
             edges = new_edges
             if n_comms == nv or n_comms <= 1:
                 done = True
@@ -363,6 +439,8 @@ def louvain(
         if checkpointer is not None:
             checkpointer.save_phase(n_phases, edges, flat, history, done)
 
+    if pinned is not None:
+        pinned.unpersist()
     return LouvainRunResult(flat, float(Q_final), n_phases, total_sweeps, history)
 
 
