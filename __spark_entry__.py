@@ -114,6 +114,26 @@ def _q_luby_coloring(spark, sf):
     return A.luby_mis_coloring(lineitem_edges(spark, sf))
 
 
+def _q_doc_decontaminate(spark, sf):
+    # the standard 13-gram benchmark-decontamination rule; docs with
+    # doc_id % 20 == 0 stand in for the held-out evaluation set
+    docs = _docs(spark, sf)
+    return X.ngram_decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        n=13,
+    )
+
+
+def _q_doc_repetition_stats(spark, sf):
+    return X.repetition_stats(_docs(spark, sf)).select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+    )
+
+
 def _q_k_core(spark, sf):
     # value-checked vs _k_core_full_sql (unrolled H-index iteration, no-op
     # past the fixpoint); also pinned by the Batagelj-Zaversnik NumPy
@@ -469,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_ngram_profile": _q_doc_ngram_profile,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_repetition_stats": _q_doc_repetition_stats,
         # scheduling / diagnostics
         "luby_coloring": _q_luby_coloring,
         # multimodal plumbing (synth media; decode is env-stubbed)
@@ -763,6 +785,54 @@ FROM sess GROUP BY 1, 2"""
     sql["max_order"] = f"""{_E},
 deg AS (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src)
 SELECT MAX(deg) AS max_order FROM deg"""
+
+    # word n-grams over the regex-trimmed lowercased whitespace tokenization
+    # — exact mirror of textops._word_ngrams (blank text -> [''] has len 1
+    # and is excluded by the len >= n filter on both engines)
+    _wgrams = r"""
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 12)) AS u(i)
+  WHERE len(t) >= 13)"""
+
+    sql["doc_decontaminate"] = f"""
+WITH {_wgrams}
+SELECT DISTINCT g1.doc_id FROM grams g1
+WHERE g1.doc_id % 20 <> 0
+  AND g1.g IN (SELECT g FROM grams g2 WHERE g2.doc_id % 20 = 0)"""
+
+    sql["doc_repetition_stats"] = r"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     s -> regexp_replace(s, '^\s+|\s+$', '', 'g') <> '') AS ls
+  FROM documents),
+base AS (
+  SELECT doc_id, len(ls)::BIGINT AS n_lines,
+         CASE WHEN len(ls) > 0
+              THEN (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines),
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+  FROM documents),
+bi AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_frac FROM cnt GROUP BY 1)
+SELECT base.doc_id, base.n_lines,
+       ROUND(base.dup_line_frac, 9) AS dup_line_frac,
+       ROUND(COALESCE(top.top_bigram_frac, 0.0), 9) AS top_bigram_frac
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id"""
 
     sql["doc_ngram_profile"] = r"""
 WITH t AS (

@@ -209,3 +209,98 @@ def ngram_profile(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
         .groupBy("doc_id", "ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _word_ngrams(docs: DataFrame, n: int, text_col: str, id_alias: str) -> DataFrame:
+    """(id_alias, g) — every word-level n-gram of the lowercased whitespace
+    tokenization, as a space-joined string. One explode; grams of a doc stay
+    in the producing task until the consumer shuffles/joins them."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        docs.select(F.col("doc_id").alias(id_alias), toks.alias("t"))
+        .where(F.size("t") >= n)
+        .select(
+            id_alias,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.array_join(F.slice("t", i + F.lit(1), n), " "),
+                )
+            ).alias("g"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: doc_ids of training documents sharing ANY
+    word-level ``n``-gram with ``eval_docs`` (the standard 13-gram rule for
+    scrubbing evaluation contamination out of a pre-training corpus).
+
+    Plan shape (100 TB): both sides reduce to DISTINCT n-gram hash sets —
+    64-bit xxhash64 through every exchange, never the gram strings; the
+    eval side is tiny in practice (benchmarks) so AQE broadcasts it, and
+    the contaminated-id set is produced by ONE semi join. The oracle SQL
+    joins raw gram strings; xxhash64 is collision-free here in the
+    deterministic-fixture sense (a collision would be a value diff the
+    driver gate catches)."""
+    train_g = _word_ngrams(docs, n, text_col, "doc_id").select(
+        "doc_id", F.xxhash64("g").alias("h")
+    )
+    eval_g = (
+        _word_ngrams(eval_docs, n, text_col, "eval_id")
+        .select(F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    return (
+        train_g.join(eval_g, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, top_bigram_frac) — the Gopher-style
+    repetition quality signals (Rae et al. 2021, "Scaling Language Models",
+    table A1): documents dominated by duplicate lines or by one repeated
+    2-gram are boilerplate/spam and get filtered before training.
+
+    - dup_line_frac: (n_lines - distinct_lines) / n_lines, computed ENTIRELY
+      map-side with array_distinct on the split lines — no shuffle, no
+      explode; blank-only lines are dropped first (trailing-newline parity
+      with the SQL oracle).
+    - top_bigram_frac: occurrences of the most frequent token 2-gram over
+      total 2-grams; one explode + per-doc aggregation (map-side
+      combinable; grouped by doc_id so a hot doc cannot skew a key — the
+      group IS the doc).
+    Docs with no lines get 0.0 fractions; docs with < 2 tokens get
+    top_bigram_frac 0.0."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda s: F.regexp_replace(s, r"^\s+|\s+$", "") != "",
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.when(F.size(lines) > 0,
+               (F.size(lines) - F.size(F.array_distinct(lines)))
+               / F.size(lines))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+    )
+    bi = _word_ngrams(docs, 2, text_col, "doc_id")
+    top = (
+        bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id", "n_lines",
+        F.col("dup_line_frac").cast("double").alias("dup_line_frac"),
+        F.coalesce(F.col("top_bigram_frac").cast("double"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -355,3 +355,46 @@ WHERE isz * 1.0 / (sa.sz + sb.sz - isz) BETWEEN 0.4 AND 0.9
         f"[0.4, 0.9) — the driver's exact-equality dedup gates are no "
         f"longer statistically sound on this fixture"
     )
+
+
+def test_ngram_decontaminate_flags_only_overlapping_docs(spark):
+    from nido_spark.textops import ngram_decontaminate
+
+    shared = " ".join(f"tok{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix {shared} suffix"),          # contains the eval 13-gram
+            (2, "a completely different document with plenty of words "
+                "but nothing shared beyond short overlaps"),
+            (3, shared),                              # exactly the 13-gram
+            (4, " ".join(f"tok{i}" for i in range(12))),  # only 12 tokens
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"intro {shared} outro")], "doc_id long, text string"
+    )
+    got = sorted(r["doc_id"] for r in ngram_decontaminate(train, ev, n=13).collect())
+    assert got == [1, 3]
+
+
+def test_repetition_stats_fractions(spark):
+    from nido_spark.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother"),   # 2/4 dup lines
+            (2, "ha ha ha ha ha"),                            # one bigram 4/4
+            (3, "all words here are distinct tokens"),
+            (4, ""),                                          # degenerate
+            (5, "one"),                                       # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_lines"] == 4 and abs(got[1]["dup_line_frac"] - 0.5) < 1e-12
+    assert abs(got[2]["top_bigram_frac"] - 1.0) < 1e-12
+    assert got[3]["dup_line_frac"] == 0.0
+    assert abs(got[3]["top_bigram_frac"] - 0.2) < 1e-12  # 5 bigrams, each once
+    assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
+    assert got[5]["top_bigram_frac"] == 0.0
