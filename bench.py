@@ -101,6 +101,15 @@ def _run_queries(sf_dir: str, cpus: int) -> dict:
         ).count(),
     )
     timed("q14_luby_coloring", lambda: A.luby_mis_coloring(edges).count())
+    timed("q15_k_core", lambda: A.k_core(edges).count())
+    timed(
+        "q16_decontaminate",
+        lambda: X.ngram_decontaminate(
+            docs.where(F.col("doc_id") % 20 != 0),
+            docs.where(F.col("doc_id") % 20 == 0),
+            n=13,
+        ).count(),
+    )
 
     # throughput: edges-processed/sec over the PageRank loop (10 iterations
     # touch each directed edge once per iteration)
@@ -179,11 +188,15 @@ def _louvain_sweep_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     verts = truncate_lineage(G.vertices(edges))
     m = G.mass(edges)
     labels0 = truncate_lineage(L.singleton_labels(edges))
-    L.louvain_sweep(edges, labels0, verts, m, nbatches=4).count()  # warm-up
+    # broadcast_state mirrors what louvain() itself selects at this nv
+    # (672k vertices << broadcast_threshold) over the src-pinned edges
+    L.louvain_sweep(edges, labels0, verts, m, nbatches=4,
+                    broadcast_state=True).count()  # warm-up
     runs = []
     for _ in range(3):
         t0 = time.time()
-        L.louvain_sweep(edges, labels0, verts, m, nbatches=4).count()
+        L.louvain_sweep(edges, labels0, verts, m, nbatches=4,
+                        broadcast_state=True).count()
         runs.append(time.time() - t0)
     dt = min(runs)
     print(json.dumps({"cpus": cpus, "edges_per_sec": ne / dt, "sec": dt,
