@@ -73,6 +73,11 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # sf-dependent VALUES-literal oracles (louvain_full) regenerate at the
+    # scale under check; the driver's fixed sf0.01 is the default
+    import os
+
+    os.environ["NIDO_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("check_oracles", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
