@@ -60,21 +60,27 @@ def pagerank_step(
 
 def _pagerank_step_frac(
     edges_frac: DataFrame, ranks: DataFrame, verts: DataFrame, n_vertices: int,
-    damping: float, dangling_mass: float,
+    damping: float, dangling_mass: float, broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Loop body over the pre-folded edge table (src, dst, frac=w/k_src):
     the k-join is loop-invariant, so each iteration is exactly ONE join
     (ranks, V rows) plus ONE aggregation shuffle (contribs) — the minimal
-    message-passing round."""
+    message-passing round.
+
+    With ``broadcast_ranks`` (gated on vertex count by pagerank()) and the
+    edge table pinned hash-partitioned on dst, the round has ZERO E-row
+    exchanges: the ranks join is a broadcast and groupBy(dst) reuses the
+    cached scan's dst-partitioning."""
+    bc = F.broadcast if broadcast_ranks else (lambda df: df)
     contrib = (
-        edges_frac.join(ranks.select(F.col("v").alias("src"), "r"), "src")
+        edges_frac.join(bc(ranks.select(F.col("v").alias("src"), "r")), "src")
         .groupBy(F.col("dst").alias("v"))
         .agg(F.sum(F.col("r") * F.col("frac")).alias("contrib"))
     )
     base = (1.0 - damping) / n_vertices + damping * dangling_mass / n_vertices
     return (
         verts.select("v")
-        .join(contrib, "v", "left")
+        .join(bc(contrib), "v", "left")
         .select(
             "v",
             (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("r"),
@@ -103,6 +109,7 @@ def pagerank(
     max_iters: int = 20,
     tol: float = 1e-9,
     checkpoint_every: int = 1,
+    broadcast_threshold: int = 8_000_000,
 ) -> DataFrame:
     """Weighted PageRank to tolerance/iteration cap; returns (v, r).
 
@@ -110,7 +117,10 @@ def pagerank(
     vertices are handled (k=0 -> dangling mass redistributed uniformly); on
     the canonical symmetric table the union adds nothing. With ``tol <= 0``
     the L1-delta convergence job is skipped entirely — each iteration is then
-    exactly one V-row join + one E-row aggregation."""
+    exactly one V-row join + one E-row aggregation; at or below
+    ``broadcast_threshold`` vertices the ranks are statically broadcast
+    over the dst-pinned folded edges and the round runs with zero E-row
+    exchanges (above it, huge-V clusters fall back to AQE-planned joins)."""
     verts = truncate_lineage(_pagerank_vertices(edges))
     n = verts.count()
     if n == 0:
@@ -118,16 +128,21 @@ def pagerank(
     ranks = truncate_lineage(verts.select("v", F.lit(1.0 / n).alias("r")))
     dangling_vs = verts.where(F.col("k") <= 0).select("v")
     has_dangling = dangling_vs.limit(1).count() > 0
-    # fold the loop-invariant out-fraction into the edge table once.
+    # fold the loop-invariant out-fraction into the edge table once, pinned
+    # hash-partitioned on dst (the per-iteration aggregation key, so the
+    # cached scan's partitioning satisfies groupBy(dst) with no exchange).
     # Columnar .persist(), NOT truncate_lineage: E-row tables belong in the
     # compressed DataFrame cache (RDD-level localCheckpoint stores raw row
     # objects — several times the footprint); its lineage is static depth-1,
     # so there is nothing to truncate.
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges_frac = (
         edges.join(verts.select(F.col("v").alias("src"), "k"), "src")
         .select("src", "dst", (F.col("w") / F.col("k")).alias("frac"))
+        .repartition(nparts, "dst")
         .persist()
     )
+    bcast = n <= broadcast_threshold
     for i in range(max_iters):
         if has_dangling:
             dm = (
@@ -136,7 +151,9 @@ def pagerank(
             )
         else:
             dm = 0.0
-        new_ranks = _pagerank_step_frac(edges_frac, ranks, verts, n, damping, dm)
+        new_ranks = _pagerank_step_frac(
+            edges_frac, ranks, verts, n, damping, dm, broadcast_ranks=bcast
+        )
         if (i + 1) % checkpoint_every == 0 or i == max_iters - 1:
             new_ranks = truncate_lineage(new_ranks)
             # tol <= 0 means "run exactly max_iters" — skip the V-row
@@ -163,42 +180,51 @@ def pagerank(
 # ---------------------------------------------------------------------------
 
 
-def cc_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def cc_step(edges: DataFrame, labels: DataFrame, broadcast_labels: bool = False) -> DataFrame:
     """One min-label propagation step: new(v) = min(old(v), min over
-    neighbors' old labels). ``labels``: (v, comm)."""
+    neighbors' old labels). ``labels``: (v, comm). With ``broadcast_labels``
+    over a dst-pinned edge table the step has zero E-row exchanges."""
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
     lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("src_comm"))
     nbr_min = (
-        edges.join(lab_src, "src")
+        edges.join(bc(lab_src), "src")
         .groupBy(F.col("dst").alias("v"))
         .agg(F.min("src_comm").alias("nbr_comm"))
     )
     return (
-        labels.join(nbr_min, "v", "left")
+        labels.join(bc(nbr_min), "v", "left")
         .select("v", F.least("comm", F.coalesce("nbr_comm", "comm")).alias("comm"))
     )
 
 
-def connected_components(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iters: int = 100, broadcast_threshold: int = 8_000_000
+) -> DataFrame:
     """Min-label propagation to fixpoint; component id = min member id.
 
-    Converges in O(diameter) rounds; each round is one E-shuffle. (For
+    Converges in O(diameter) rounds; each round is one E-scan. (For
     extreme diameters a pointer-doubling/star-contraction variant halves the
     round count — transcript-derived graphs have tiny diameters, so the
     simple propagation wins on constant factors.)
 
-    The input plan is pinned once up front: callers often pass DERIVED edge
-    tables (e.g. fuzzy-dedup pair graphs), and without it every iteration
-    would recompute the whole upstream pipeline. Columnar .persist(), not
+    The input plan is pinned once up front, hash-partitioned on dst (the
+    per-round aggregation key — below ``broadcast_threshold`` vertices the
+    label table is statically broadcast and each round runs with zero
+    E-row exchanges): callers often pass DERIVED edge tables (e.g.
+    fuzzy-dedup pair graphs), and without the pin every iteration would
+    recompute the whole upstream pipeline. Columnar .persist(), not
     truncate_lineage — E-row tables belong in the compressed DataFrame
-    cache, and the trivial projection gives it a distinct cache entry so
-    unpersisting never evicts a caller-owned cache of the same input."""
-    e = edges.select("src", "dst").persist()
+    cache, and the projection+repartition gives it a distinct cache entry
+    so unpersisting never evicts a caller-owned cache of the same input."""
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(nparts, "dst").persist()
     labels = truncate_lineage(
         e.select(F.col("src").alias("v")).distinct()
         .withColumn("comm", F.col("v"))
     )
+    bcast = labels.count() <= broadcast_threshold
     for _ in range(max_iters):
-        new_labels = truncate_lineage(cc_step(e, labels))
+        new_labels = truncate_lineage(cc_step(e, labels, broadcast_labels=bcast))
         changed = (
             new_labels.join(labels.withColumnRenamed("comm", "old"), "v")
             .where(F.col("comm") != F.col("old"))
@@ -217,17 +243,24 @@ def connected_components(edges: DataFrame, max_iters: int = 100) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def lpa_step(edges: DataFrame, labels: DataFrame, batch: int, nbatches: int) -> DataFrame:
+def lpa_step(
+    edges: DataFrame, labels: DataFrame, batch: int, nbatches: int,
+    broadcast_labels: bool = False,
+) -> DataFrame:
     """One LPA batch update: vertices with src % nbatches == batch adopt the
     neighbor label with max incident-weight sum (self-loops excluded),
-    ties -> smallest label."""
+    ties -> smallest label. With ``broadcast_labels`` over a src-pinned
+    edge table (the Louvain kernel shape) the batch has zero E-row
+    exchanges: the dst join broadcasts and both src-keyed aggregations
+    reuse the cached scan's partitioning."""
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
     batch_edges = (
         edges if nbatches == 1 else edges.where(F.pmod(F.col("src"), F.lit(nbatches)) == batch)
     )
     lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
     votes = (
         batch_edges.where(F.col("src") != F.col("dst"))
-        .join(lab_dst, "dst")
+        .join(bc(lab_dst), "dst")
         .groupBy("src", "dst_comm")
         .agg(F.sum("w").alias("wsum"))
         .where(F.col("wsum") > 0)
@@ -242,22 +275,32 @@ def lpa_step(edges: DataFrame, labels: DataFrame, batch: int, nbatches: int) -> 
         )["comm"].alias("new_comm")
     )
     return (
-        labels.join(winner, "v", "left")
+        labels.join(bc(winner), "v", "left")
         .select("v", F.coalesce("new_comm", "comm").alias("comm"))
     )
 
 
-def label_propagation(edges: DataFrame, nbatches: int = 2, max_iters: int = 20) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, nbatches: int = 2, max_iters: int = 20,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
     """Batched synchronous LPA (same v % nbatches schedule as Louvain).
-    Stops when a full sweep changes nothing."""
+    Stops when a full sweep changes nothing. Edges are pinned
+    src-partitioned once up front; below ``broadcast_threshold`` vertices
+    each batch runs with zero E-row exchanges (see lpa_step)."""
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst", "w").repartition(nparts, "src").persist()
     labels = truncate_lineage(
-        edges.select(F.col("src").alias("v")).distinct()
+        e.select(F.col("src").alias("v")).distinct()
         .withColumn("comm", F.col("v"))
     )
+    bcast = labels.count() <= broadcast_threshold
     for _ in range(max_iters):
         before = labels
         for b in range(nbatches):
-            labels = truncate_lineage(lpa_step(edges, labels, b, nbatches))
+            labels = truncate_lineage(
+                lpa_step(e, labels, b, nbatches, broadcast_labels=bcast)
+            )
         changed = (
             labels.join(before.withColumnRenamed("comm", "old"), "v")
             .where(F.col("comm") != F.col("old"))
@@ -266,6 +309,7 @@ def label_propagation(edges: DataFrame, nbatches: int = 2, max_iters: int = 20) 
         )
         if changed == 0:
             break
+    e.unpersist()
     return labels
 
 
