@@ -378,7 +378,9 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+def k_core(
+    edges: DataFrame, max_iters: int = 100, broadcast_threshold: int = 8_000_000
+) -> DataFrame:
     """(v, core) coreness via H-index iteration (Lu et al., "The H-index of
     a network node and its relation to degree and coreness", Nat. Commun.
     2016): c_0(v) = degree, c_{t+1}(v) = min(c_t(v), H(neighbors' c_t));
@@ -411,20 +413,34 @@ def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
         .distinct()
     )
     half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    live = truncate_lineage(
+    # the symmetrized edge set is LOOP-INVARIANT: pin it hash-partitioned
+    # on dst (the per-iteration aggregation/window key) — with the label
+    # table broadcast (gated below), every H-index iteration then runs
+    # with zero E-row exchanges (groupBy(dst,..), the per-vertex window,
+    # and groupBy(v) all reuse the cached scan's partitioning)
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    live = (
         half.unionByName(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        )
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
     )
     labels = truncate_lineage(
         live.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bc = (
+        F.broadcast
+        if labels.count() <= broadcast_threshold
+        else (lambda df: df)
     )
     w_desc = Window.partitionBy("v").orderBy(F.desc("cv"))
     converged = False
     for _ in range(max_iters):
         lab_src = labels.select(F.col("v").alias("src"), F.col("c").alias("c_src"))
         buckets = (
-            live.join(lab_src, "src")
+            live.join(bc(lab_src), "src")
             .groupBy(F.col("dst").alias("v"), F.col("c_src").alias("cv"))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
@@ -434,7 +450,7 @@ def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
             .agg(F.max(F.least(F.col("cv"), F.col("cum"))).alias("h"))
         )
         new_labels = truncate_lineage(
-            labels.join(hidx, "v").select("v", F.least("c", "h").alias("c"))
+            labels.join(bc(hidx), "v").select("v", F.least("c", "h").alias("c"))
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("c", "old"), "v")
@@ -446,6 +462,7 @@ def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
         if changed == 0:
             converged = True
             break
+    live.unpersist()
     if not converged:
         raise RuntimeError(
             f"k_core: max_iters={max_iters} exhausted before the H-index "
@@ -465,7 +482,10 @@ def k_core(edges: DataFrame, max_iters: int = 100) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 100_000) -> DataFrame:
+def luby_mis_coloring(
+    edges: DataFrame, seed: int = 42, max_colors: int = 100_000,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
     """(v, color) proper vertex coloring: every vertex gets exactly one color
     and no edge joins two same-colored vertices.
 
@@ -505,6 +525,14 @@ def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 100_00
     )
     parts: list[DataFrame] = []
     color = 0
+    # priority tables are V rows (shrinking per round) — below the
+    # threshold broadcast them so each peel round's only E-row exchange is
+    # the groupBy(src) aggregation of the surviving edges
+    bc = (
+        F.broadcast
+        if remaining.count() <= broadcast_threshold
+        else (lambda df: df)
+    )
     while remaining.limit(1).count() > 0:
         if color >= max_colors:
             raise RuntimeError(
@@ -514,13 +542,13 @@ def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 100_00
         p_src = remaining.select(F.col("v").alias("src"), F.col("p").alias("p_src"))
         p_dst = remaining.select(F.col("v").alias("dst"), F.col("p").alias("p_dst"))
         nbr_best = (
-            live_edges.join(p_src, "src").join(p_dst, "dst")
+            live_edges.join(bc(p_src), "src").join(bc(p_dst), "dst")
             .groupBy(F.col("src").alias("v"))
             .agg(F.max(F.struct("p_dst", "dst")).alias("best"))
             .select("v", F.col("best.p_dst").alias("nbr_p"), F.col("best.dst").alias("nbr_v"))
         )
         mis = (
-            remaining.join(nbr_best, "v", "left")
+            remaining.join(bc(nbr_best), "v", "left")
             .where(
                 F.col("nbr_p").isNull()
                 | (F.col("p") > F.col("nbr_p"))
@@ -531,11 +559,11 @@ def luby_mis_coloring(edges: DataFrame, seed: int = 42, max_colors: int = 100_00
         mis = truncate_lineage(mis)  # eager: consumed by 3 downstream plans
         parts.append(mis)
         remaining = truncate_lineage(
-            remaining.join(mis, "v", "left_anti"), eager=False
+            remaining.join(bc(mis), "v", "left_anti"), eager=False
         )
         live_edges = truncate_lineage(
-            live_edges.join(mis.select(F.col("v").alias("src")), "src", "left_anti")
-            .join(mis.select(F.col("v").alias("dst")), "dst", "left_anti"),
+            live_edges.join(bc(mis.select(F.col("v").alias("src"))), "src", "left_anti")
+            .join(bc(mis.select(F.col("v").alias("dst"))), "dst", "left_anti"),
             eager=False,
         )
         color += 1
