@@ -404,6 +404,9 @@ def _q_minhash_near_dups(spark, sf):
 
 
 def _q_simhash_near_pairs(spark, sf):
+    # value-checked: the portable Horner token hash is engine-independent
+    # integer math, so DuckDB replays signatures AND pairs exactly
+    # (_simhash_near_pairs_sql)
     sigs = D.simhash_signatures_stable(_docs(spark, sf))
     return D.hamming_near_pairs(sigs, max_dist=3)
 
@@ -614,6 +617,47 @@ l{i + 1} AS MATERIALIZED (SELECT l{i}.v, LEAST(l{i}.comm, COALESCE(nb{i}.mn, l{i
         )
     parts.append(f"\nSELECT v, comm FROM l{rounds}")
     return "".join(parts)
+
+
+def _simhash_near_pairs_sql(max_dist: int = 3) -> str:
+    """Exact mirror of dedup.simhash_signatures_stable + hamming_near_pairs:
+    the portable two-Horner token hash is replayed with DuckDB list_reduce
+    (seeding with the first element == Horner from acc=0), the 62-bit
+    majority-vote signature is assembled bit by bit, and near pairs are
+    found EXHAUSTIVELY — banding is exact for dist <= 3 by pigeonhole, so
+    exhaustive == banded, and the equality also re-proves the pigeonhole
+    property on real data."""
+    horner = (
+        "list_reduce(list_transform(generate_series(1, length(s)), "
+        "i -> ascii(substring(s, i, 1))::BIGINT), "
+        "(a, c) -> (a * {b} + c) % 2147483647)"
+    )
+    tok_hash = f"{horner.format(b=257)} + {horner.format(b=131)} * 2147483648"
+    majority = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 2 ELSE 0 END)) - len(hl) > 0 THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(62)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '^\s+|\s+$', '', 'g') AS txt
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN txt = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(txt, '\s+') END AS tk
+  FROM t),
+hs AS (
+  SELECT doc_id, list_transform(tk, s -> {tok_hash}) AS hl FROM toks),
+sigs AS (
+  SELECT doc_id,
+         CASE WHEN len(hl) = 0 THEN 0::BIGINT ELSE ({majority}) END AS sig
+  FROM hs)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       bit_count(xor(s1.sig, s2.sig))::INT AS dist
+FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+WHERE bit_count(xor(s1.sig, s2.sig)) <= {max_dist}"""
 
 
 def _louvain_full_values_sql() -> str:
@@ -1257,6 +1301,7 @@ FROM documents WHERE {_bkt_sql(7)} < {thr}"""
     sql["lpa_full"] = _lpa_full_sql(nbatches=4, max_iters=8)
     sql["k_core"] = _k_core_full_sql(iters=8)
     sql["louvain_full"] = _louvain_full_values_sql()
+    sql["simhash_near_pairs"] = _simhash_near_pairs_sql(max_dist=3)
 
     sql["media_stats"] = f"""
 WITH m(media_id, kind, width, height, duration_ms) AS (VALUES {_media_values_sql(False)})

@@ -279,25 +279,55 @@ def fuzzy_dedup(
 # ---------------------------------------------------------------------------
 
 
+# portable 62-bit token hash: two independent Horner hashes over the
+# token's code points, mod after every step (exact integer math in any
+# engine — the winnowing discipline, textops.WINNOW_*). DuckDB mirrors it
+# with list_reduce, which seeds the accumulator with the first element —
+# identical to Horner from acc=0, since (0*B + c1) mod P = c1.
+SIMHASH_P = (1 << 31) - 1
+SIMHASH_B1 = 257
+SIMHASH_B2 = 131
+SIMHASH_BITS = 62
+
+
+def _portable_token_hash(tok):
+    chars = F.split(tok, "")
+
+    def horner(b: int):
+        # acc < 2^31, acc*B + c < 2^39 — ANSI-safe
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(acc * F.lit(b) + F.ascii(c), F.lit(SIMHASH_P)),
+        )
+
+    return horner(SIMHASH_B1) + horner(SIMHASH_B2) * F.lit(1 << 31)
+
+
 def simhash_signatures_stable(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — cross-run-stable SimHash built from Catalyst
-    expressions only: per-token xxhash64, per-bit majority vote."""
+    expressions only: per-token portable Horner hash (engine-independent
+    integer math, so the driver gate value-checks the signatures AND the
+    near-pair output against DuckDB), per-bit majority vote over a 62-bit
+    signature (bits 0..61; the 4x16-bit banding and the <=3-distance
+    pigeonhole argument are unchanged)."""
     from nido_spark.textops import tokens
 
     toks = tokens(canonical_text(F.col(text_col)))
-    hs = F.transform(toks, lambda x: F.xxhash64(x))
+    hs = F.transform(toks, _portable_token_hash)
+
     def bit_sum(b: int):
         # NOTE: the mask must be bound OUTSIDE the lambda — pyspark's
         # higher-order-function bridge passes extra Column args into any
         # extra lambda parameters, clobbering Python defaults.
-        mask = F.lit(1 << b if b < 63 else -(2**63))
+        mask = F.lit(1 << b)
         return F.aggregate(
             hs,
             F.lit(0).cast("long"),
             lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 2).otherwise(0) - 1,
         )
 
-    bit_sums = [bit_sum(b) for b in range(64)]
+    bit_sums = [bit_sum(b) for b in range(SIMHASH_BITS)]
     sig = None
     for b, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
