@@ -412,8 +412,9 @@ def _q_simhash_near_pairs(spark, sf):
 
 
 def _q_ann_ivf_topk(spark, sf):
-    # rows-only: the k-means quantizer is not SQL-expressible; recall vs
-    # exact top-k is pinned in tests/test_textdedup.py
+    # value-checked: the deterministic NumPy quantizer is replayed by the
+    # oracle (_ivf_ann_sql) with centroids as literals; recall vs exact
+    # top-k additionally pinned in tests/test_textdedup.py
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") < 3)
     out = S.ivf_ann_topk(emb, queries, k=5, n_lists=8, n_probe=3)
@@ -617,6 +618,181 @@ l{i + 1} AS MATERIALIZED (SELECT l{i}.v, LEAST(l{i}.comm, COALESCE(nb{i}.mn, l{i
         )
     parts.append(f"\nSELECT v, comm FROM l{rounds}")
     return "".join(parts)
+
+
+def _luby_coloring_sql(rounds: int = 8, seed: int = 42) -> str:
+    """Jones-Plassmann peel unrolled: the degree-major priority uses the
+    portable affine mix (pipeline._bucket — exact integer math, replayed
+    here in HUGEINT), each round's MIS is vertices beating every remaining
+    neighbor's (p, v), and rounds past the empty fixpoint contribute
+    nothing. Exact equality checks priorities, the (p, v) tie-break, the
+    max-struct neighbor reduction, and the peel schedule."""
+    P = (1 << 61) - 1
+    b31 = (
+        f"((48271::HUGEINT * ((((1103515245::HUGEINT * ((v % {P}) + {seed}) "
+        f"+ 12345) % {P}) % 1073741824)) + 11213) % 2147483647)::BIGINT"
+    )
+    parts = [
+        f"""{_E},
+liveE AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS v, COUNT(*)::BIGINT AS deg FROM liveE GROUP BY 1),
+rem0 AS MATERIALIZED (
+  SELECT v, LEAST(COALESCE(deg, 0), 262143) * 17592186044416 + {b31} AS p
+  FROM (SELECT DISTINCT src AS v FROM e) t LEFT JOIN deg USING (v)),
+live0 AS MATERIALIZED (SELECT * FROM liveE)"""
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+nbp{r} AS MATERIALIZED (SELECT l.src AS v, MAX(pd.p) AS mp
+          FROM live{r} l JOIN rem{r} pd ON l.dst = pd.v GROUP BY 1),
+nbv{r} AS MATERIALIZED (SELECT l.src AS v, n.mp, MAX(l.dst) AS mv
+          FROM live{r} l JOIN rem{r} pd ON l.dst = pd.v
+          JOIN nbp{r} n ON n.v = l.src AND pd.p = n.mp
+          GROUP BY 1, 2),
+mis{r} AS MATERIALIZED (
+  SELECT r.v FROM rem{r} r LEFT JOIN nbv{r} n USING (v)
+  WHERE n.mp IS NULL OR r.p > n.mp OR (r.p = n.mp AND r.v > n.mv)),
+col{r} AS (SELECT v, {r}::INT AS color FROM mis{r}),
+rem{r + 1} AS MATERIALIZED (
+  SELECT * FROM rem{r} WHERE v NOT IN (SELECT v FROM mis{r})),
+live{r + 1} AS MATERIALIZED (
+  SELECT * FROM live{r} WHERE src NOT IN (SELECT v FROM mis{r})
+                          AND dst NOT IN (SELECT v FROM mis{r}))"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM col{r}" for r in range(rounds))
+    parts.append(f"\nSELECT v, color FROM ({union})")
+    return "".join(parts)
+
+
+def _transcript_edges_sql() -> str:
+    """Independent SQL derivation of transcript edges from the synth
+    transcript fixture as a VALUES literal (dense strategy: role
+    adjacency + conv->tool edges, name-sorted dense vertex ids,
+    symmetrized)."""
+    return f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+actor AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN role = 'tool' THEN 'tool:' || tool
+              ELSE conv_id || ':' || role END AS a
+  FROM tr
+),
+adj0 AS (
+  SELECT a, lead(a) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b FROM actor
+),
+adj AS (
+  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM adj0 WHERE b IS NOT NULL GROUP BY 1, 2
+),
+ct AS (
+  SELECT 'conv:' || conv_id AS a, 'tool:' || tool AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM tr WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+se AS (
+  SELECT a, b, SUM(w) AS w
+  FROM (SELECT * FROM adj UNION ALL SELECT * FROM ct) GROUP BY 1, 2
+),
+names AS (SELECT DISTINCT name FROM (SELECT a AS name FROM se UNION SELECT b AS name FROM se)),
+vmap AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS v FROM names),
+e1 AS (
+  SELECT va.v AS src, vb.v AS dst, se.w
+  FROM se JOIN vmap va ON se.a = va.name JOIN vmap vb ON se.b = vb.name
+)
+SELECT src, dst, SUM(w) AS w
+FROM (SELECT src, dst, w FROM e1
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst)
+WHERE w > 0 GROUP BY 1, 2"""
+
+
+def _transcript_louvain_values_sql() -> str:
+    """transcript_louvain labels as a VALUES literal. DISCLOSURE of what is
+    and is not independent here: the transcript graph (3,192 directed
+    edges) is far below louvain()'s 100k local-tail threshold, so the
+    Spark query executes the community schedule via the SAME NumPy code
+    this generator calls — the schedule itself is NOT independently
+    re-derived (it IS, separately, for louvain_full, whose phase 0 runs
+    distributed). What this oracle independently checks: the
+    transcript->edge derivation (re-run here through the pure-SQL pipeline
+    of the transcript_edges oracle, not through nido_spark.io) and the
+    engine plumbing around the tail (vertex-id assignment, flat label
+    projection, result surfacing)."""
+    import duckdb
+
+    from nido_spark.oracle import louvain_numpy
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT * FROM ({_transcript_edges_sql()}) ORDER BY src, dst"
+    ).df()
+    res = louvain_numpy(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
+        nbatches=8,
+    )
+    vals = ",".join(f"({int(v)},{int(c)})" for v, c in sorted(res.labels.items()))
+    return (
+        f"SELECT v::BIGINT AS v, comm::BIGINT AS comm "
+        f"FROM (VALUES {vals}) AS t(v, comm)"
+    )
+
+
+def _ivf_ann_sql(k: int = 5, n_lists: int = 8, n_probe: int = 3, dim: int = 64) -> str:
+    """Exact mirror of similarity.ivf_ann_topk: the deterministic NumPy
+    k-means trainer is replayed here on the same id-sorted embedding table
+    (byte-identical centroids by construction), embedded as DOUBLE[]
+    literals; assignment/probing use the same sequential-fold squared-L2
+    (list_reduce == Spark's aggregate left fold) with the same (d, cell)
+    tie-break, so cells, probes, candidates, and ranks all reproduce."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from nido_spark.similarity import _kmeans_numpy
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C = _kmeans_numpy(X, n_lists, seed=42)
+    cent_rows = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in C[j])}]::DOUBLE[])"
+        for j in range(n_lists)
+    )
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> (ev.v[i] - cent.c[i]) * (ev.v[i] - cent.c[i])), (a, x) -> a + x)"
+    )
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(j, c) AS (VALUES {cent_rows}),
+ad AS (SELECT ev.vec_id, cent.j, {sq} AS d FROM ev CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
+    FROM ad) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, j AS cell FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
+    FROM ad WHERE vec_id < 3) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS nbr_id, list_cosine_similarity(q.v, c.v) AS cos
+  FROM probes p
+  JOIN assigned a USING (cell)
+  JOIN ev q ON p.query_id = q.vec_id
+  JOIN ev c ON a.vec_id = c.vec_id
+  WHERE a.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
+FROM ranked WHERE rank <= {k}"""
 
 
 def _simhash_near_pairs_sql(max_dist: int = 3) -> str:
@@ -1198,40 +1374,7 @@ scored AS (
 )
 SELECT a, b, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.3"""
 
-    sql["transcript_edges"] = f"""
-WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
-actor AS (
-  SELECT conv_id, turn_idx, tool,
-         CASE WHEN role = 'tool' THEN 'tool:' || tool
-              ELSE conv_id || ':' || role END AS a
-  FROM tr
-),
-adj0 AS (
-  SELECT a, lead(a) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b FROM actor
-),
-adj AS (
-  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, CAST(COUNT(*) AS DOUBLE) AS w
-  FROM adj0 WHERE b IS NOT NULL GROUP BY 1, 2
-),
-ct AS (
-  SELECT 'conv:' || conv_id AS a, 'tool:' || tool AS b, CAST(COUNT(*) AS DOUBLE) AS w
-  FROM tr WHERE tool IS NOT NULL GROUP BY 1, 2
-),
-se AS (
-  SELECT a, b, SUM(w) AS w
-  FROM (SELECT * FROM adj UNION ALL SELECT * FROM ct) GROUP BY 1, 2
-),
-names AS (SELECT DISTINCT name FROM (SELECT a AS name FROM se UNION SELECT b AS name FROM se)),
-vmap AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS v FROM names),
-e1 AS (
-  SELECT va.v AS src, vb.v AS dst, se.w
-  FROM se JOIN vmap va ON se.a = va.name JOIN vmap vb ON se.b = vb.name
-)
-SELECT src, dst, SUM(w) AS w
-FROM (SELECT src, dst, w FROM e1
-      UNION ALL
-      SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst)
-WHERE w > 0 GROUP BY 1, 2"""
+    sql["transcript_edges"] = _transcript_edges_sql()
 
     lang_lateral = " UNION ALL ".join(lang_cases)
     sql["corpus_prepare"] = rf"""
@@ -1302,6 +1445,9 @@ FROM documents WHERE {_bkt_sql(7)} < {thr}"""
     sql["k_core"] = _k_core_full_sql(iters=8)
     sql["louvain_full"] = _louvain_full_values_sql()
     sql["simhash_near_pairs"] = _simhash_near_pairs_sql(max_dist=3)
+    sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
+    sql["transcript_louvain"] = _transcript_louvain_values_sql()
+    sql["luby_coloring"] = _luby_coloring_sql(rounds=8, seed=42)
 
     sql["media_stats"] = f"""
 WITH m(media_id, kind, width, height, duration_ms) AS (VALUES {_media_values_sql(False)})

@@ -491,7 +491,7 @@ def luby_mis_coloring(
 
     Fixed-priority parallel peeling (Jones & Plassmann 1993, a public
     refinement of the reference's Luby-MIS loop, graph.cpp:548-694): each
-    vertex gets ONE deterministic priority ``(degree, xxhash64(v, seed))``;
+    vertex gets ONE deterministic priority ``(degree, affine_mix(v, seed))``;
     in round r, every remaining vertex whose priority beats all remaining
     neighbors is colored r and removed. Adjacent vertices can never fall in
     the same round, so color = round index is proper. The degree-major
@@ -501,10 +501,14 @@ def luby_mis_coloring(
     rendering (fresh hash per round, hard 64-color cap) the loop runs to
     EMPTY — every vertex is always colored. ``max_colors`` is only a safety
     valve (raises, never truncates)."""
+    from nido_spark.pipeline import _bucket
+
     spark = edges.sparkSession
     # priority = degree-major, hash-minor, packed into one long:
-    # (min(deg, 2^18-1) << 44) | (hash mod 2^44)  — strict total order via
-    # the (p, v) tie-break below; stays under 2^63 (ANSI-safe)
+    # (min(deg, 2^18-1) << 44) + portable-affine-mix(v) — strict total
+    # order via the (p, v) tie-break below; stays under 2^63 (ANSI-safe).
+    # The mix is pipeline._bucket, engine-independent integer math, which
+    # is what lets the driver oracle replay the whole peel in SQL.
     deg = edges.where(F.col("src") != F.col("dst")).groupBy(
         F.col("src").alias("v")
     ).agg(F.count(F.lit(1)).alias("deg"))
@@ -516,7 +520,7 @@ def luby_mis_coloring(
             (
                 F.least(F.coalesce("deg", F.lit(0)), F.lit((1 << 18) - 1))
                 * F.lit(1 << 44)
-                + F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(1 << 44))
+                + _bucket("v", seed)
             ).alias("p"),
         )
     )

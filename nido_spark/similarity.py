@@ -211,6 +211,31 @@ def lsh_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def _kmeans_numpy(X, k: int, seed: int = 42, iters: int = 20):
+    """Deterministic seeded Lloyd k-means in double precision — the coarse
+    quantizer trainer. Runs on the DRIVER over a bounded sample (the
+    FAISS-style discipline: quantizer centroids need only a sample; pass
+    ``train_sample`` at corpus scale so the collect stays bounded).
+    Bit-reproducible given the same (sorted) sample, which is what lets
+    the DuckDB oracle replay the exact centroids as SQL literals.
+    Empty clusters keep their previous centroid; argmin ties take the
+    smallest cell id (matching the engine's (d, cell) struct sort)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    idx = np.sort(rng.choice(n, size=min(k, n), replace=False))
+    C = X[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(C.shape[0]):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -229,33 +254,27 @@ def ivf_ann_topk(
     cell assignment is a plain equi-join key, so the inverted lists can be
     bucketed/partitioned by cell at rest).
 
-    Training: pyspark.ml KMeans (seeded) over the corpus (or a
-    ``train_sample`` fraction at 100 TB — centroids need only a sample).
-    The n_lists x dim centroid table is tiny and ships as literal arrays in
-    the probe expression; corpus assignment runs JVM-side via the fitted
-    model. Returns (query_id, nbr_id, cos, rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Training: the deterministic NumPy Lloyd trainer (_kmeans_numpy) over an
+    id-SORTED driver-collected sample (sorted so the sample is byte-stable
+    regardless of partition read order; pass ``train_sample`` at 100 TB —
+    centroids need only a bounded sample). The n_lists x dim centroid table
+    is tiny and ships as literal arrays in BOTH the assignment and probe
+    expressions (pure Catalyst, whole-stage codegen — no ML pipeline, no
+    Python in the distributed path), and the identical training replayed by
+    the DuckDB oracle makes the whole operator value-checkable.
+    Returns (query_id, nbr_id, cos, rank)."""
+    import numpy as np
 
     train = corpus if train_sample is None else corpus.sample(
         fraction=train_sample, seed=seed
     )
-    feats = train.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    pdf = train.select(id_col, vec_col).orderBy(id_col).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    centers = [list(map(float, c)) for c in _kmeans_numpy(X, n_lists, seed=seed)]
 
-    assigned = model.transform(
-        corpus.select(
-            F.col(id_col).alias("nbr_id"),
-            F.col(vec_col).alias("nbr_vec"),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-        )
-    ).select("nbr_id", "nbr_vec", F.col("prediction").alias("cell"))
-
-    # query probes: squared L2 distance to each centroid as literal-array
-    # expressions (JVM-side), keep the n_probe nearest cells
+    # squared L2 distance to a centroid as a literal-array expression:
+    # sequential left-fold over dims — the same evaluation order the
+    # oracle's list_reduce uses, so cell argmins agree bit-for-bit
     def sqdist(vec, center):
         arr = F.array(*[F.lit(float(x)) for x in center])
         return F.aggregate(
@@ -263,6 +282,23 @@ def ivf_ann_topk(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+
+    def argmin_cell(vec):
+        return F.element_at(
+            F.sort_array(
+                F.array(
+                    *[
+                        F.struct(sqdist(vec, c).alias("d"), F.lit(j).alias("cell"))
+                        for j, c in enumerate(centers)
+                    ]
+                )
+            ),
+            1,
+        )["cell"]
+
+    assigned = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+    ).withColumn("cell", argmin_cell(F.col("nbr_vec")))
 
     probes = F.slice(
         F.sort_array(
