@@ -125,6 +125,22 @@ def _q_doc_decontaminate(spark, sf):
     )
 
 
+def _q_doc_pii_scrub(spark, sf):
+    # regex parity over the full corpus; md5 of the redacted text pins the
+    # whole sequential-replacement pipeline byte-for-byte
+    return X.redact_pii(_docs(spark, sf)).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _q_transcript_triangles(spark, sf):
+    # per-vertex triangle credit on the transcript actor graph (the
+    # lineitem graph is bipartite: 0 triangles everywhere — degenerate)
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.triangle_count_per_vertex(transcripts_to_edges(tr, strategy="dense"))
+
+
 def _q_doc_repetition_stats(spark, sf):
     return X.repetition_stats(_docs(spark, sf)).select(
         "doc_id",
@@ -497,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_profile": _q_doc_ngram_profile,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_repetition_stats": _q_doc_repetition_stats,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "transcript_triangles": _q_transcript_triangles,
         # scheduling / diagnostics
         "luby_coloring": _q_luby_coloring,
         # multimodal plumbing (synth media; decode is env-stubbed)
@@ -1448,6 +1466,55 @@ FROM documents WHERE {_bkt_sql(7)} < {thr}"""
     sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
     sql["luby_coloring"] = _luby_coloring_sql(rounds=8, seed=42)
+
+    # PII scrub: same patterns, same order, counts on the original text;
+    # DuckDB needs the 'g' flag (first-match-only by default)
+    _pii_counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{name}"
+        for name, pat in X.PII_PATTERNS
+    )
+    _pii_clean = "text"
+    for _name, _pat in X.PII_PATTERNS:
+        _pii_clean = f"regexp_replace({_pii_clean}, '{_pat}', '<{_name.upper()}>', 'g')"
+    sql["doc_pii_scrub"] = f"""
+SELECT doc_id, {_pii_counts}, md5({_pii_clean}) AS clean_md5
+FROM documents"""
+
+    sql["transcript_triangles"] = f"""
+WITH te AS MATERIALIZED ({_transcript_edges_sql()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM te WHERE src <> dst
+),
+deg AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS a,
+         CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS b
+  FROM und u JOIN deg d1 ON u.a = d1.v JOIN deg d2 ON u.b = d2.v
+),
+closing AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM o UNION ALL SELECT b AS x, a AS y FROM o
+),
+tris AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS x, e2.b AS y
+  FROM o e1
+  JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN closing c ON c.x = e1.b AND c.y = e2.b
+),
+per AS (
+  SELECT v, COUNT(*)::BIGINT AS triangles FROM (
+    SELECT u AS v FROM tris UNION ALL SELECT x FROM tris UNION ALL SELECT y FROM tris
+  ) GROUP BY 1
+),
+allv AS (SELECT DISTINCT src AS v FROM te)
+SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
+FROM allv LEFT JOIN per USING (v)"""
 
     sql["media_stats"] = f"""
 WITH m(media_id, kind, width, height, duration_ms) AS (VALUES {_media_values_sql(False)})

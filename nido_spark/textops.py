@@ -304,3 +304,35 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+# PII patterns applied IN ORDER (order matters where matches could overlap
+# — both engines replace sequentially, so results agree by construction).
+# Class-based regexes only: identical semantics under Java regex (Spark)
+# and RE2 (DuckDB), including \b word boundaries.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ssn, n_phone, n_ipv4, clean_text) — PII scrub,
+    the redaction pass a training corpus gets before tokenization: emails,
+    US-SSN-shaped ids, phone numbers, and IPv4 literals are counted (on
+    the ORIGINAL text, per pattern) and replaced with <TYPE> tokens,
+    sequentially in PII_PATTERNS order. Pure Catalyst regexp_count /
+    regexp_replace — map-only, no shuffle, codegen'd; the DuckDB oracle
+    replays the same patterns in the same order (with the 'g' flag —
+    DuckDB replaces first-match-only by default)."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    clean = c
+    for name, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))

@@ -398,3 +398,24 @@ def test_repetition_stats_fractions(spark):
     assert abs(got[3]["top_bigram_frac"] - 0.2) < 1e-12  # 5 bigrams, each once
     assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
     assert got[5]["top_bigram_frac"] == 0.0
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from nido_spark.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com or 555-123-4567, ssn 123-45-6789, ip 10.0.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    r = got[1]
+    assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1, 1)
+    for tok in ("<EMAIL>", "<SSN>", "<PHONE>", "<IPV4>"):
+        assert tok in r["clean_text"]
+    for leak in ("alice", "4567", "6789", "10.0.0.1"):
+        assert leak not in r["clean_text"]
+    assert got[2]["clean_text"] == "nothing sensitive here"
+    assert got[2]["n_email"] == 0
