@@ -205,6 +205,43 @@ def _louvain_sweep_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     return ne / dt
 
 
+def _dedup_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
+    """MinHash-LSH near-dup scaling probe: signatures + banding + bucket
+    join + verify over a ``replicate``-times id-offset copy of the
+    documents table (40k docs at sf0.1) — the pipeline-side counterpart of
+    the graph probes. NOTE the copies keep their text, so every original
+    near-dup cluster becomes a cross-copy clique: the probe deliberately
+    includes the bucket-cap/verify machinery under that amplification.
+    Prints docs/sec over the full dedup pass."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import dedup as D
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_dedup_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+    D.minhash_dedup(big, threshold=0.6).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        D.minhash_dedup(big, threshold=0.6).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
+
+
 def _map_probe(sf_dir: str, cpus: int, replicate: int = 600) -> float:
     """Map-only compute probe (no shuffle): quality scoring over a
     replicated documents table (3M docs at sf0.1) — enough per-task regex
@@ -252,6 +289,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-louvain":
         _louvain_sweep_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-dedup":
+        _dedup_probe(sf_dir, int(sys.argv[2]))
         return
 
     t0 = time.time()
