@@ -24,13 +24,27 @@ def get_spark(
     ``cores=None`` uses ``local[*]``. ``shuffle_partitions`` defaults to the
     core count — the right size for local mode; on a cluster it should be
     ~2-3x total executor cores (set via ``extra_conf``).
+
+    Cluster deployment: set ``NIDO_SPARK_MASTER=external`` when launching
+    through ``spark-submit --master <url> --py-files nido_spark.zip`` — the
+    builder then does NOT call ``.master()``, deferring to the launcher's
+    cluster manager instead of silently overriding it with local mode (any
+    other value of the env var is used as the master URL directly).
     """
-    master = f"local[{cores}]" if cores else "local[*]"
+    env_master = os.environ.get("NIDO_SPARK_MASTER")
+    if env_master == "external":
+        master = None
+    elif env_master:
+        master = env_master
+    else:
+        master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores if cores else (os.cpu_count() or 8)
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
