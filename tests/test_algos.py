@@ -180,3 +180,15 @@ def test_k_core_one_directional_input(spark):
     ref = O.k_core_numpy([r[0] for r in rows], [r[1] for r in rows])
     assert got == ref
     assert got[1] == got[2] == got[3] == 2 and got[4] == 1
+
+
+def test_k_core_raises_when_max_iters_exhausted(spark):
+    """Safety-valve contract (review finding): a non-converged H-index
+    upper bound must raise, never be returned silently — path graphs need
+    O(diameter) iterations, so max_iters=1 cannot reach the fixpoint."""
+    rows = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(rows, "src long, dst long").withColumn(
+        "w", F.lit(1.0)
+    )
+    with pytest.raises(RuntimeError, match="max_iters"):
+        A.k_core(edges, max_iters=1)
