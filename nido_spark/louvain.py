@@ -237,12 +237,15 @@ def louvain_sweep(
     return state.select("v", "comm")
 
 
-def coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def coarsen(edges: DataFrame, labels: DataFrame, broadcast_labels: bool = False) -> DataFrame:
     """Contract communities into super-vertices; sum parallel edges; keep
     intra-community weight as self-loops (graph_gpu.cpp:1224-1304). Community
-    ids (sparse vertex ids) become the new vertex ids."""
-    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("c_src"))
-    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("c_dst"))
+    ids (sparse vertex ids) become the new vertex ids. ``broadcast_labels``
+    (same vertex-count gate as the sweep) makes the contraction's only
+    E-row exchange the final groupBy."""
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
+    lab_src = bc(labels.select(F.col("v").alias("src"), F.col("comm").alias("c_src")))
+    lab_dst = bc(labels.select(F.col("v").alias("dst"), F.col("comm").alias("c_dst")))
     return (
         edges.join(lab_src, "src")
         .join(lab_dst, "dst")
@@ -403,17 +406,24 @@ def louvain(
         total_sweeps += loops
         Q_final = Q
 
-        # project into flat clustering: flat.comm is a vertex of this phase
+        # project into flat clustering: flat.comm is a vertex of this phase.
+        # phase_map is CURRENT-phase V rows (small, shrinking) while flat is
+        # ORIGINAL-graph V rows — broadcast the small side under the gate so
+        # the projection never shuffles the original vertex set
         phase_map = labels.select(
             F.col("v").alias("phase_v"), F.col("comm").alias("new_comm")
         )
+        if bcast:
+            phase_map = F.broadcast(phase_map)
         flat = truncate_lineage(
             flat.join(phase_map, flat["comm"] == phase_map["phase_v"])
             .select("v", F.col("new_comm").alias("comm"))
         )
 
         if Q - Q_phase_start > tol_phase:
-            new_edges = truncate_lineage(coarsen(edges, labels))
+            new_edges = truncate_lineage(
+                coarsen(edges, labels, broadcast_labels=bcast)
+            )
             if dense_relabel:
                 relab = truncate_lineage(dense_relabel_map(new_edges))
                 r_src = relab.select(F.col("old").alias("src"), F.col("new").alias("nsrc"))
