@@ -314,6 +314,10 @@ def louvain(
 
     ``broadcast_threshold``: when a phase's vertex count is at or below
     this, the sweep statically broadcasts the V-row state/label tables.
+    Sizing: 8M (v, comm, k) rows build a ~300-400 MB HashedRelation —
+    sized for 4-8 GB executors; lower the threshold on memory-tight
+    clusters (above it nothing breaks, the sweep just falls back to
+    AQE-planned shuffle joins).
     Combined with the per-phase edge pinning (hash-partitioned on src,
     persisted — the in-memory rendering of a src-bucketed at-rest table;
     io.write_bucketed_edges is the durable variant), every batch kernel
