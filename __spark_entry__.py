@@ -334,6 +334,36 @@ def _q_events_session_stats(spark, sf):
     return session_stats(_events(spark, sf), gap_seconds=1800)
 
 
+def _q_events_sessionize_hotsplit(spark, sf):
+    # the hot-key pre-split rendering (coarse time buckets + boundary
+    # stitch) MUST produce byte-identical output — it shares
+    # events_sessionize's oracle SQL, so the driver value-checks the skew
+    # machinery itself; the low threshold forces every user through it
+    from nido_spark.relational import sessionize
+
+    return sessionize(
+        _events(spark, sf), gap_seconds=1800,
+        hot_key_threshold=5, hot_key_buckets=8,
+    ).select("event_id", "user_id", "session_idx")
+
+
+def _q_events_asof_click_hotsplit(spark, sf):
+    # same contract for the as-of join's split path (shares the ASOF oracle)
+    from nido_spark.relational import asof_join
+
+    ev = _events(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(ev, clicks, on="user_id", right_cols=["event_id", "value"],
+                    suffix="_click", hot_key_threshold=5, hot_key_buckets=8)
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("event_id_click").alias("click_event_id"),
+        F.round("value_click", 9).alias("click_value"),
+    )
+
+
 def _q_triangle_count(spark, sf):
     n = A.triangle_count(lineitem_edges(spark, sf))
     return spark.createDataFrame([(n,)], "n_triangles long")
@@ -468,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_events_json_props,
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
+        "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
+        "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # vertex aggregates (A1-A5)
         "degree": _q_degree,
         "weighted_degree": _q_weighted_degree,
@@ -1479,6 +1511,9 @@ FROM documents WHERE {_bkt_sql(7)} < {thr}"""
     sql["doc_pii_scrub"] = f"""
 SELECT doc_id, {_pii_counts}, md5({_pii_clean}) AS clean_md5
 FROM documents"""
+
+    sql["events_sessionize_hotsplit"] = sql["events_sessionize"]
+    sql["events_asof_click_hotsplit"] = sql["events_asof_click"]
 
     sql["transcript_triangles"] = f"""
 WITH te AS MATERIALIZED ({_transcript_edges_sql()}),
