@@ -200,3 +200,62 @@ def test_asof_join_internal_name_clash_tolerated(spark):
         ).collect()
         assert len(out) == 1 and out[0]["px_asof"] == 7.0
         assert out[0]["_k"] == "x" and out[0]["_pay"] == "y"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_sessionize_hot_split_equality_randomized(spark, seed):
+    """Randomized stitch check: duplicated timestamps, gaps straddling
+    bucket boundaries, several keys above/below the threshold — the split
+    rendering must equal the single window on every draw."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    for k in range(4):
+        n = int(rng.integers(5, 120))
+        t = int(rng.integers(0, 10**6))
+        for _ in range(n):
+            # gaps cluster near 0 and near the 1800s threshold; repeat a
+            # timestamp with ~20% probability (tiebreak coverage)
+            if rng.random() > 0.2:
+                t += int(rng.choice([0, 1, 1000, 1799, 1800, 1801, 4000])) * 1_000_000
+            rows.append((eid, k, t)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long").select(
+        "event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    base = {r["event_id"]: r["session_idx"] for r in sessionize(df).collect()}
+    split = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, hot_key_threshold=20, hot_key_buckets=7).collect()
+    }
+    assert split == base
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_hot_split_equality_randomized(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    left_rows, right_rows = [], []
+    eid = 0
+    for k in range(3):
+        n = int(rng.integers(10, 150))
+        for _ in range(n):
+            left_rows.append((eid, k, int(rng.integers(0, 10**5)) * 1_000_000)); eid += 1
+        # (k, ts) uniqueness is an asof_join precondition — draw without
+        # replacement so duplicate right timestamps can't make the carried
+        # payload choice ambiguous (and the test flaky)
+        for us in rng.choice(10**5, size=int(rng.integers(0, 8)), replace=False):
+            right_rows.append((k, int(us) * 1_000_000, float(rng.random())))
+    left = spark.createDataFrame(left_rows, "event_id long, k long, us long").select(
+        "event_id", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    right = spark.createDataFrame(right_rows, "k long, us long, px double").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "px")
+    kw = dict(on="k", right_cols=["px"])
+    base = {r["event_id"]: r["px_asof"]
+            for r in asof_join(left, right, **kw).collect()}
+    split = {r["event_id"]: r["px_asof"]
+             for r in asof_join(left, right, hot_key_threshold=25,
+                                hot_key_buckets=6, **kw).collect()}
+    assert split == base
