@@ -215,6 +215,14 @@ def _q_corpus_sample(spark, sf):
     return assign_shards(s, n_shards=4, seed=11).select("doc_id", "shard")
 
 
+def _q_corpus_sample_stratified(spark, sf):
+    from nido_spark.pipeline import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf), rates={"en": 0.5, "de": 0.25}, strata_col="lang", seed=7
+    ).select("doc_id", "lang")
+
+
 def _q_corpus_prepare(spark, sf):
     from nido_spark.pipeline import prepare_corpus
 
@@ -546,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_repetition_stats": _q_doc_repetition_stats,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        "corpus_sample_stratified": _q_corpus_sample_stratified,
         "transcript_triangles": _q_transcript_triangles,
         # scheduling / diagnostics
         "luby_coloring": _q_luby_coloring,
@@ -1488,6 +1497,11 @@ WHERE q.quality >= 0.4 AND lbest.lang_pred IN ('en')"""
     sql["corpus_sample"] = f"""
 SELECT doc_id, ({_bkt_sql(11)} % 4)::INT AS shard
 FROM documents WHERE {_bkt_sql(7)} < {thr}"""
+
+    sql["corpus_sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
+   OR (lang = 'en' AND {_bkt_sql(7)} < {int(0.5 * _SAMPLE_P2)})"""
 
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["cc_full"] = _cc_full_sql(rounds=12)

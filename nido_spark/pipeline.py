@@ -79,6 +79,28 @@ def sample_corpus(
     return docs.where(_bucket(id_col, seed) < threshold)
 
 
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum subsample — the training-mix control knob
+    (e.g. keep 100% of en, 25% of de, drop the rest): a row is kept iff its
+    stratum has a rate and its affine-hash bucket falls below rate*P.
+    Same hash family as sample_corpus, so stratified slices, uniform
+    slices, and shards all compose consistently; map-only, no shuffle,
+    reproducible in any engine."""
+    b = _bucket(id_col, seed)
+    keep = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        keep = keep | (
+            (F.col(strata_col) == stratum) & (b < int(rate * _SAMPLE_P2))
+        )
+    return docs.where(keep)
+
+
 def assign_shards(
     docs: DataFrame, n_shards: int, seed: int = 42, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -419,3 +419,28 @@ def test_redact_pii_counts_and_replacement(spark):
         assert leak not in r["clean_text"]
     assert got[2]["clean_text"] == "nothing sensitive here"
     assert got[2]["n_email"] == 0
+
+
+def test_sample_stratified_rates_and_determinism(docs, spark):
+    from nido_spark.pipeline import sample_corpus, sample_stratified
+
+    rates = {"en": 0.5, "de": 0.25}
+    s1 = sorted(r["doc_id"] for r in sample_stratified(docs, rates, seed=7).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in sample_stratified(docs.repartition(9), rates, seed=7).collect()
+    )
+    assert s1 == s2 and len(s1) > 0  # partition-layout independent
+    langs = {r["lang"] for r in sample_stratified(docs, rates, seed=7).collect()}
+    assert langs <= set(rates)  # unlisted strata dropped
+    # composes with the uniform sampler: the en stratum at rate r is
+    # EXACTLY sample_corpus(rate=r) restricted to en (same hash, same seed)
+    en_uniform = {
+        r["doc_id"]
+        for r in sample_corpus(docs.where(F.col("lang") == "en"), 0.5, seed=7).collect()
+    }
+    en_strat = {
+        r["doc_id"]
+        for r in sample_stratified(docs, rates, seed=7).where(F.col("lang") == "en").collect()
+    }
+    assert en_strat == en_uniform
