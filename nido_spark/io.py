@@ -141,13 +141,40 @@ def synth_transcripts_pandas(n_convs: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Load the transcripts table. Prefers Iceberg when its catalog is on the
-    classpath; falls back to parquet (this sandbox)."""
-    try:
-        return spark.read.format("iceberg").load(path)
-    except Exception:
-        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+def read_transcripts(
+    spark: SparkSession,
+    path: str,
+    source_format: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Load the transcripts table from ``path`` in ``source_format``.
+
+    - ``"parquet"`` (default, the sandbox fixture format): schema-pinned
+      parquet read.
+    - ``"iceberg"`` (the deployment source per SURVEY §1.5): pass either a
+      metadata path or a catalog-qualified table identifier; requires the
+      Iceberg runtime jar + catalog conf on the session — supply it via
+      ``get_spark(extra_conf={...})``, e.g.::
+
+          get_spark(extra_conf={
+            "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.lake.type": "rest",
+            "spark.sql.catalog.lake.uri": "<catalog-uri>",
+          })
+          read_transcripts(spark, "lake.db.transcripts", source_format="iceberg")
+
+    - any other format string is passed straight to
+      ``spark.read.format(...)`` (delta, orc, ...).
+
+    ``options`` are forwarded to the reader verbatim. The format is always
+    honored — no silent fallback: a misconfigured Iceberg deployment fails
+    loudly instead of quietly reading a stale parquet mirror."""
+    reader = spark.read
+    if options:
+        reader = reader.options(**options)
+    if source_format == "parquet":
+        return reader.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    return reader.format(source_format).load(path)
 
 
 def transcript_string_edges(transcripts: DataFrame) -> DataFrame:

@@ -90,15 +90,26 @@ def sample_stratified(
     (e.g. keep 100% of en, 25% of de, drop the rest): a row is kept iff its
     stratum has a rate and its affine-hash bucket falls below rate*P.
     Same hash family as sample_corpus, so stratified slices, uniform
-    slices, and shards all compose consistently; map-only, no shuffle,
-    reproducible in any engine."""
-    b = _bucket(id_col, seed)
-    keep = F.lit(False)
-    for stratum, rate in sorted(rates.items()):
-        keep = keep | (
-            (F.col(strata_col) == stratum) & (b < int(rate * _SAMPLE_P2))
-        )
-    return docs.where(keep)
+    slices, and shards all compose consistently; reproducible in any
+    engine.
+
+    Rendering: a broadcast join against a tiny (stratum, threshold) literal
+    table — O(1) expression size however many strata the mix has (a
+    10^4-strata mix as an OR-chain predicate would be a 10^4-clause
+    expression; review finding r3). The inner join drops unlisted strata,
+    matching the predicate form; the broadcast keeps the plan map-side
+    (no shuffle of the corpus)."""
+    thr_rows = [(s, int(r * _SAMPLE_P2)) for s, r in sorted(rates.items())]
+    spark = docs.sparkSession
+    thr = spark.createDataFrame(thr_rows, f"`{strata_col}` string, `_thr` long")
+    thr = thr.withColumn(
+        strata_col, F.col(strata_col).cast(docs.schema[strata_col].dataType)
+    )
+    return (
+        docs.join(F.broadcast(thr), strata_col, "inner")
+        .where(_bucket(id_col, seed) < F.col("_thr"))
+        .select(*docs.columns)
+    )
 
 
 def assign_shards(

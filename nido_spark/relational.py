@@ -103,23 +103,36 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
     hot_key_threshold: int | None = None,
     hot_key_buckets: int = 32,
 ) -> DataFrame:
-    """Backward-inclusive as-of join: each left row gains the right row with
-    the largest ``right_ts <= left_ts`` for the same ``on`` key (nulls when
-    no prior right row exists). Assumes (on, right_ts) is unique on the
-    right side; equal timestamps match (inclusive).
+    """As-of join: each left row gains one right row for the same ``on``
+    key (nulls when none qualifies). Assumes (on, right_ts) is unique on
+    the right side; equal timestamps match (inclusive) in every direction.
 
-    Plan shape: tag both sides, union, ONE window over (key, ts, side) with
-    ``last(payload, ignorenulls=True)`` — a single hash-partition shuffle,
-    no range join, no per-key collect.
+    ``direction``:
+      - ``"backward"`` (default, = DuckDB/kdb ASOF): largest
+        ``right_ts <= left_ts``;
+      - ``"forward"``: smallest ``right_ts >= left_ts``;
+      - ``"nearest"``: whichever of the two is closer in time, ties to
+        backward (pandas ``merge_asof(direction="nearest")`` convention).
+
+    Plan shape: tag both sides, union, ONE window pass over (key, ts,
+    side) — ``last(payload, ignorenulls=True)`` over the preceding frame
+    for backward, ``first(...)`` over the following frame for forward
+    (same single hash-partition shuffle; nearest runs both frames in the
+    same partitioning and picks per row). No range join, no per-key
+    collect.
 
     With ``hot_key_threshold`` set, keys above the threshold are pre-split
     into ``hot_key_buckets`` time ranges; the carry window runs per
-    (key, bucket) and a second tiny window over per-bucket last-payload
-    summaries computes each bucket's carry-in, coalesced onto rows whose
+    (key, bucket) and a second tiny window over per-bucket boundary
+    payloads (last-in-bucket for backward, first-in-bucket for forward)
+    computes each bucket's carry-in, coalesced onto rows whose
     within-bucket carry is null. Identical output, bounded per-task sort."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     payload = [f"{c}{suffix}" for c in right_cols]
@@ -127,32 +140,40 @@ def asof_join(
     clash = set(payload) & set(left_cols)
     if clash:
         raise ValueError(f"suffix collision on {sorted(clash)}; pick another suffix")
-    K, TS, SIDE, PAY, B, BLAST, CARRY = _free_names(
-        ["_k", "_ts", "_side", "_pay", "_b", "_blast", "_carry"],
+    K, TS, SIDE, PAY, B, BLAST, CARRY, TSL, BLASTF, CARRYF, PB, PF = _free_names(
+        ["_k", "_ts", "_side", "_pay", "_b", "_blast", "_carry",
+         "_tsl", "_blast_f", "_carry_f", "_pay_b", "_pay_f"],
         set(left_cols) | set(right.columns) | set(payload),
     )
 
-    # a NULL right timestamp would sort FIRST under asc() and poison every
-    # left row of its key with a bogus match; ASOF semantics (and DuckDB's
-    # ts >= ts, NULL -> false) say it can never match — drop it up front.
-    # NULL LEFT timestamps need no handling: they sort before every real
-    # right row, so last(payload) is null = no match, same as the oracle.
+    # a NULL right timestamp can never match under any direction (DuckDB's
+    # comparison semantics: NULL -> false) but would sort at a frame edge
+    # and poison carries — drop it up front. NULL LEFT timestamps need no
+    # handling: they sort before every real right row, so the backward
+    # carry is null and the forward frame's first payload would bind —
+    # guard nearest/forward by nulling the match when the left ts is null.
     right = right.where(F.col(right_ts).isNotNull())
 
     # the union carries the LEFT payload through the window too (nulls on
     # right rows), so no row-id + re-join is needed — one shuffle total and
     # no nondeterministic ids that could diverge across branch recomputes.
-    # The right payload travels as ONE struct: per-column last(ignorenulls)
-    # would backfill a NULL field from an OLDER right row, stitching fields
-    # of different right rows together (and an all-NULL payload row would
-    # be invisible). A struct is non-null whenever the row exists, so the
-    # window carries the whole matched row or nothing.
+    # The right payload travels as ONE struct: per-column carries would
+    # stitch fields of different right rows together (and an all-NULL
+    # payload row would be invisible). A struct is non-null whenever the
+    # row exists, so the window carries the whole matched row or nothing.
+    # The struct's trailing internal field holds the matched right ts in
+    # integer microseconds — nearest needs it to compare distances; it is
+    # stripped at projection.
+    r_tsl = _ts_long(right, right_ts)
     r = right.select(
         F.col(on).alias(K),
         F.col(right_ts).alias(TS),
         F.lit(0).alias(SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        F.struct(*[F.col(c).alias(p) for c, p in zip(right_cols, payload)]).alias(PAY),
+        F.struct(
+            *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+            r_tsl.alias(TSL),
+        ).alias(PAY),
     )
     pay_type = r.schema[PAY].dataType
     l = left.select(
@@ -163,62 +184,119 @@ def asof_join(
         F.lit(None).cast(pay_type).alias(PAY),
     )
     u = r.unionByName(l)
+    us = _ts_long(u, TS)
 
-    if hot_key_threshold is None:
-        # side=0 sorts before side=1 at equal ts -> inclusive match
-        w = (
-            Window.partitionBy(K)
-            .orderBy(F.col(TS).asc(), F.col(SIDE).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = u.select(
-            SIDE,
-            *left_cols,
-            F.last(PAY, ignorenulls=True).over(w).alias(PAY),
-        )
-        return carried.where(F.col(SIDE) == 1).select(
+    def _project(df, back_col: Column | None, fwd_col: Column | None):
+        """Final selection: pick the directed payload per left row and
+        unpack the struct (dropping the internal ts field)."""
+        if direction == "backward":
+            pay = back_col
+        elif direction == "forward":
+            # inclusive on equal ts by frame construction; null left ts
+            # must not bind to the first right row of the key
+            pay = F.when(F.col(TS).isNotNull(), fwd_col)
+        else:
+            d_b = us - back_col[TSL]
+            d_f = fwd_col[TSL] - us
+            pay = F.when(F.col(TS).isNull(), F.lit(None).cast(pay_type)).otherwise(
+                F.when(back_col.isNull(), fwd_col)
+                .when(fwd_col.isNull(), back_col)
+                .when(d_b <= d_f, back_col)
+                .otherwise(fwd_col)
+            )
+        return df.withColumn(PAY, pay).where(F.col(SIDE) == 1).select(
             *left_cols, *[F.col(f"{PAY}.{p}").alias(p) for p in payload]
         )
 
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+
+    if hot_key_threshold is None:
+        # backward frame: everything up to the current row, ordered
+        # (ts asc, side asc) — right (side 0) sorts before left at equal
+        # ts, so equal timestamps match (inclusive). forward frame:
+        # current row onward, ordered (ts asc, side DESC) — left (side 1)
+        # sorts before right at equal ts, so equal timestamps are in the
+        # frame. Both windows share the hash partitioning: one shuffle,
+        # two in-partition sorts at most.
+        cols = [SIDE, TS, *left_cols]
+        if need_b:
+            w_b = (
+                Window.partitionBy(K)
+                .orderBy(F.col(TS).asc(), F.col(SIDE).asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            cols.append(F.last(PAY, ignorenulls=True).over(w_b).alias(PB))
+        if need_f:
+            w_f = (
+                Window.partitionBy(K)
+                .orderBy(F.col(TS).asc(), F.col(SIDE).desc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            cols.append(F.first(PAY, ignorenulls=True).over(w_f).alias(PF))
+        carried = u.select(*cols)
+        return _project(
+            carried,
+            F.col(PB) if need_b else None,
+            F.col(PF) if need_f else None,
+        )
+
     u, hot_keys = _with_time_buckets(
-        u, K, _ts_long(u, TS), hot_key_threshold, hot_key_buckets, B
+        u, K, us, hot_key_threshold, hot_key_buckets, B
     )
-    w1 = (
-        Window.partitionBy(K, B)
-        .orderBy(F.col(TS).asc(), F.col(SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.select(
-        SIDE, K, B,
-        *left_cols,
-        F.last(PAY, ignorenulls=True).over(w1).alias(PAY),
-    )
-    # boundary stitch: per HOT (key, bucket), the last right payload inside
-    # the bucket; a tiny per-key window (<= buckets rows) carries it across
+    cols = [SIDE, K, B, TS, *left_cols]
+    if need_b:
+        w1b = (
+            Window.partitionBy(K, B)
+            .orderBy(F.col(TS).asc(), F.col(SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cols.append(F.last(PAY, ignorenulls=True).over(w1b).alias(PB))
+    if need_f:
+        w1f = (
+            Window.partitionBy(K, B)
+            .orderBy(F.col(TS).asc(), F.col(SIDE).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        cols.append(F.first(PAY, ignorenulls=True).over(w1f).alias(PF))
+    carried = u.select(*cols)
+    # boundary stitch: per HOT (key, bucket), the boundary right payload
+    # (last-in-bucket for backward, first-in-bucket for forward); a tiny
+    # per-key window (<= buckets rows per hot key) carries it across
     # bucket boundaries. Ordinary keys (single bucket, no carry row) fall
     # out of the left join as null carry — exact single-window semantics.
     hot_u = u.join(F.broadcast(hot_keys), K, "left_semi")
-    blast = (
-        hot_u.where(F.col(PAY).isNotNull())
-        .groupBy(K, B)
-        .agg(F.max_by(PAY, F.struct(F.col(TS), F.col(SIDE))).alias(BLAST))
-    )
-    w2 = (
-        Window.partitionBy(K)
-        .orderBy(F.col(B).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    pays = hot_u.where(F.col(PAY).isNotNull())
+    aggs = []
+    if need_b:
+        aggs.append(F.max_by(PAY, F.struct(F.col(TS), F.col(SIDE))).alias(BLAST))
+    if need_f:
+        aggs.append(F.min_by(PAY, F.struct(F.col(TS), F.col(SIDE))).alias(BLASTF))
+    bstats = pays.groupBy(K, B).agg(*aggs)
+    carry_cols = [K, B]
+    if need_b:
+        w2b = (
+            Window.partitionBy(K)
+            .orderBy(F.col(B).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_cols.append(F.last(BLAST, ignorenulls=True).over(w2b).alias(CARRY))
+    if need_f:
+        w2f = (
+            Window.partitionBy(K)
+            .orderBy(F.col(B).asc())
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_cols.append(F.first(BLASTF, ignorenulls=True).over(w2f).alias(CARRYF))
     carry = (
         hot_u.select(K, B).distinct()
-        .join(blast, [K, B], "left")
-        .select(K, B, F.last(BLAST, ignorenulls=True).over(w2).alias(CARRY))
+        .join(bstats, [K, B], "left")
+        .select(*carry_cols)
     )
-    stitched = carried.join(F.broadcast(carry), [K, B], "left").withColumn(
-        PAY, F.coalesce(PAY, CARRY)
-    )
-    return stitched.where(F.col(SIDE) == 1).select(
-        *left_cols, *[F.col(f"{PAY}.{p}").alias(p) for p in payload]
-    )
+    stitched = carried.join(F.broadcast(carry), [K, B], "left")
+    back_col = F.coalesce(F.col(PB), F.col(CARRY)) if need_b else None
+    fwd_col = F.coalesce(F.col(PF), F.col(CARRYF)) if need_f else None
+    return _project(stitched, back_col, fwd_col)
 
 
 def sessionize(
@@ -272,10 +350,15 @@ def sessionize(
     )
     prev_local = F.lag(us).over(w_kb)
     interior = F.when(prev_local.isNotNull() & ((us - prev_local) > gap_us), 1).otherwise(0)
-    # bucket summaries reuse the (key, bucket) hash partitioning from the
-    # window — no second shuffle of the event rows.
+    # bucket summaries are computed for HOT keys only (semi-join against the
+    # broadcast hot-key set): ordinary keys live in one bucket and need no
+    # carry, and at billions of distinct keys a carry table over ALL keys
+    # would itself be an O(keys) broadcast — the very thing the hot-split
+    # exists to avoid. The groupBy reuses the (key, bucket) hash
+    # partitioning from the window — no second shuffle of the event rows.
+    hot_ev = ev.join(F.broadcast(_hot), key, "left_semi")
     bstats = (
-        ev.select(key, B, us.alias(FIRST), interior.alias(INT))
+        hot_ev.select(key, B, us.alias(FIRST), interior.alias(INT))
         .groupBy(key, B)
         .agg(
             F.min(FIRST).alias(FIRST),
@@ -301,11 +384,14 @@ def sessionize(
         key, B, prev_last.alias(PREVL), offset.alias(OFF)
     )
     ev2 = ev.join(F.broadcast(carry), [key, B], "left")
+    # non-hot keys have no carry row: null PREVL means "no previous bucket"
+    # (prev_any falls through to the local lag) and the offset is 0.
     prev_any = F.coalesce(F.lag(us).over(w_kb), F.col(PREVL))
     new_sess = F.when(prev_any.isNull() | ((us - prev_any) > gap_us), 1).otherwise(0)
     return ev2.withColumn(
         "session_idx",
-        (F.col(OFF) + F.sum(new_sess).over(running_kb) - 1).cast("long"),
+        (F.coalesce(F.col(OFF), F.lit(0))
+         + F.sum(new_sess).over(running_kb) - 1).cast("long"),
     ).select(*cols, "session_idx")
 
 

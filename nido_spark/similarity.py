@@ -225,9 +225,15 @@ def _kmeans_numpy(X, k: int, seed: int = 42, iters: int = 20):
     rng = np.random.default_rng(seed)
     n = X.shape[0]
     idx = np.sort(rng.choice(n, size=min(k, n), replace=False))
-    C = X[idx].astype(np.float64).copy()
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    C = X[idx].copy()
+    # distances via the expansion ||x||^2 + ||c||^2 - 2 x.c — an (n x k)
+    # intermediate instead of the (n x k x dim) broadcast tensor (which at
+    # 1M x 256 x 64 would need ~131 GB). argmin keeps NumPy's
+    # smallest-index tie-break, same as the explicit form.
+    x2 = (X * X).sum(axis=1)[:, None]
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = x2 + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         a = d.argmin(axis=1)
         for j in range(C.shape[0]):
             m = a == j
@@ -246,6 +252,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: float | None = None,
+    max_train_rows: int = 500_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into ``n_lists`` cells; each query exactly
@@ -268,7 +275,23 @@ def ivf_ann_topk(
     train = corpus if train_sample is None else corpus.sample(
         fraction=train_sample, seed=seed
     )
-    pdf = train.select(id_col, vec_col).orderBy(id_col).toPandas()
+    # the training collect is bounded UNCONDITIONALLY: limit(max+1) caps the
+    # rows that ever reach the driver, and overflow raises instead of
+    # silently degrading to a full-corpus collect (the trap: default
+    # train_sample=None on a 100 TB corpus). Callers at scale pass
+    # train_sample so the *sample* lands under the cap.
+    pdf = (
+        train.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_train_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_train_rows:
+        raise ValueError(
+            f"IVF training set exceeds max_train_rows={max_train_rows}; "
+            "pass train_sample=<fraction> to bound the driver-side k-means "
+            "input (quantizer centroids only need a sample)"
+        )
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     centers = [list(map(float, c)) for c in _kmeans_numpy(X, n_lists, seed=seed)]
 

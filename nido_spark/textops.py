@@ -113,17 +113,15 @@ WINNOW_B = 257
 WINNOW_P = (1 << 31) - 1
 
 
-def winnow_fingerprints(
+def winnow_fingerprint_positions(
     docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, fp) — winnowed k-gram rolling-hash fingerprints (Schleimer,
-    Wilkerson & Aiken, "Winnowing: local algorithms for document
-    fingerprinting", SIGMOD 2003 — the MOSS scheme): hash every character
-    k-gram with a polynomial rolling hash, then keep the minimum hash of
-    every ``window`` consecutive k-grams. Guarantees: any shared substring
-    of length >= k+window-1 yields a shared fingerprint, and the selected
-    set is ~2/(window+1) of all grams — the sub-linear sketch used for
-    plagiarism/overlap detection at corpus scale.
+    """(doc_id, p, fp) — positional winnowed fingerprints: ``fp`` is the
+    minimum k-gram rolling hash over the ``window`` consecutive grams
+    starting at 0-based gram position ``p`` of lower(trim(text)); the
+    window covers characters [p, p + k + window - 1). The positional form
+    feeds span-level dedup (dup_spans); winnow_fingerprints is its
+    position-free distinct projection.
 
     Rendering: explode one row per k-gram position, compute the polynomial
     hash per row (plain scalar exprs — the same VALUES as the incremental
@@ -164,8 +162,140 @@ def winnow_fingerprints(
     return (
         hashed.withColumn("win_min", F.min("h").over(w))
         .where(F.col("p") <= F.col("_m") - window)
-        .select("doc_id", F.col("win_min").alias("fp"))
+        .select("doc_id", "p", F.col("win_min").alias("fp"))
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) — winnowed k-gram rolling-hash fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: local algorithms for document
+    fingerprinting", SIGMOD 2003 — the MOSS scheme): hash every character
+    k-gram with a polynomial rolling hash, then keep the minimum hash of
+    every ``window`` consecutive k-grams. Guarantees: any shared substring
+    of length >= k+window-1 yields a shared fingerprint, and the selected
+    set is ~2/(window+1) of all grams — the sub-linear sketch used for
+    plagiarism/overlap detection at corpus scale. See
+    winnow_fingerprint_positions for the plan shape."""
+    return (
+        winnow_fingerprint_positions(docs, k, window, text_col)
+        .select("doc_id", "fp")
         .distinct()
+    )
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_len: int = 50,
+    gap: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_hits) — character spans of
+    lower(trim(text)) duplicated ACROSS documents, the span-level substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") rendered over winnowed fingerprints instead of a suffix
+    array: a fingerprint selected in two different documents witnesses a
+    shared substring of >= k chars, and inside any shared region of length
+    >= k+window-1 winnowing selects at least one fingerprint per ``window``
+    gram positions in BOTH documents (selection is a function of window
+    content alone). Matched positions therefore tile a duplicated region
+    with gaps <= window; grouping positions whose successive gap is <=
+    ``gap`` (default k+window, one window plus gram width of slop for
+    region edges) into islands yields maximal duplicated runs. Span =
+    [min_p, max_p + k + window - 1) in char offsets; islands shorter than
+    ``min_len`` chars are dropped.
+
+    100 TB shape: the only wide exchanges move (doc_id, p, fp) triples —
+    two longs and an int, never text; the shared-fp filter is a groupBy on
+    the ~2/(window+1)-dense fingerprint stream + one semi join; island
+    detection is a per-doc window (each partition is one doc's hit list,
+    bounded by doc length / window). Pair-explosion is impossible by
+    construction — a fingerprint shared by 10^6 docs contributes one
+    *group row*, not 10^12 pairs.
+
+    Spans index into the NORMALIZED text (lower+trim) — feed the same
+    normalization to remove_spans, which re-derives it identically."""
+    from pyspark.sql import Window
+
+    if gap is None:
+        gap = k + window
+    pos = winnow_fingerprint_positions(docs, k, window, text_col)
+    shared = (
+        pos.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    hits = pos.join(shared, "fp", "left_semi").select("doc_id", "p").distinct()
+    # gaps-and-islands in two window passes (window calls cannot nest):
+    # both run in the SAME doc_id sort — one shuffle, one partition sort.
+    w = Window.partitionBy("doc_id").orderBy("p")
+    flagged = hits.withColumn(
+        "new_run",
+        F.when(F.col("p") - F.lag("p").over(w) > gap, 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "g",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + F.lit(k + window - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .where(F.col("span_end") - F.col("span_start") >= min_len)
+        .select("doc_id", "span_start", "span_end", "n_hits")
+    )
+
+
+def remove_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text) — rewrite each document with its ``spans``
+    (doc_id, span_start, span_end char ranges over lower(trim(text)), as
+    produced by dup_spans) excised; docs without spans pass through with
+    the same normalization. Overlapping/adjacent spans are handled by the
+    running-cursor fold (the cursor never moves backwards).
+
+    Plan: spans collapse to ONE sorted array per doc (bounded by
+    doc_len/min_len entries — collect_list here is per-doc, not per-key
+    skew), one left join, then a pure-Catalyst fold (F.aggregate) builds
+    the kept text. Map-only after the join; no Python."""
+    sp = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    t = F.lower(F.trim(F.col(text_col)))
+    folded = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit(0).cast("long").alias("pos"), F.lit("").alias("acc")),
+        lambda a, s: F.struct(
+            F.greatest(a["pos"], s["span_end"]).alias("pos"),
+            F.concat(
+                a["acc"],
+                F.when(
+                    s["span_start"] > a["pos"],
+                    F.substring(t, a["pos"] + 1, s["span_start"] - a["pos"]),
+                ).otherwise(F.lit("")),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(t, a["pos"] + 1, F.length(t) - a["pos"])
+        ),
+    )
+    return docs.join(sp, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_spans").isNull(), t).otherwise(folded).alias("clean_text"),
     )
 
 

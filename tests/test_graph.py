@@ -104,3 +104,55 @@ def test_bucketed_edge_tables_join_without_shuffle(spark, karate, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_read_transcripts_format_honored(spark, tmp_path):
+    """source_format is passed straight through — parquet by default,
+    named formats verbatim, and NO silent parquet fallback when the
+    requested source (e.g. an Iceberg catalog) is unavailable."""
+    import pytest
+    from nido_spark.io import read_transcripts, synth_transcripts
+
+    t = synth_transcripts(spark, 5, seed=1)
+    p = str(tmp_path / "tx")
+    t.write.parquet(p)
+    assert read_transcripts(spark, p).count() == t.count()
+
+    j = str(tmp_path / "tx_json")
+    t.write.json(j)
+    assert read_transcripts(spark, j, source_format="json").count() == t.count()
+
+    with pytest.raises(Exception):
+        # no iceberg runtime in this image: must raise, not fall back
+        read_transcripts(spark, p, source_format="iceberg").count()
+
+
+def test_sample_stratified_many_strata_stays_broadcast(spark):
+    """10^4-strata mixes must not become 10^4-clause predicates (r3 review
+    finding): the literal-table join form keeps expression size O(1) and
+    matches the per-stratum uniform sampler exactly."""
+    from pyspark.sql import functions as F
+
+    from nido_spark.pipeline import sample_corpus, sample_stratified
+
+    n_strata = 5000
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % n_strata).cast("string")).alias("lang"),
+    )
+    rates = {f"s{i}": (0.9 if i % 3 == 0 else 0.2) for i in range(n_strata)}
+    out = sample_stratified(docs, rates, seed=11)
+    assert out.columns == docs.columns
+    # equality vs composing the uniform sampler per stratum on a spot-check
+    for s in ("s0", "s1", "s4999"):
+        strat = {r["doc_id"] for r in out.where(F.col("lang") == s).collect()}
+        uni = {
+            r["doc_id"]
+            for r in sample_corpus(
+                docs.where(F.col("lang") == s), rates[s], seed=11
+            ).collect()
+        }
+        assert strat == uni
+    # the broadcast-join plan, not a mega-predicate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

@@ -259,3 +259,92 @@ def test_asof_hot_split_equality_randomized(spark, seed):
              for r in asof_join(left, right, hot_key_threshold=25,
                                 hot_key_buckets=6, **kw).collect()}
     assert split == base
+
+
+def test_asof_join_forward_inclusive(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r["tag"]: r["px_asof"]
+        for r in asof_join(
+            trades, quotes, on="key", right_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert out == {
+        "at-quote": 100.0,   # equal ts -> inclusive
+        "pre-2nd": 101.0,    # next quote at :10
+        "at-2nd": 101.0,     # equal ts -> inclusive
+        "too-early": 50.0,   # quote at :05 follows
+        "no-key": None,
+    }
+
+
+def test_asof_join_nearest_ties_backward(spark):
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(10), 20.0)],
+        "key long, ts timestamp, px double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts(5)),       # exact midpoint: tie -> backward (10.0)
+            (2, 1, _ts(4)),       # closer to :00 -> 10.0
+            (3, 1, _ts(6)),       # closer to :10 -> 20.0
+            (4, 1, _ts(12)),      # after last -> backward only 20.0
+            (5, 2, _ts(5)),       # no right rows for key -> null
+        ],
+        "event_id long, key long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["px_asof"]
+        for r in asof_join(
+            left, right, on="key", right_cols=["px"], direction="nearest"
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 10.0, 3: 20.0, 4: 20.0, 5: None}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_directions_vs_bruteforce(spark, direction):
+    """Randomized cross-check of all three directions against a brute-force
+    per-row scan implementing the documented semantics (inclusive both
+    ways; nearest ties to backward)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    left_rows, right_by_key = [], {}
+    eid = 0
+    for k in range(4):
+        for us in rng.choice(2000, size=60, replace=True):
+            left_rows.append((eid, k, int(us) * 1_000_000)); eid += 1
+        rts = rng.choice(2000, size=int(rng.integers(0, 12)), replace=False)
+        right_by_key[k] = sorted((int(us) * 1_000_000, float(us)) for us in rts)
+    right_rows = [(k, us, px) for k, v in right_by_key.items() for us, px in v]
+
+    def brute(k, us):
+        back = [(t, p) for t, p in right_by_key.get(k, []) if t <= us]
+        fwd = [(t, p) for t, p in right_by_key.get(k, []) if t >= us]
+        pb = max(back)[1] if back else None
+        pf = min(fwd)[1] if fwd else None
+        if direction == "backward":
+            return pb
+        if direction == "forward":
+            return pf
+        if pb is None or pf is None:
+            return pb if pf is None else pf
+        db = us - max(back)[0]; df = min(fwd)[0] - us
+        return pb if db <= df else pf
+
+    left = spark.createDataFrame(left_rows, "event_id long, k long, us long").select(
+        "event_id", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    right = spark.createDataFrame(right_rows, "k long, us long, px double").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "px")
+    got = {r["event_id"]: r["px_asof"]
+           for r in asof_join(left, right, on="k", right_cols=["px"],
+                              direction=direction).collect()}
+    want = {e: brute(k, us) for e, k, us in left_rows}
+    assert got == want
+    # split path: identical output on the same draw
+    got_split = {r["event_id"]: r["px_asof"]
+                 for r in asof_join(left, right, on="k", right_cols=["px"],
+                                    direction=direction, hot_key_threshold=25,
+                                    hot_key_buckets=6).collect()}
+    assert got_split == want

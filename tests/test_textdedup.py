@@ -444,3 +444,86 @@ def test_sample_stratified_rates_and_determinism(docs, spark):
         for r in sample_stratified(docs, rates, seed=7).where(F.col("lang") == "en").collect()
     }
     assert en_strat == en_uniform
+
+
+def test_dup_spans_planted_overlap(spark):
+    # two docs share one long planted region amid unique prose; a third is
+    # fully unique. Winnowing guarantee: the shared region (len 260 >>
+    # k+window-1=27) must surface as one island in BOTH docs, the unique
+    # doc must surface nothing, and spans may overshoot the plant by at
+    # most gap+k+window-1 chars on either side (island slop).
+    plant = ("the quick brown fox jumps over the lazy dog while the "
+             "band plays an entirely memorable tune about graph engines "
+             "and the art of deduplicating training corpora at scale "
+             "with winnowed fingerprints and islands of matched positions "
+             "covering every shared substring precisely") [:260]
+    import hashlib
+    def prose(seed, n):
+        out = []
+        h = str(seed)
+        while sum(len(x) + 1 for x in out) < n:
+            h = hashlib.md5(h.encode()).hexdigest()
+            out.append(h)
+        return " ".join(out)[:n]
+    a = prose("a", 300) + " " + plant + " " + prose("aa", 250)
+    b = prose("b", 200) + " " + plant + " " + prose("bb", 350)
+    c = prose("c", 800)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    k, w = 20, 8
+    spans = X.dup_spans(docs, k=k, window=w, min_len=100).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    slop = (k + w) + (k + w - 1)  # gap + span extension
+    for doc_id, text in ((1, a), (2, b)):
+        [s] = by_doc[doc_id]
+        start = text.lower().strip().find(plant.lower())
+        end = start + len(plant)
+        # span covers the interior of the plant and stays within slop
+        assert s["span_start"] <= start + slop
+        assert s["span_end"] >= end - slop
+        assert s["span_start"] >= start - slop
+        assert s["span_end"] <= end + slop
+
+
+def test_remove_spans_excises_and_passes_through(spark):
+    docs = spark.createDataFrame(
+        [(1, "AAAABBBBCCCCDDDD"), (2, "  KeepMe  ")],
+        "doc_id long, text string",
+    )
+    # overlapping + adjacent spans on doc 1: [2,6) and [4,10) -> cut [2,10)
+    spans = spark.createDataFrame(
+        [(1, 2, 6), (1, 4, 10)], "doc_id long, span_start long, span_end long"
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in X.remove_spans(docs, spans).collect()}
+    norm = "aaaabbbbccccdddd"
+    assert got[1] == norm[:2] + norm[10:]
+    assert got[2] == "keepme"  # no spans -> normalized pass-through
+
+
+def test_remove_spans_kills_planted_duplicate(spark):
+    shared = ("shared boilerplate sentence that appears verbatim in both "
+              "documents and is long enough to be a span on its own, "
+              "well past the hundred character minimum for removal")
+    intro1 = "unique intro one with plenty of its own distinct words before anything shared shows up here. "
+    outro1 = " and a closing unique tail one."
+    intro2 = "different opening two that likewise has enough unshared characters to survive edge slop fully. "
+    outro2 = " plus another distinct ending two."
+    docs = spark.createDataFrame(
+        [(1, intro1 + shared + outro1), (2, intro2 + shared + outro2)],
+        "doc_id long, text string",
+    )
+    spans = X.dup_spans(docs, k=20, window=8, min_len=100)
+    clean = {r["doc_id"]: r["clean_text"]
+             for r in X.remove_spans(docs, spans).collect()}
+    core = "hundred character minimum"
+    for d in (1, 2):
+        assert core not in clean[d]
+    # unique flanks survive (up to window+k-1 = 27 chars may be shaved at
+    # each span edge — the window-min can bind to an in-region gram from a
+    # window position that starts before the region)
+    assert clean[1].startswith("unique intro one")
+    assert clean[2].startswith("different opening two")
