@@ -26,22 +26,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mirror_edges(e: DataFrame, self_loops_once: bool = True) -> DataFrame:
+    """Materialize both directions of each (src, dst, w) row in ONE pass:
+    an explode over a two-struct array instead of a self-union. A union of
+    a plan with its swapped projection evaluates the child TWICE (two
+    scans — or two full aggregations when the child is a groupBy); the
+    explode is a map-side flatMap over a single evaluation, identical
+    output multiset. ``self_loops_once`` emits src==dst rows once (the
+    canonical-input convention); False mirrors unconditionally (bipartite
+    derivations with disjoint id ranges)."""
+    fwd = F.struct(F.col("src"), F.col("dst"), F.col("w"))
+    rev = F.struct(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+    )
+    arr = F.array(fwd, rev)
+    if self_loops_once:
+        arr = F.when(F.col("src") == F.col("dst"), F.array(fwd)).otherwise(arr)
+    return e.select(F.explode(arr).alias("_e")).select("_e.src", "_e.dst", "_e.w")
+
+
 def normalize_edges(edges_one_dir: DataFrame, symmetrize: bool = True) -> DataFrame:
     """Canonical edge table: both directions materialized, duplicate (src,dst)
     weights summed, weights > 0 enforced. Self-loops are kept (the reference
     keeps them too: excluded from Louvain gain, included in modularity).
 
     Input may be one-directional (a<=b canonical) or already symmetric —
-    ``symmetrize=False`` skips the mirror union for the latter.
+    ``symmetrize=False`` skips the mirror for the latter.
     """
     e = edges_one_dir.select(
         F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("double")
     )
     if symmetrize:
-        mirrored = e.where(F.col("src") != F.col("dst")).select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
-        )
-        e = e.unionByName(mirrored)
+        e = mirror_edges(e, self_loops_once=True)
     return (
         e.where(F.col("w") > 0)
         .groupBy("src", "dst")

@@ -286,6 +286,8 @@ def lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                            SUM(l_quantity) AS w FROM lineitem GROUP BY 1,2)
         SELECT src,dst,w FROM e0 UNION ALL SELECT dst,src,w FROM e0
     """
+    from nido_spark.graph import mirror_edges
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     e0 = (
         li.groupBy(
@@ -294,9 +296,11 @@ def lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").alias("w"))
     )
-    return e0.select("src", "dst", "w").unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    # single-pass symmetrize: a union of e0 with its swap would run the
+    # lineitem aggregation TWICE (one per branch); the explode mirrors the
+    # aggregated rows map-side. src/dst id ranges are disjoint (SUPP_OFFSET)
+    # so self-loop handling is moot.
+    return mirror_edges(e0, self_loops_once=False)
 
 
 LINEITEM_EDGES_SQL = """
@@ -323,9 +327,10 @@ def events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("src"), F.col("tid").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    return e0.select("src", "dst", "w").unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    from nido_spark.graph import mirror_edges
+
+    # one aggregation, map-side mirror (ids disjoint — see lineitem_edges)
+    return mirror_edges(e0, self_loops_once=False)
 
 
 EVENTS_EDGES_SQL = """

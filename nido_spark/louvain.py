@@ -291,6 +291,8 @@ def louvain(
     local_threshold: int = 100_000,
     dense_relabel: bool = False,
     broadcast_threshold: int = 8_000_000,
+    durable_edges_prefix: str | None = None,
+    durable_buckets: int | None = None,
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
@@ -325,6 +327,18 @@ def louvain(
     cached scan's src-partitioning, which already satisfies both
     groupBy(src, dst_comm) and groupBy(src). Above the threshold (huge-V
     cluster phases) the sweep falls back to AQE-planned joins.
+
+    ``durable_edges_prefix``: when set, each phase's edge table is written
+    to the src-bucketed parquet table ``{prefix}_phase{n}``
+    (io.write_bucketed_edges) and the phase iterates directly over that
+    table's scan instead of an in-memory repartition — the bucketed scan
+    reports hashpartitioning(src), so the sweeps keep their zero-exchange
+    plans (pytest-pinned) while the edge table survives the job: a
+    resumed or multi-job deployment re-opens the table and skips the
+    per-phase shuffle entirely. Costs one parquet write per phase; the
+    in-memory pin (default) is right for single-job runs.
+    ``durable_buckets`` defaults to spark.sql.shuffle.partitions — keep it
+    equal across jobs so bucket alignment holds on re-open.
     """
     edges = truncate_lineage(edges)
     flat = singleton_labels(edges)  # orig vertex -> current super-vertex
@@ -356,9 +370,24 @@ def louvain(
         — the in-memory equivalent of iterating over a src-bucketed at-rest
         table. Every sweep/batch job then reads co-located edges; with
         broadcast_state the batch kernels run with zero E-row exchanges.
-        One E-row shuffle per PHASE, amortized over that phase's sweeps."""
+        One E-row shuffle per PHASE, amortized over that phase's sweeps.
+
+        Durable mode (durable_edges_prefix): write the phase table
+        src-bucketed at rest and iterate over its scan — same partitioning
+        guarantee (bucketed scans report hashpartitioning(src)), but the
+        table outlives the job for resume/multi-job reuse."""
         nonlocal pinned
-        p = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        spark = e.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if durable_edges_prefix is not None:
+            from nido_spark.io import write_bucketed_edges
+
+            name = f"{durable_edges_prefix}_phase{n_phases}"
+            write_bucketed_edges(e, name, buckets=durable_buckets or p)
+            if pinned is not None:
+                pinned.unpersist()
+            pinned = None
+            return spark.table(name)
         newp = e.repartition(p, "src").persist()
         newp.count()
         if pinned is not None:

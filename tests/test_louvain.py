@@ -238,3 +238,78 @@ def test_modularity_random_two_community_labels(karate):
     q_spark = L.modularity(edges, lab_df, G.mass(edges))
     q_ref = O.modularity_numpy(src, dst, w, labels)
     assert q_spark == pytest.approx(q_ref, abs=1e-12)
+
+
+def test_durable_bucketed_phase_matches_inmemory(spark, karate):
+    """durable_edges_prefix: each phase iterates over a src-bucketed
+    at-rest table (io.write_bucketed_edges) instead of the in-memory
+    repartition pin. The trajectory must be identical and the bucketed
+    scan must satisfy src aggregations with NO Exchange — a resumed or
+    multi-job deployment re-opens the table and skips the per-phase
+    shuffle entirely."""
+    from nido_spark.louvain import louvain
+
+    edges, _ = karate
+    base = louvain(edges, nbatches=8, local_threshold=0)
+    try:
+        dur = louvain(
+            edges, nbatches=8, local_threshold=0,
+            durable_edges_prefix="dur_lv", durable_buckets=8,
+        )
+        assert dur.modularity == base.modularity
+        assert dur.n_phases == base.n_phases
+        assert dur.history == base.history
+        got = {(r["v"], r["comm"]) for r in dur.labels.collect()}
+        want = {(r["v"], r["comm"]) for r in base.labels.collect()}
+        assert got == want
+        # phase tables are durable and shuffle-free on the iteration key
+        t = spark.table("dur_lv_phase0")
+        plan = (
+            t.groupBy("src").sum("w")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        for i in range(12):
+            spark.sql(f"DROP TABLE IF EXISTS dur_lv_phase{i}")
+
+
+def test_transcript_louvain_modularity_recomputed_in_sql(spark):
+    """Independence strengthening (r3 advice): the transcript_louvain gate
+    replays the engine's own NumPy schedule for the local tail, so here
+    the FINAL labels' modularity is recomputed from scratch in DuckDB SQL
+    (pure relational algebra over the edge table + labels — no shared
+    code with the engine or the NumPy oracle) and must agree with the
+    engine's reported Q to 1e-9, and clear a partition-quality bar."""
+    import duckdb
+
+    from nido_spark.io import synth_transcripts, transcripts_to_edges
+    from nido_spark.louvain import louvain
+
+    te = transcripts_to_edges(synth_transcripts(spark, 300, seed=42))
+    r = louvain(te, nbatches=8)
+    e_pdf = te.toPandas()
+    l_pdf = r.labels.toPandas()
+    con = duckdb.connect()
+    con.register("edges", e_pdf)
+    con.register("labels", l_pdf)
+    q_sql = con.execute("""
+        WITH m AS (SELECT SUM(w) / 2 AS m FROM edges),
+        a AS (
+          SELECT l.comm, SUM(k) AS a_c
+          FROM (SELECT src AS v, SUM(w) AS k FROM edges GROUP BY src) d
+          JOIN labels l ON l.v = d.v GROUP BY l.comm
+        ),
+        internal AS (
+          SELECT SUM(e.w) AS iw
+          FROM edges e
+          JOIN labels ls ON ls.v = e.src
+          JOIN labels ld ON ld.v = e.dst
+          WHERE ls.comm = ld.comm
+        )
+        SELECT internal.iw / (2 * m.m)
+               - (SELECT SUM(a_c * a_c) FROM a) / (4 * m.m * m.m)
+        FROM internal, m
+    """).fetchone()[0]
+    assert abs(q_sql - r.modularity) < 1e-9
+    assert q_sql > 0.6  # strong community structure on the fixture
