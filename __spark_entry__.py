@@ -452,6 +452,18 @@ def _q_doc_dup_spans(spark, sf):
     return X.dup_spans(_docs(spark, sf), k=20, window=8, min_len=100)
 
 
+def _q_doc_dup_span_scrub(spark, sf):
+    # end-to-end span removal: md5 of the rewritten text pins byte parity
+    # with the oracle's window+string_agg rendering of the same fold
+    docs = _docs(spark, sf)
+    spans = X.dup_spans(docs, k=20, window=8, min_len=100)
+    return X.remove_spans(docs, spans).select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def _q_doc_lang_id(spark, sf):
     return X.lang_id(_docs(spark, sf))
 
@@ -559,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbs": _q_media_thumbs,
         # --- new in r4 ---
         "doc_dup_spans": _q_doc_dup_spans,
+        "doc_dup_span_scrub": _q_doc_dup_span_scrub,
         "events_asof_forward": _q_events_asof_forward,
         "events_asof_nearest": _q_events_asof_nearest,
         # sources / edge derivation (SURVEY §2.1 S1-S4)
@@ -1406,7 +1419,7 @@ SELECT doc_id, unnest(fps) AS fp FROM mins"""
     _wh20 = "ord(substring(txt, CAST(p + 1 AS INT), 1))::BIGINT"
     for _i in range(1, 20):
         _wh20 = f"(({_wh20}) * 257 + ord(substring(txt, CAST(p + 1 + {_i} AS INT), 1))::BIGINT) % 2147483647"
-    sql["doc_dup_spans"] = f"""
+    _span_ctes = f"""
 WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
 h AS (
   SELECT doc_id,
@@ -1433,11 +1446,46 @@ isl AS (
   SELECT doc_id, p,
          SUM(new_run) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
   FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + 27 AS e, COUNT(*) AS n_hits
+  FROM isl GROUP BY doc_id, g
+  HAVING MAX(p) + 27 - MIN(p) >= 100
+)"""
+
+    sql["doc_dup_spans"] = _span_ctes + """
+SELECT doc_id, s::BIGINT AS span_start, e::BIGINT AS span_end,
+       n_hits::BIGINT AS n_hits
+FROM spans"""
+
+    # end-to-end removal: the engine's running-cursor fold rendered as a
+    # running-max window (cursor before span i = max prior end) + ordered
+    # string_agg of the kept segments + the tail after the max end.
+    sql["doc_dup_span_scrub"] = _span_ctes + """,
+ordered AS (
+  SELECT doc_id, s, e,
+         COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cur
+  FROM spans
+),
+agg AS (
+  SELECT o.doc_id,
+         string_agg(CASE WHEN o.s > o.cur
+                         THEN substring(t.txt, CAST(o.cur + 1 AS INT),
+                                        CAST(o.s - o.cur AS INT))
+                         ELSE '' END, '' ORDER BY o.s) AS kept,
+         MAX(o.e) AS maxe
+  FROM ordered o JOIN t ON t.doc_id = o.doc_id
+  GROUP BY o.doc_id
 )
-SELECT doc_id, MIN(p)::BIGINT AS span_start, (MAX(p) + 27)::BIGINT AS span_end,
-       COUNT(*)::BIGINT AS n_hits
-FROM isl GROUP BY doc_id, g
-HAVING MAX(p) + 27 - MIN(p) >= 100"""
+SELECT doc_id, length(clean)::BIGINT AS n_chars_clean, md5(clean) AS clean_md5
+FROM (
+  SELECT t.doc_id,
+         CASE WHEN a.doc_id IS NULL THEN t.txt
+              ELSE a.kept || substring(t.txt, CAST(a.maxe + 1 AS INT)) END AS clean
+  FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+)"""
 
     sql["doc_fingerprint"] = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
 

@@ -110,6 +110,12 @@ def _run_queries(sf_dir: str, cpus: int) -> dict:
             n=13,
         ).count(),
     )
+    timed(
+        "q17_dup_spans",
+        lambda: X.remove_spans(
+            docs, X.dup_spans(docs, k=20, window=8, min_len=100)
+        ).agg(F.sum(F.length("clean_text"))).first(),
+    )
 
     # throughput: edges-processed/sec over the PageRank loop (10 iterations
     # touch each directed edge once per iteration)
@@ -242,6 +248,41 @@ def _dedup_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     return n / dt
 
 
+def _span_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
+    """Span-level substring dedup scaling probe: Arrow winnow positions +
+    shared-fp semi join + islands over a ``replicate``-times id-offset copy
+    of the documents table. Copies keep their text, so every doc is fully
+    duplicated cross-copy — the probe measures the hit-dense worst case of
+    the islands/window stage, not just the sketch. Prints docs/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import textops as X
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_span_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+    X.dup_spans(big, k=20, window=8, min_len=100).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        X.dup_spans(big, k=20, window=8, min_len=100).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
+
+
 def _map_probe(sf_dir: str, cpus: int, replicate: int = 600) -> float:
     """Map-only compute probe (no shuffle): quality scoring over a
     replicated documents table (3M docs at sf0.1) — enough per-task regex
@@ -293,6 +334,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-dedup":
         _dedup_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-spans":
+        _span_probe(sf_dir, int(sys.argv[2]))
         return
 
     t0 = time.time()

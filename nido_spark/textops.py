@@ -123,46 +123,61 @@ def winnow_fingerprint_positions(
     feeds span-level dedup (dup_spans); winnow_fingerprints is its
     position-free distinct projection.
 
-    Rendering: explode one row per k-gram position, compute the polynomial
-    hash per row (plain scalar exprs — the same VALUES as the incremental
-    rolling form, which only matters on sequential CPUs), then a
-    forward-looking windowed MIN per document selects each window's
-    fingerprint. One shuffle (partition by doc_id); a nested-array
-    rendering (transform+slice+array_min) is O(grams x window x k) because
-    Catalyst inlines the gram array into every window lambda — measured
-    75x slower. Docs shorter than k+window-1 chars produce no
-    fingerprints."""
-    from pyspark.sql import Window
+    Rendering: Arrow-batched ``mapInPandas`` — per doc, the gram-hash
+    vector is k vectorized int64 ops over the codepoint array and the
+    windowed min is a ``sliding_window_view`` reduction; rows out are
+    slim (doc_id, p, fp) triples. Embarrassingly parallel, NO shuffle
+    (the text never leaves its scan task), identical integer math to the
+    SQL oracle. This is the one textops operator where the pure-Catalyst
+    renderings measurably lose: an explode-then-hash plan drags a full
+    copy of the document through every gram row and re-evaluates k
+    substrings per row (42 s for the sf0.1 span pipeline at k=20), a
+    transform-then-explode plan re-inlines lower(trim(text)) into every
+    lambda element after projection collapse (76 s), and a fully nested
+    array rendering is O(grams x window x k) (measured 75x slower at
+    k=5); the NumPy kernel runs the same pipeline in a few seconds.
+    Non-ASCII note: lowering happens in Python (str.lower) — identical
+    to JVM lower() for ASCII/Latin; exotic case-mapping codepoints could
+    differ, same caveat the SQL oracle already carries.
+    Docs shorter than k+window-1 chars produce no fingerprints."""
+    b, p_mod = WINNOW_B, WINNOW_P
 
-    t = F.lower(F.trim(F.col(text_col)))
-    m = F.length(t) - k + 1  # number of k-grams
-    grams = docs.select(
-        "doc_id",
-        t.alias("_txt"),
-        m.alias("_m"),
-        F.explode(
-            F.when(m >= window, F.sequence(F.lit(0), m - 1))
-            .otherwise(F.array().cast("array<int>"))
-        ).alias("p"),
-    )
-    # Horner over the k codepoints at 1-based position p+1, mod after every
-    # step — identical integer math in any engine
-    h = None
-    for i in range(k):
-        c = F.ascii(F.substring(F.col("_txt"), F.col("p") + 1 + i, 1)).cast("long")
-        h = c if h is None else F.pmod(h * F.lit(WINNOW_B) + c, F.lit(WINNOW_P))
-    hashed = grams.select(
-        "doc_id", "_m", "p", F.pmod(h, F.lit(WINNOW_P)).alias("h")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
-    return (
-        hashed.withColumn("win_min", F.min("h").over(w))
-        .where(F.col("p") <= F.col("_m") - window)
-        .select("doc_id", "p", F.col("win_min").alias("fp"))
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids_out, ps_out, fps_out = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                if txt is None:
+                    continue
+                t = txt.strip(" ").lower()  # = lower(trim(x)): trim is space-only
+                m = len(t) - k + 1
+                if m < window:
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = codes[:m].copy()
+                # Horner with interleaved mod: values stay < 2^40, exact
+                for i in range(1, k):
+                    h = (h * b + codes[i : i + m]) % p_mod
+                wm = sliding_window_view(h, window).min(axis=1)
+                ids_out.append(np.full(len(wm), doc_id, dtype=np.int64))
+                ps_out.append(np.arange(len(wm), dtype=np.int32))
+                fps_out.append(wm)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "p": np.concatenate(ps_out),
+                        "fp": np.concatenate(fps_out),
+                    }
+                )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, schema="doc_id long, p int, fp long"
     )
 
 
