@@ -452,6 +452,15 @@ def _q_doc_dup_spans(spark, sf):
     return X.dup_spans(_docs(spark, sf), k=20, window=8, min_len=100)
 
 
+def _q_doc_dup_spans_within(spark, sf):
+    # occurrence-scoped duplication (within-doc repeats count too) — the
+    # oracle keys occurrences by the argmin gram position (list_position
+    # of the window min = first index, matching np.argmin)
+    return X.dup_spans(
+        _docs(spark, sf), k=20, window=8, min_len=100, within_doc=True
+    )
+
+
 def _q_doc_dup_span_scrub(spark, sf):
     # end-to-end span removal: md5 of the rewritten text pins byte parity
     # with the oracle's window+string_agg rendering of the same fold
@@ -571,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbs": _q_media_thumbs,
         # --- new in r4 ---
         "doc_dup_spans": _q_doc_dup_spans,
+        "doc_dup_spans_within": _q_doc_dup_spans_within,
         "doc_dup_span_scrub": _q_doc_dup_span_scrub,
         "events_asof_forward": _q_events_asof_forward,
         "events_asof_nearest": _q_events_asof_nearest,
@@ -580,7 +590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_edges": _q_transcript_edges,
         # time-series relational ops
         "events_asof_click": _q_events_asof_click,
-        "events_json_props": _q_events_json_props,
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
@@ -630,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
+        "events_json_props": _q_events_json_props,
     }
 
 
@@ -1457,6 +1467,45 @@ spans AS (
 SELECT doc_id, s::BIGINT AS span_start, e::BIGINT AS span_end,
        n_hits::BIGINT AS n_hits
 FROM spans"""
+
+    # within-doc scope: duplication counted over distinct winnow
+    # OCCURRENCES (doc_id, argmin gram position) — list_position of the
+    # window min replays np.argmin's first-match tie rule exactly
+    sql["doc_dup_spans_within"] = f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, length(txt) - 20), p -> ({_wh20}) % 2147483647) AS hs,
+         length(txt) - 19 AS m
+  FROM t
+),
+wpos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, m - 7)) - 1 AS p,
+         unnest(list_transform(generate_series(1, m - 7),
+                j -> j - 2 + list_position(hs[j:j+7], list_min(hs[j:j+7])))) AS g,
+         unnest(list_transform(generate_series(1, m - 7), j -> list_min(hs[j:j+7]))) AS fp
+  FROM h WHERE m >= 8
+),
+shared AS (
+  SELECT fp FROM (SELECT DISTINCT doc_id, g, fp FROM wpos)
+  GROUP BY fp HAVING COUNT(*) >= 2
+),
+hits AS (SELECT DISTINCT doc_id, p FROM wpos WHERE fp IN (SELECT fp FROM shared)),
+flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 28 THEN 1 ELSE 0 END AS new_run
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, p,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT doc_id, MIN(p)::BIGINT AS span_start, (MAX(p) + 27)::BIGINT AS span_end,
+       COUNT(*)::BIGINT AS n_hits
+FROM isl GROUP BY doc_id, g
+HAVING MAX(p) + 27 - MIN(p) >= 100"""
 
     # end-to-end removal: the engine's running-cursor fold rendered as a
     # running-max window (cursor before span i = max prior end) + ordered

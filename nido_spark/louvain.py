@@ -384,10 +384,18 @@ def louvain(
 
             name = f"{durable_edges_prefix}_phase{n_phases}"
             write_bucketed_edges(e, name, buckets=durable_buckets or p)
+            # persist the SCAN too: InMemoryTableScan preserves the child
+            # FileScan's bucketed outputPartitioning, so sweeps keep the
+            # zero-exchange plans while re-reading memory, not parquet —
+            # without this, 28 sweeps re-decode the table per batch job
+            # (measured 216 s vs 75 s at sf0.1). Durability costs ONE
+            # write per phase, not a scan per sweep.
+            newp = spark.table(name).persist()
+            newp.count()
             if pinned is not None:
                 pinned.unpersist()
-            pinned = None
-            return spark.table(name)
+            pinned = newp
+            return newp
         newp = e.repartition(p, "src").persist()
         newp.count()
         if pinned is not None:

@@ -116,12 +116,16 @@ WINNOW_P = (1 << 31) - 1
 def winnow_fingerprint_positions(
     docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, p, fp) — positional winnowed fingerprints: ``fp`` is the
-    minimum k-gram rolling hash over the ``window`` consecutive grams
+    """(doc_id, p, g, fp) — positional winnowed fingerprints: ``fp`` is
+    the minimum k-gram rolling hash over the ``window`` consecutive grams
     starting at 0-based gram position ``p`` of lower(trim(text)); the
-    window covers characters [p, p + k + window - 1). The positional form
-    feeds span-level dedup (dup_spans); winnow_fingerprints is its
-    position-free distinct projection.
+    window covers characters [p, p + k + window - 1). ``g`` is the gram
+    position of the selected min (ties -> smallest): the winnow
+    OCCURRENCE key — consecutive windows re-selecting one gram share a
+    single (doc_id, g), which is what lets within-doc repetition be
+    counted without conflating it with adjacent-window re-selection. The
+    positional form feeds span-level dedup (dup_spans);
+    winnow_fingerprints is its position-free distinct projection.
 
     Rendering: Arrow-batched ``mapInPandas`` — per doc, the gram-hash
     vector is k vectorized int64 ops over the codepoint array and the
@@ -148,7 +152,7 @@ def winnow_fingerprint_positions(
         from numpy.lib.stride_tricks import sliding_window_view
 
         for pdf in batches:
-            ids_out, ps_out, fps_out = [], [], []
+            ids_out, ps_out, gs_out, fps_out = [], [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
                 if txt is None:
                     continue
@@ -163,21 +167,30 @@ def winnow_fingerprint_positions(
                 # Horner with interleaved mod: values stay < 2^40, exact
                 for i in range(1, k):
                     h = (h * b + codes[i : i + m]) % p_mod
-                wm = sliding_window_view(h, window).min(axis=1)
+                sw = sliding_window_view(h, window)
+                wm = sw.min(axis=1)
+                # gram position of the selected (min) hash; ties take the
+                # smallest position (np.argmin first-match) — the winnow
+                # occurrence key: two window positions selecting the same
+                # gram are ONE occurrence of the underlying substring
+                gs = sw.argmin(axis=1).astype(np.int32)
+                gs += np.arange(len(wm), dtype=np.int32)
                 ids_out.append(np.full(len(wm), doc_id, dtype=np.int64))
                 ps_out.append(np.arange(len(wm), dtype=np.int32))
+                gs_out.append(gs)
                 fps_out.append(wm)
             if ids_out:
                 yield pd.DataFrame(
                     {
                         "doc_id": np.concatenate(ids_out),
                         "p": np.concatenate(ps_out),
+                        "g": np.concatenate(gs_out),
                         "fp": np.concatenate(fps_out),
                     }
                 )
 
     return docs.select("doc_id", text_col).mapInPandas(
-        gen, schema="doc_id long, p int, fp long"
+        gen, schema="doc_id long, p int, g int, fp long"
     )
 
 
@@ -207,6 +220,7 @@ def dup_spans(
     min_len: int = 50,
     gap: int | None = None,
     text_col: str = "text",
+    within_doc: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_hits) — character spans of
     lower(trim(text)) duplicated ACROSS documents, the span-level substring
@@ -231,6 +245,16 @@ def dup_spans(
     construction — a fingerprint shared by 10^6 docs contributes one
     *group row*, not 10^12 pairs.
 
+    ``within_doc=True`` additionally flags substrings a document repeats
+    INSIDE itself (the full Lee-et-al ExactSubstr scope): duplication is
+    then counted over distinct winnow OCCURRENCES (doc_id, selected-gram
+    position) rather than distinct documents — consecutive windows
+    re-selecting the same gram are one occurrence, so a single copy of a
+    substring never self-triggers. Both copies of a repeat are flagged
+    (remove_spans scrubs every flagged span — the aggressive policy;
+    keep-one-copy requires ranking occurrences, which the (doc_id, g)
+    key supports if needed).
+
     Spans index into the NORMALIZED text (lower+trim) — feed the same
     normalization to remove_spans, which re-derives it identically."""
     from pyspark.sql import Window
@@ -238,8 +262,9 @@ def dup_spans(
     if gap is None:
         gap = k + window
     pos = winnow_fingerprint_positions(docs, k, window, text_col)
+    occ_key = ["doc_id", "g"] if within_doc else ["doc_id"]
     shared = (
-        pos.select("doc_id", "fp")
+        pos.select(*occ_key, "fp")
         .distinct()
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("nd"))

@@ -527,3 +527,41 @@ def test_remove_spans_kills_planted_duplicate(spark):
     # window position that starts before the region)
     assert clean[1].startswith("unique intro one")
     assert clean[2].startswith("different opening two")
+
+
+def test_dup_spans_within_doc_scope(spark):
+    """within_doc=True flags substrings a doc repeats inside itself;
+    the default cross-doc scope must NOT (no second document involved).
+    A single occurrence never self-triggers (consecutive windows that
+    re-select the same min gram are one occurrence)."""
+    import hashlib
+
+    def prose(seed, n):
+        out, h = [], str(seed)
+        while sum(len(x) + 1 for x in out) < n:
+            h = hashlib.md5(h.encode()).hexdigest()
+            out.append(h)
+        return " ".join(out)[:n]
+
+    boiler = ("this exact boilerplate paragraph is repeated twice within "
+              "one single document and exceeds the minimum span length "
+              "threshold comfortably for the within scope test")
+    doc1 = prose("u1", 150) + " " + boiler + " " + prose("u2", 150) + " " + boiler + " " + prose("u3", 150)
+    doc2 = prose("v", 700)  # unique, no repeats
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    kw = dict(k=20, window=8, min_len=100)
+    cross = X.dup_spans(docs, **kw).collect()
+    assert cross == []  # nothing duplicated ACROSS documents
+    within = X.dup_spans(docs, within_doc=True, **kw).collect()
+    by_doc = {}
+    for r in within:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc          # unique doc stays clean
+    assert len(by_doc[1]) == 2      # both copies flagged
+    t = doc1.lower().strip()
+    first, second = t.find(boiler), t.rfind(boiler)
+    slop = (20 + 8) + (20 + 8 - 1)
+    spans = sorted((r["span_start"], r["span_end"]) for r in by_doc[1])
+    assert abs(spans[0][0] - first) <= slop and abs(spans[1][0] - second) <= slop
