@@ -41,7 +41,11 @@ def mirror_edges(e: DataFrame, self_loops_once: bool = True) -> DataFrame:
     )
     arr = F.array(fwd, rev)
     if self_loops_once:
-        arr = F.when(F.col("src") == F.col("dst"), F.array(fwd)).otherwise(arr)
+        # mirror only when src != dst is definitely TRUE: a null endpoint
+        # makes the comparison null, and the union form this replaces
+        # (mirror = where(src != dst)) did NOT mirror such rows — keep
+        # that semantic exactly (review finding)
+        arr = F.when(F.col("src") != F.col("dst"), arr).otherwise(F.array(fwd))
     return e.select(F.explode(arr).alias("_e")).select("_e.src", "_e.dst", "_e.w")
 
 

@@ -6,8 +6,10 @@ multi-turn conversation transcripts::
     conv_id:string, turn_idx:int32, role:string, text:string,
     tool:string, ts:timestamp
 
-Iceberg jars are not in this image, so ``read_transcripts`` falls back to
-parquet; the derivation below is format-agnostic DataFrame code either way.
+Iceberg jars are not in this image, so the fixtures are parquet;
+``read_transcripts`` takes an explicit ``source_format`` (parquet default,
+"iceberg" for deployment — honored with no silent fallback) and the
+derivation below is format-agnostic DataFrame code either way.
 
 Edge derivation (replaces the reference's binary CSR loader,
 /root/reference/graph.cpp:322-495, and its random generator,

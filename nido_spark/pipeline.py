@@ -99,15 +99,25 @@ def sample_stratified(
     expression; review finding r3). The inner join drops unlisted strata,
     matching the predicate form; the broadcast keeps the plan map-side
     (no shuffle of the corpus)."""
-    thr_rows = [(s, int(r * _SAMPLE_P2)) for s, r in sorted(rates.items())]
-    spark = docs.sparkSession
-    thr = spark.createDataFrame(thr_rows, f"`{strata_col}` string, `_thr` long")
-    thr = thr.withColumn(
-        strata_col, F.col(strata_col).cast(docs.schema[strata_col].dataType)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # threshold column name derived clash-free (docs may contain "_thr");
+    # the literal table carries the strata column in the DOCS column's own
+    # type, so non-string strata keys (int buckets, ...) work unchanged
+    thr_col = "_thr"
+    while thr_col in docs.columns:
+        thr_col += "_"
+    schema = StructType(
+        [
+            StructField(strata_col, docs.schema[strata_col].dataType),
+            StructField(thr_col, LongType()),
+        ]
     )
+    thr_rows = [(s, int(r * _SAMPLE_P2)) for s, r in sorted(rates.items())]
+    thr = docs.sparkSession.createDataFrame(thr_rows, schema)
     return (
         docs.join(F.broadcast(thr), strata_col, "inner")
-        .where(_bucket(id_col, seed) < F.col("_thr"))
+        .where(_bucket(id_col, seed) < F.col(thr_col))
         .select(*docs.columns)
     )
 

@@ -175,7 +175,9 @@ def winnow_fingerprint_positions(
                 # gram are ONE occurrence of the underlying substring
                 gs = sw.argmin(axis=1).astype(np.int32)
                 gs += np.arange(len(wm), dtype=np.int32)
-                ids_out.append(np.full(len(wm), doc_id, dtype=np.int64))
+                # np.repeat keeps the id's own dtype (string/long/... ids
+                # all pass through, like the Catalyst rendering did)
+                ids_out.append(np.repeat(doc_id, len(wm)))
                 ps_out.append(np.arange(len(wm), dtype=np.int32))
                 gs_out.append(gs)
                 fps_out.append(wm)
@@ -189,8 +191,9 @@ def winnow_fingerprint_positions(
                     }
                 )
 
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", text_col).mapInPandas(
-        gen, schema="doc_id long, p int, g int, fp long"
+        gen, schema=f"doc_id {id_type}, p int, g int, fp long"
     )
 
 
@@ -221,6 +224,7 @@ def dup_spans(
     gap: int | None = None,
     text_col: str = "text",
     within_doc: bool = False,
+    persist_positions: bool = True,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_hits) — character spans of
     lower(trim(text)) duplicated ACROSS documents, the span-level substring
@@ -262,6 +266,14 @@ def dup_spans(
     if gap is None:
         gap = k + window
     pos = winnow_fingerprint_positions(docs, k, window, text_col)
+    # the positions feed TWO plan branches (the shared-fp aggregation and
+    # the hit probe); without a persist each action runs the Arrow kernel
+    # twice over all text. The cached triples are slim (~2 ints + 2 longs
+    # per char/(window+1)) and evicted LRU; pass persist_positions=False
+    # to keep the plan fully lazy (e.g. composing into a larger cached
+    # stage that already materializes positions).
+    if persist_positions:
+        pos = pos.persist()
     occ_key = ["doc_id", "g"] if within_doc else ["doc_id"]
     shared = (
         pos.select(*occ_key, "fp")
