@@ -461,6 +461,10 @@ def _q_doc_dup_spans_within(spark, sf):
     )
 
 
+def _q_corpus_vocab(spark, sf):
+    return X.vocab_top_k(_docs(spark, sf), n=200)
+
+
 def _q_doc_dup_span_scrub(spark, sf):
     # end-to-end span removal: md5 of the rewritten text pins byte parity
     # with the oracle's window+string_agg rendering of the same fold
@@ -582,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_spans_within": _q_doc_dup_spans_within,
         "doc_dup_span_scrub": _q_doc_dup_span_scrub,
+        "corpus_vocab": _q_corpus_vocab,
         "events_asof_forward": _q_events_asof_forward,
         "events_asof_nearest": _q_events_asof_nearest,
         # sources / edge derivation (SURVEY §2.1 S1-S4)
@@ -611,7 +616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": _q_k_core,
         # training-data pipeline ops
         "doc_winnow_fingerprints": _q_doc_winnow,
-        "doc_exact_dups": _q_doc_exact_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "fuzzy_dedup_survivors": _q_fuzzy_dedup_survivors,
         "corpus_prepare": _q_corpus_prepare,
@@ -640,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "events_json_props": _q_events_json_props,
+        "doc_exact_dups": _q_doc_exact_dups,
     }
 
 
@@ -1535,6 +1540,18 @@ FROM (
               ELSE a.kept || substring(t.txt, CAST(a.maxe + 1 AS INT)) END AS clean
   FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
 )"""
+
+    sql["corpus_vocab"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
+  FROM documents
+  WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+),
+counts AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY token)
+SELECT token, cnt,
+       (ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC))::BIGINT AS rank
+FROM counts QUALIFY rank <= 200"""
 
     sql["doc_fingerprint"] = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
 

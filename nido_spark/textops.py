@@ -518,3 +518,33 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
     return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def vocab_top_k(
+    docs: DataFrame, n: int = 1000, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(token, cnt, rank) — corpus-level vocabulary: lowercased whitespace
+    tokens, global counts, top ``n`` by (cnt desc, token asc) — the
+    deterministic tie order that makes the table reproducible across
+    engines/partitionings. The tokenizer-training prep step (seed vocab /
+    frequency table) of a corpus pipeline.
+
+    100 TB shape: explode + one map-side-combined groupBy on the token;
+    the final top-n is a TakeOrdered over the aggregated (distinct-token)
+    stream — never a full sort of the corpus, and n rows reach the
+    driver/consumer. min_count prunes the hapax tail before the take."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("token", "cnt", F.col("rank").cast("long").alias("rank"))
+    )

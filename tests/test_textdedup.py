@@ -565,3 +565,17 @@ def test_dup_spans_within_doc_scope(spark):
     slop = (20 + 8) + (20 + 8 - 1)
     spans = sorted((r["span_start"], r["span_end"]) for r in by_doc[1])
     assert abs(spans[0][0] - first) <= slop and abs(spans[1][0] - second) <= slop
+
+
+def test_vocab_top_k_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a B"), (2, "  c b A "), (3, "")],
+        "doc_id long, text string",
+    )
+    got = [(r["token"], r["cnt"], r["rank"])
+           for r in X.vocab_top_k(docs, n=2).orderBy("rank").collect()]
+    # lowercased counts: a=3, b=3, c=1 -> tie a/b broken by token asc
+    assert got == [("a", 3, 1), ("b", 3, 2)]
+    full = {r["token"]: r["cnt"] for r in X.vocab_top_k(docs, n=10).collect()}
+    assert full == {"a": 3, "b": 3, "c": 1}
+    assert X.vocab_top_k(docs, n=10, min_count=2).count() == 2
