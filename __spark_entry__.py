@@ -141,6 +141,15 @@ def _q_transcript_triangles(spark, sf):
     return A.triangle_count_per_vertex(transcripts_to_edges(tr, strategy="dense"))
 
 
+def _q_transcript_clustering(spark, sf):
+    # local clustering coefficient on the transcript actor graph (same
+    # dense derivation as transcript_triangles; cc rounded to 9 dp on
+    # both sides — float division order differs across engines)
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.clustering_coefficient(transcripts_to_edges(tr, strategy="dense"))
+    return out.select("v", "triangles", "deg", F.round("cc", 9).alias("cc"))
+
+
 def _q_doc_repetition_stats(spark, sf):
     return X.repetition_stats(_docs(spark, sf)).select(
         "doc_id",
@@ -576,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_doc_pii_scrub,
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "transcript_triangles": _q_transcript_triangles,
+        "transcript_clustering": _q_transcript_clustering,
         "luby_coloring": _q_luby_coloring,
         "media_stats": _q_media_stats,
         "media_headers": _q_media_headers,
@@ -625,7 +635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
-        "doc_ngram_profile": _q_doc_ngram_profile,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_repetition_stats": _q_doc_repetition_stats,
         # --- tail: veterans, driver-green in BOTH r2 and r3 ---
@@ -645,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "events_json_props": _q_events_json_props,
         "doc_exact_dups": _q_doc_exact_dups,
+        "doc_ngram_profile": _q_doc_ngram_profile,
     }
 
 
@@ -1803,6 +1813,17 @@ per AS (
 allv AS (SELECT DISTINCT src AS v FROM te)
 SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
 FROM allv LEFT JOIN per USING (v)"""
+
+    # clustering coefficient: same chain + the deg CTE + the cc formula
+    sql["transcript_clustering"] = sql["transcript_triangles"].replace(
+        """SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
+FROM allv LEFT JOIN per USING (v)""",
+        """SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles,
+       COALESCE(deg.deg, 0)::BIGINT AS deg,
+       ROUND(CASE WHEN COALESCE(deg.deg, 0) >= 2
+                  THEN 2.0 * COALESCE(per.triangles, 0) / (deg.deg * (deg.deg - 1))
+                  ELSE 0.0 END, 9) AS cc
+FROM allv LEFT JOIN per USING (v) LEFT JOIN deg USING (v)""")
 
     sql["media_stats"] = f"""
 WITH m(media_id, kind, width, height, duration_ms) AS (VALUES {_media_values_sql(False)})

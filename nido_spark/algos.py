@@ -373,6 +373,31 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(v, triangles, deg, cc) — local clustering coefficient
+    cc_v = 2*tri_v / (deg_v*(deg_v-1)), the standard per-vertex companion
+    of triangle counting (deg counts distinct neighbors, self-loops
+    excluded; vertices with deg < 2 get cc = 0.0). One extra groupBy +
+    broadcast-friendly V-row join on top of triangle_count_per_vertex —
+    the wedge join dominates, so the metric is free at scale relative to
+    the count it refines."""
+    tri = triangle_count_per_vertex(edges)
+    deg = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = F.coalesce(F.col("deg"), F.lit(0))
+    return tri.join(deg, "v", "left").select(
+        "v",
+        "triangles",
+        d.cast("long").alias("deg"),
+        F.when(
+            d >= 2, 2.0 * F.col("triangles") / (d * (d - F.lit(1)))
+        ).otherwise(F.lit(0.0)).alias("cc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-core decomposition
 # ---------------------------------------------------------------------------

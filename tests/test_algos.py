@@ -192,3 +192,25 @@ def test_k_core_raises_when_max_iters_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="max_iters"):
         A.k_core(edges, max_iters=1)
+
+
+def test_clustering_coefficient_matches_networkx(spark, karate):
+    """Local clustering coefficient vs networkx on karate + a random
+    BA-ish graph (self-loops excluded from deg, cc=0 below deg 2)."""
+    import networkx as nx
+
+    from nido_spark.algos import clustering_coefficient
+    from nido_spark.io import ba_random_edges
+
+    for edges in (karate[0], ba_random_edges(spark, 300, m0=3, seed=7)):
+        got = {r["v"]: (r["triangles"], r["deg"], r["cc"])
+               for r in clustering_coefficient(edges).collect()}
+        g = nx.Graph()
+        rows = edges.select("src", "dst").collect()
+        g.add_nodes_from({r["src"] for r in rows})
+        g.add_edges_from((r["src"], r["dst"]) for r in rows if r["src"] != r["dst"])
+        want = nx.clustering(g)
+        assert set(got) == set(want)
+        for v, cc in want.items():
+            assert abs(got[v][2] - cc) < 1e-9, (v, got[v], cc)
+            assert got[v][1] == g.degree(v)

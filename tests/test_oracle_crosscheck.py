@@ -98,3 +98,4 @@ def test_modularity_matches_networkx(pairs, label_choice):
         comms.setdefault(c, set()).add(v)
     want = nx.algorithms.community.modularity(g, comms.values())
     assert got == pytest.approx(want, abs=1e-12)
+
