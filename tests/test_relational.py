@@ -303,13 +303,14 @@ def test_asof_join_nearest_ties_backward(spark):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
-def test_asof_directions_vs_bruteforce(spark, direction):
+@pytest.mark.parametrize("seed", [17, 29])
+def test_asof_directions_vs_bruteforce(spark, direction, seed):
     """Randomized cross-check of all three directions against a brute-force
     per-row scan implementing the documented semantics (inclusive both
     ways; nearest ties to backward)."""
     import numpy as np
 
-    rng = np.random.default_rng(17)
+    rng = np.random.default_rng(seed)
     left_rows, right_by_key = [], {}
     eid = 0
     for k in range(4):
@@ -348,3 +349,23 @@ def test_asof_directions_vs_bruteforce(spark, direction):
                                     direction=direction, hot_key_threshold=25,
                                     hot_key_buckets=6).collect()}
     assert got_split == want
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_plan_is_single_shuffle(spark, direction):
+    """The claimed plan shape: ONE hash-partition exchange for every
+    direction (nearest adds a second in-partition sort, never a second
+    shuffle), and no nested-loop/cartesian fallback."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(5))], "event_id long, key long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "key long, ts timestamp, px double"
+    )
+    plan = (
+        asof_join(left, right, on="key", right_cols=["px"], direction=direction)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
