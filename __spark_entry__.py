@@ -150,6 +150,13 @@ def _q_transcript_clustering(spark, sf):
     return out.select("v", "triangles", "deg", F.round("cc", 9).alias("cc"))
 
 
+def _q_transcript_jaccard(spark, sf):
+    # edge-scoped Jaccard vertex similarity on the transcript actor graph
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.edge_jaccard(transcripts_to_edges(tr, strategy="dense"))
+    return out.select("a", "b", "common", F.round("jaccard", 9).alias("jaccard"))
+
+
 def _q_doc_repetition_stats(spark, sf):
     return X.repetition_stats(_docs(spark, sf)).select(
         "doc_id",
@@ -586,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "transcript_triangles": _q_transcript_triangles,
         "transcript_clustering": _q_transcript_clustering,
+        "transcript_jaccard": _q_transcript_jaccard,
         "luby_coloring": _q_luby_coloring,
         "media_stats": _q_media_stats,
         "media_headers": _q_media_headers,
@@ -611,7 +619,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
         "neighbor_comm_agg": _q_neighbor_comm_agg,
-        "coarsen_contract": _q_coarsen,
         "louvain_gain_step": _q_louvain_gain_step,
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
@@ -655,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_events_json_props,
         "doc_exact_dups": _q_doc_exact_dups,
         "doc_ngram_profile": _q_doc_ngram_profile,
+        "coarsen_contract": _q_coarsen,
     }
 
 
@@ -1813,6 +1821,30 @@ per AS (
 allv AS (SELECT DISTINCT src AS v FROM te)
 SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
 FROM allv LEFT JOIN per USING (v)"""
+
+    # edge-scoped Jaccard: same chain; common per edge = triangles through
+    # it (explode each triangle into its 3 canonical edges), union from deg
+    sql["transcript_jaccard"] = sql["transcript_triangles"].replace(
+        """per AS (""",
+        """epairs AS (
+  SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM tris
+  UNION ALL SELECT LEAST(u, x), GREATEST(u, x) FROM tris
+  UNION ALL SELECT LEAST(u, y), GREATEST(u, y) FROM tris
+),
+common AS (SELECT a, b, COUNT(*)::BIGINT AS common FROM epairs GROUP BY a, b),
+per AS (""").replace(
+        """allv AS (SELECT DISTINCT src AS v FROM te)
+SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
+FROM allv LEFT JOIN per USING (v)""",
+        """final AS (
+  SELECT u.a, u.b, COALESCE(c.common, 0)::BIGINT AS common,
+         ROUND(COALESCE(c.common, 0)::DOUBLE
+               / (d1.deg + d2.deg - COALESCE(c.common, 0)), 9) AS jaccard
+  FROM und u
+  LEFT JOIN common c ON c.a = u.a AND c.b = u.b
+  JOIN deg d1 ON u.a = d1.v JOIN deg d2 ON u.b = d2.v
+)
+SELECT a, b, common, jaccard FROM final""")
 
     # clustering coefficient: same chain + the deg CTE + the cc formula
     sql["transcript_clustering"] = sql["transcript_triangles"].replace(

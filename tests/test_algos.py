@@ -214,3 +214,25 @@ def test_clustering_coefficient_matches_networkx(spark, karate):
         for v, cc in want.items():
             assert abs(got[v][2] - cc) < 1e-9, (v, got[v], cc)
             assert got[v][1] == g.degree(v)
+
+
+def test_edge_jaccard_matches_networkx(spark, karate):
+    """Edge-scoped Jaccard vertex similarity vs networkx on karate + a
+    random graph (nx.jaccard_coefficient over the edge pair list)."""
+    import networkx as nx
+
+    from nido_spark.algos import edge_jaccard
+    from nido_spark.io import ba_random_edges
+
+    for edges in (karate[0], ba_random_edges(spark, 200, m0=3, seed=11)):
+        got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+               for r in edge_jaccard(edges).collect()}
+        g = nx.Graph()
+        rows = edges.select("src", "dst").collect()
+        g.add_edges_from((r["src"], r["dst"]) for r in rows if r["src"] != r["dst"])
+        pairs = sorted((min(a, b), max(a, b)) for a, b in g.edges())
+        assert set(got) == set(pairs)
+        for a, b, jac in nx.jaccard_coefficient(g, pairs):
+            common = len(set(g[a]) & set(g[b]))
+            assert got[(a, b)][0] == common, (a, b)
+            assert abs(got[(a, b)][1] - jac) < 1e-9, (a, b, got[(a, b)], jac)
