@@ -154,7 +154,12 @@ def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
     out = A.edge_jaccard(transcripts_to_edges(tr, strategy="dense"))
-    return out.select("a", "b", "common", F.round("jaccard", 9).alias("jaccard"))
+    return out.select(
+        "a", "b", "common",
+        F.round("jaccard", 9).alias("jaccard"),
+        F.round("overlap", 9).alias("overlap"),
+        F.round("sorensen", 9).alias("sorensen"),
+    )
 
 
 def _q_doc_repetition_stats(spark, sf):
@@ -1839,12 +1844,14 @@ FROM allv LEFT JOIN per USING (v)""",
         """final AS (
   SELECT u.a, u.b, COALESCE(c.common, 0)::BIGINT AS common,
          ROUND(COALESCE(c.common, 0)::DOUBLE
-               / (d1.deg + d2.deg - COALESCE(c.common, 0)), 9) AS jaccard
+               / (d1.deg + d2.deg - COALESCE(c.common, 0)), 9) AS jaccard,
+         ROUND(COALESCE(c.common, 0)::DOUBLE / LEAST(d1.deg, d2.deg), 9) AS overlap,
+         ROUND(2.0 * COALESCE(c.common, 0) / (d1.deg + d2.deg), 9) AS sorensen
   FROM und u
   LEFT JOIN common c ON c.a = u.a AND c.b = u.b
   JOIN deg d1 ON u.a = d1.v JOIN deg d2 ON u.b = d2.v
 )
-SELECT a, b, common, jaccard FROM final""")
+SELECT a, b, common, jaccard, overlap, sorensen FROM final""")
 
     # clustering coefficient: same chain + the deg CTE + the cc formula
     sql["transcript_clustering"] = sql["transcript_triangles"].replace(

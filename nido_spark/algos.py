@@ -401,6 +401,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 def edge_jaccard(edges: DataFrame) -> DataFrame:
     """(a, b, common, jaccard) per undirected edge a<b: Jaccard vertex
     similarity |N(a) n N(b)| / |N(a) u N(b)| computed for CONNECTED pairs
+    (plus the overlap coefficient common/min(deg) and Sorensen-Dice
+    2*common/(deg_a+deg_b) — the three classic link-prediction scores)
     — the cuGraph-style edge-scoped variant, which is the 100 TB-safe
     shape: output is bounded by |E| and the common-neighbor count per
     edge is exactly the triangle count through that edge, so the whole
@@ -444,6 +446,8 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
             "b",
             c.cast("long").alias("common"),
             (c / (F.col("da") + F.col("db") - c)).alias("jaccard"),
+            (c / F.least("da", "db")).alias("overlap"),
+            (2.0 * c / (F.col("da") + F.col("db"))).alias("sorensen"),
         )
     )
 

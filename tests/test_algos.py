@@ -236,3 +236,18 @@ def test_edge_jaccard_matches_networkx(spark, karate):
             common = len(set(g[a]) & set(g[b]))
             assert got[(a, b)][0] == common, (a, b)
             assert abs(got[(a, b)][1] - jac) < 1e-9, (a, b, got[(a, b)], jac)
+
+
+def test_edge_similarity_overlap_and_sorensen(spark, karate):
+    from nido_spark.algos import edge_jaccard
+
+    got = {(r["a"], r["b"]): r for r in edge_jaccard(karate[0]).collect()}
+    rows = karate[0].select("src", "dst").collect()
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from((r["src"], r["dst"]) for r in rows if r["src"] != r["dst"])
+    for (a, b), r in got.items():
+        common = len(set(g[a]) & set(g[b]))
+        assert abs(r["overlap"] - common / min(g.degree(a), g.degree(b))) < 1e-9
+        assert abs(r["sorensen"] - 2 * common / (g.degree(a) + g.degree(b))) < 1e-9
