@@ -69,6 +69,44 @@ def streaming_turn_counts(
     )
 
 
+def streaming_session_stats(
+    events: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(key, session) rollup via Spark's NATIVE ``session_window``
+    (gap-merged in streaming state, watermark-bounded) — the streaming
+    counterpart of relational.session_stats: (key, window_start,
+    window_end, n_events, t_start, t_end). Works identically over a batch
+    DataFrame (same function, no stream required).
+
+    Boundary note: session_window treats an event exactly ``gap`` after
+    the previous as a NEW session (windows are [start, last+gap) and the
+    merge needs strict overlap), while relational.sessionize keeps
+    ``diff == gap`` in the same session (`> gap` starts a new one). At
+    sub-second event resolution exact-gap ties are measure-zero; the
+    stream==batch parity test uses tie-free data."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("t_start"),
+            F.max(ts_col).alias("t_end"),
+        )
+        .select(
+            key,
+            F.col("sw.start").alias("window_start"),
+            F.col("sw.end").alias("window_end"),
+            "n_events",
+            "t_start",
+            "t_end",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful cross-batch turn reassembly
 # ---------------------------------------------------------------------------

@@ -211,3 +211,57 @@ def test_fresh_checkpoint_over_existing_store_raises(spark, tmp_path):
     # same-run replay of the LAST committed epoch stays a silent no-op
     store.fold_edge_increments(batch, epoch_id=1)
     assert store.last_epoch() == 1
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window streaming rollup == the batch window-plan
+    sessionizer (relational.session_stats) on tie-free data: same session
+    count, same per-session n_events and min/max event times."""
+    import numpy as np
+
+    from nido_spark.relational import session_stats
+    from nido_spark import streaming as ST
+
+    rng = np.random.default_rng(23)
+    rows, eid = [], 0
+    for k in range(5):
+        t = int(rng.integers(0, 10**4)) * 1_000_000
+        for _ in range(int(rng.integers(20, 60))):
+            # gaps strictly != 1800s: boundary semantics differ (docstring)
+            t += int(rng.choice([1, 40, 900, 1777, 1803, 5000])) * 1_000_000
+            rows.append((eid, f"c{k}", t)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, conv_id string, us long").select(
+        "event_id", "conv_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    path = str(tmp_path / "sess_events")
+    df.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(path + "/w1")
+    df.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(path + "/w2")
+
+    stream = (
+        spark.readStream.schema("event_id long, conv_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/w*")
+    )
+    agg = ST.streaming_session_stats(stream, key="conv_id", gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT conv_id, n_events, unix_micros(t_start) AS s, unix_micros(t_end) AS e "
+            "FROM sess ORDER BY conv_id, s"
+        ).collect()
+    finally:
+        q.stop()
+    want = (
+        session_stats(df, key="conv_id", gap_seconds=1800)
+        .orderBy("conv_id", "t_start_us")
+        .collect()
+    )
+    assert [(r["conv_id"], r["n_events"], r["s"], r["e"]) for r in got] == [
+        (r["conv_id"], r["n_events"], r["t_start_us"], r["t_end_us"]) for r in want
+    ]
