@@ -579,3 +579,41 @@ def test_vocab_top_k_counts_and_ties(spark):
     full = {r["token"]: r["cnt"] for r in X.vocab_top_k(docs, n=10).collect()}
     assert full == {"a": 3, "b": 3, "c": 1}
     assert X.vocab_top_k(docs, n=10, min_count=2).count() == 2
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_remove_spans_randomized_matches_python_fold(spark, seed):
+    """Randomized spans (overlapping, adjacent, nested, out-of-order) —
+    the Catalyst fold must equal a direct Python excision with the same
+    running-cursor rule on the normalized text."""
+    rng = np.random.default_rng(seed)
+    docs_rows, span_rows = [], []
+    texts = {}
+    for d in range(8):
+        n = int(rng.integers(30, 120))
+        txt = "".join(rng.choice(list("abcdef XY"), size=n))
+        docs_rows.append((d, txt))
+        texts[d] = txt.strip(" ").lower()
+        for _ in range(int(rng.integers(0, 5))):
+            s0 = int(rng.integers(0, max(1, len(texts[d]))))
+            e0 = s0 + int(rng.integers(0, 20))
+            span_rows.append((d, s0, min(e0, len(texts[d]))))
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    spans = spark.createDataFrame(
+        span_rows or [(999, 0, 0)], "doc_id long, span_start long, span_end long"
+    )
+    got = {r["doc_id"]: r["clean_text"]
+           for r in X.remove_spans(docs, spans).collect()}
+
+    def excise(t, sp):
+        pos, out = 0, []
+        for s0, e0 in sorted(sp):
+            if s0 > pos:
+                out.append(t[pos:s0])
+            pos = max(pos, e0)
+        out.append(t[pos:])
+        return "".join(out)
+
+    for d, t in texts.items():
+        sp = [(s0, e0) for dd, s0, e0 in span_rows if dd == d]
+        assert got[d] == excise(t, sp), (seed, d, sp)
