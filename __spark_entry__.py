@@ -5,15 +5,16 @@
 ``queries()``        — one entry per implemented operator (SURVEY.md §2 +
                        training-data ops); each callable: (spark, sf_dir) ->
                        DataFrame.
-``oracle_sql()``     — DuckDB-equivalent SQL per query where expressible.
-                       Round 2 extends coverage to the LSH family (seeded
-                       hyperplanes embedded as SQL literals), fuzzy dedup
-                       (exhaustive Jaccard + recursive-CTE components) and
-                       the transcript derivation (fixture as VALUES, same
-                       seeded generator). Iterative fixpoints (full Louvain/
-                       PageRank/CC/LPA) remain rows-only in the driver and
-                       are pinned by NumPy oracles in pytest
-                       (tests/test_louvain.py, tests/test_algos.py).
+``oracle_sql()``     — DuckDB-equivalent SQL per query. EVERY entry is
+                       value-checked (67/67 since r3/r4 — zero rows-only):
+                       relational/pipeline ops have direct SQL renderings;
+                       LSH/IVF embed their seeded hyperplanes/centroids as
+                       SQL literals; iterative fixpoints (full Louvain/
+                       PageRank/CC/LPA/k-core, Luby) are pinned via
+                       unrolled-CTE schedules or NumPy reference-schedule
+                       VALUES literals (independence per-query documented
+                       at the definitions), all ALSO pinned by pytest
+                       oracles (tests/test_louvain.py, tests/test_algos.py).
 
 Float-valued queries round to 9 decimals on BOTH sides: Spark and DuckDB
 sum in different orders, so last-ulp differences are expected; 1e-9 rounding
@@ -515,7 +516,7 @@ def _q_ann_cosine_topk(spark, sf):
     )
 
 
-# --- rows-only (non-SQL-expressible) queries -------------------------------
+# --- iterative fixpoints (value-checked via unrolled / VALUES oracles) -----
 
 
 def _q_louvain_full(spark, sf):
