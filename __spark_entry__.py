@@ -151,6 +151,17 @@ def _q_transcript_clustering(spark, sf):
     return out.select("v", "triangles", "deg", F.round("cc", 9).alias("cc"))
 
 
+def _q_transcript_eigenvector(spark, sf):
+    # fixed-8-iteration power method — deterministic schedule, unrolled
+    # MATERIALIZED-CTE oracle replays it exactly (9 dp rounding: float
+    # sums and the per-round norm divide in different orders per engine)
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.eigenvector_centrality(
+        transcripts_to_edges(tr, strategy="dense"), max_iters=8
+    )
+    return out.select("v", F.round("x", 9).alias("x"))
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -600,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_triangles": _q_transcript_triangles,
         "transcript_clustering": _q_transcript_clustering,
         "transcript_jaccard": _q_transcript_jaccard,
+        "transcript_eigenvector": _q_transcript_eigenvector,
         "luby_coloring": _q_luby_coloring,
         "media_stats": _q_media_stats,
         "media_headers": _q_media_headers,
@@ -624,7 +636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
-        "neighbor_comm_agg": _q_neighbor_comm_agg,
         "louvain_gain_step": _q_louvain_gain_step,
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
@@ -669,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dups": _q_doc_exact_dups,
         "doc_ngram_profile": _q_doc_ngram_profile,
         "coarsen_contract": _q_coarsen,
+        "neighbor_comm_agg": _q_neighbor_comm_agg,
     }
 
 
@@ -1827,6 +1839,26 @@ per AS (
 allv AS (SELECT DISTINCT src AS v FROM te)
 SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
 FROM allv LEFT JOIN per USING (v)"""
+
+    # eigenvector centrality: unrolled fixed-schedule power iteration
+    _eig_ctes = ["verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+                 "nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts)",
+                 "x0 AS MATERIALIZED (SELECT v, 1.0/sqrt((SELECT n FROM nv)) AS x FROM verts)"]
+    for _i in range(1, 9):
+        _eig_ctes.append(f"""y{_i} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(s.y, 0.0) AS y
+  FROM verts LEFT JOIN (
+    SELECT te.dst AS v, SUM(x{_i-1}.x * te.w) AS y
+    FROM te JOIN x{_i-1} ON x{_i-1}.v = te.src GROUP BY te.dst
+  ) s USING (v)
+)""")
+        _eig_ctes.append(f"n{_i} AS MATERIALIZED (SELECT sqrt(SUM(y*y)) AS nm FROM y{_i})")
+        _eig_ctes.append(f"x{_i} AS MATERIALIZED (SELECT v, y/(SELECT nm FROM n{_i}) AS x FROM y{_i})")
+    sql["transcript_eigenvector"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_eig_ctes)
+        + "\nSELECT v, ROUND(x, 9) AS x FROM x8"
+    )
 
     # edge-scoped Jaccard: same chain; common per edge = triangles through
     # it (explode each triangle into its 3 canonical edges), union from deg

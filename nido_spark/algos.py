@@ -175,6 +175,53 @@ def pagerank(
     return ranks
 
 
+def eigenvector_centrality(
+    edges: DataFrame,
+    max_iters: int = 20,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, x) — power-iteration eigenvector centrality on the symmetric
+    weighted graph: x <- A x / ||A x||_2 from the uniform start
+    1/sqrt(n). FIXED iteration count — a deterministic schedule any
+    engine replays exactly, which is what makes the unrolled SQL oracle
+    possible (convergence to the principal eigenvector needs a connected
+    non-bipartite graph; on bipartite graphs the iterates oscillate but
+    remain well-defined and reproducible).
+
+    Plan shape mirrors pagerank: edges pinned hash-partitioned on dst
+    once, V-row state broadcast below the gate, ONE E-row aggregation +
+    one scalar L2-norm action per round — zero E-row exchanges below the
+    gate. The norm read is a V-row aggregate (cheap at any scale)."""
+    import math
+
+    verts = truncate_lineage(edges.select(F.col("src").alias("v")).distinct())
+    n = verts.count()
+    if n == 0:
+        return verts.select("v", F.lit(0.0).alias("x"))
+    x = truncate_lineage(verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("x")))
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst", "w").repartition(nparts, "dst").persist()
+    e.count()
+    bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
+    for _ in range(max_iters):
+        y = (
+            e.join(bc(x.select(F.col("v").alias("src"), "x")), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("y"))
+        )
+        y = verts.join(bc(y), "v", "left").select(
+            "v", F.coalesce("y", F.lit(0.0)).alias("y")
+        )
+        y = truncate_lineage(y)
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n")).first()["n"]
+        if not norm or norm <= 0.0:
+            e.unpersist()
+            return y.select("v", F.lit(0.0).alias("x"))
+        x = truncate_lineage(y.select("v", (F.col("y") / F.lit(norm)).alias("x")))
+    e.unpersist()
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Connected components
 # ---------------------------------------------------------------------------
