@@ -151,6 +151,36 @@ def _q_transcript_clustering(spark, sf):
     return out.select("v", "triangles", "deg", F.round("cc", 9).alias("cc"))
 
 
+# Zachary's karate club — the reference's own smoke input
+# (/root/reference/README:75); the transcript actor graph is
+# triangle-free, so the truss gate runs on the public graph instead.
+KARATE_PAIRS = [
+    (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8), (0, 10),
+    (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21), (0, 31), (1, 2),
+    (1, 3), (1, 7), (1, 13), (1, 17), (1, 19), (1, 21), (1, 30), (2, 3),
+    (2, 7), (2, 8), (2, 9), (2, 13), (2, 27), (2, 28), (2, 32), (3, 7),
+    (3, 12), (3, 13), (4, 6), (4, 10), (5, 6), (5, 10), (5, 16), (6, 16),
+    (8, 30), (8, 32), (8, 33), (9, 33), (13, 33), (14, 32), (14, 33),
+    (15, 32), (15, 33), (18, 32), (18, 33), (19, 33), (20, 32), (20, 33),
+    (22, 32), (22, 33), (23, 25), (23, 27), (23, 29), (23, 32), (23, 33),
+    (24, 25), (24, 27), (24, 31), (25, 31), (26, 29), (26, 33), (27, 33),
+    (28, 31), (28, 33), (29, 32), (29, 33), (30, 32), (30, 33), (31, 32),
+    (31, 33), (32, 33),
+]
+
+
+def _karate_edges(spark):
+    rows = [(a, b, 1.0) for a, b in KARATE_PAIRS] + [
+        (b, a, 1.0) for a, b in KARATE_PAIRS
+    ]
+    return spark.createDataFrame(rows, "src long, dst long, w double")
+
+
+def _q_karate_k_truss(spark, sf):
+    # independent oracle: networkx.k_truss over the same public edge list
+    return A.k_truss(_karate_edges(spark), k=4)
+
+
 def _q_transcript_eigenvector(spark, sf):
     # fixed-8-iteration power method — deterministic schedule, unrolled
     # MATERIALIZED-CTE oracle replays it exactly (9 dp rounding: float
@@ -612,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_clustering": _q_transcript_clustering,
         "transcript_jaccard": _q_transcript_jaccard,
         "transcript_eigenvector": _q_transcript_eigenvector,
+        "karate_k_truss": _q_karate_k_truss,
         "luby_coloring": _q_luby_coloring,
         "media_stats": _q_media_stats,
         "media_headers": _q_media_headers,
@@ -636,7 +667,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
-        "louvain_gain_step": _q_louvain_gain_step,
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
         # companion algorithms
@@ -681,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_profile": _q_doc_ngram_profile,
         "coarsen_contract": _q_coarsen,
         "neighbor_comm_agg": _q_neighbor_comm_agg,
+        "louvain_gain_step": _q_louvain_gain_step,
     }
 
 
@@ -909,6 +940,23 @@ def _transcript_louvain_values_sql() -> str:
     return (
         f"SELECT v::BIGINT AS v, comm::BIGINT AS comm "
         f"FROM (VALUES {vals}) AS t(v, comm)"
+    )
+
+
+def _karate_k_truss_values_sql(k: int = 4) -> str:
+    """k-truss edges as a VALUES literal — FULLY independent oracle:
+    networkx.k_truss (a third-party implementation sharing no code with
+    the engine's wedge-join peel) over the same public karate edge list."""
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from(KARATE_PAIRS)
+    es = sorted((min(a, b), max(a, b)) for a, b in nx.k_truss(g, k).edges())
+    if not es:
+        return "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE FALSE"
+    vals = ",".join(f"({a},{b})" for a, b in es)
+    return (
+        f"SELECT a::BIGINT AS a, b::BIGINT AS b FROM (VALUES {vals}) AS t(a, b)"
     )
 
 
@@ -1786,6 +1834,7 @@ WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
     sql["simhash_near_pairs"] = _simhash_near_pairs_sql(max_dist=3)
     sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
+    sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)
     sql["luby_coloring"] = _luby_coloring_sql(rounds=8, seed=42)
 
     # PII scrub: same patterns, same order, counts on the original text;

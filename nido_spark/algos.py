@@ -499,6 +499,76 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
     )
 
 
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, support) for a canonical undirected pair set (a < b):
+    triangles through each edge, via the degree-oriented wedge join
+    (same machinery as triangle counting — no deg^2 hub explosion)."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+    )
+    w1 = o.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    w2 = o.select(F.col("a").alias("u"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        o.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    pairs = (
+        tris.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .unionByName(
+            tris.select(F.least("u", "x").alias("a"), F.greatest("u", "x").alias("b"))
+        )
+        .unionByName(
+            tris.select(F.least("u", "y").alias("a"), F.greatest("u", "y").alias("b"))
+        )
+    )
+    sup = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return und.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def k_truss(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+    """(a, b) — edges of the k-truss: the maximal subgraph in which every
+    edge participates in >= k-2 triangles (triangles counted WITHIN the
+    surviving subgraph — networkx/cuGraph semantics). Iterative peel:
+    recompute per-edge support on the current edge set, drop edges below
+    k-2, repeat to fixpoint. Each round is one wedge join over the
+    shrinking edge set (monotone — typically a handful of rounds);
+    lineage is truncated per round. Raises if the peel has not converged
+    after ``max_iters`` (the same loud-failure policy as k_core)."""
+    und = truncate_lineage(
+        edges.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).distinct()
+    )
+    n = und.count()
+    for _ in range(max_iters):
+        if n == 0:
+            return und
+        kept = _edge_support(und).where(F.col("support") >= k - 2).select("a", "b")
+        kept = truncate_lineage(kept)
+        n_new = kept.count()
+        if n_new == n:
+            return kept
+        und, n = kept, n_new
+    raise RuntimeError(f"k_truss did not converge within {max_iters} rounds")
+
+
 # ---------------------------------------------------------------------------
 # k-core decomposition
 # ---------------------------------------------------------------------------

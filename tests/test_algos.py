@@ -287,3 +287,19 @@ def test_eigenvector_centrality_matches_numpy_schedule(spark, karate):
     wn = wn / np.sqrt((wn * wn).sum())
     cos = float(np.array([got[v] for v in vs]) @ wn)
     assert cos > 0.999  # same principal direction
+
+
+def test_k_truss_matches_networkx(spark, karate):
+    import networkx as nx
+
+    from nido_spark.algos import k_truss
+    from nido_spark.io import ba_random_edges
+
+    for edges in (karate[0], ba_random_edges(spark, 150, m0=4, seed=5)):
+        rows = edges.select("src", "dst").collect()
+        g = nx.Graph()
+        g.add_edges_from((r["src"], r["dst"]) for r in rows if r["src"] != r["dst"])
+        for k in (3, 4, 5):
+            got = {(r["a"], r["b"]) for r in k_truss(edges, k).collect()}
+            want = {(min(a, b), max(a, b)) for a, b in nx.k_truss(g, k).edges()}
+            assert got == want, (k, len(got), len(want))
