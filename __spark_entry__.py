@@ -181,6 +181,17 @@ def _q_karate_k_truss(spark, sf):
     return A.k_truss(_karate_edges(spark), k=4)
 
 
+def _q_transcript_katz(spark, sf):
+    # fixed-8-iteration Katz — no per-round normalization, so the unrolled
+    # oracle is a plain linear recurrence (9 dp rounding for sum order)
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.katz_centrality(
+        transcripts_to_edges(tr, strategy="dense"), alpha=0.05, beta=1.0,
+        max_iters=8,
+    )
+    return out.select("v", F.round("x", 9).alias("x"))
+
+
 def _q_transcript_eigenvector(spark, sf):
     # fixed-8-iteration power method — deterministic schedule, unrolled
     # MATERIALIZED-CTE oracle replays it exactly (9 dp rounding: float
@@ -642,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_clustering": _q_transcript_clustering,
         "transcript_jaccard": _q_transcript_jaccard,
         "transcript_eigenvector": _q_transcript_eigenvector,
+        "transcript_katz": _q_transcript_katz,
         "karate_k_truss": _q_karate_k_truss,
         "luby_coloring": _q_luby_coloring,
         "media_stats": _q_media_stats,
@@ -658,7 +670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": _q_events_asof_nearest,
         # sources / edge derivation (SURVEY §2.1 S1-S4)
         "edges": _q_edges,
-        "events_edges": _q_events_edges,
         "transcript_edges": _q_transcript_edges,
         # time-series relational ops
         "events_asof_click": _q_events_asof_click,
@@ -712,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_contract": _q_coarsen,
         "neighbor_comm_agg": _q_neighbor_comm_agg,
         "louvain_gain_step": _q_louvain_gain_step,
+        "events_edges": _q_events_edges,
     }
 
 
@@ -1888,6 +1900,23 @@ per AS (
 allv AS (SELECT DISTINCT src AS v FROM te)
 SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
 FROM allv LEFT JOIN per USING (v)"""
+
+    # Katz: unrolled linear recurrence x_i = alpha*A x_{i-1} + beta
+    _katz_ctes = ["verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+                  "k0 AS MATERIALIZED (SELECT v, 1.0 AS x FROM verts)"]
+    for _i in range(1, 9):
+        _katz_ctes.append(f"""k{_i} AS MATERIALIZED (
+  SELECT verts.v, 0.05 * COALESCE(s.y, 0.0) + 1.0 AS x
+  FROM verts LEFT JOIN (
+    SELECT te.dst AS v, SUM(k{_i-1}.x * te.w) AS y
+    FROM te JOIN k{_i-1} ON k{_i-1}.v = te.src GROUP BY te.dst
+  ) s USING (v)
+)""")
+    sql["transcript_katz"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_katz_ctes)
+        + "\nSELECT v, ROUND(x, 9) AS x FROM k8"
+    )
 
     # eigenvector centrality: unrolled fixed-schedule power iteration
     _eig_ctes = ["verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",

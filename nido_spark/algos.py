@@ -222,6 +222,46 @@ def eigenvector_centrality(
     return x
 
 
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.01,
+    beta: float = 1.0,
+    max_iters: int = 20,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, x) — Katz centrality by fixed-schedule iteration
+    x <- alpha * A x + beta from x0 = beta (converges for
+    alpha < 1/lambda_max; the fixed iteration count keeps the schedule
+    engine-replayable either way). Same plan shape as pagerank /
+    eigenvector_centrality: dst-pinned edges, broadcast-gated V-row
+    state, one E-row aggregation per round, no per-round scalar action
+    at all (no normalization)."""
+    verts = truncate_lineage(edges.select(F.col("src").alias("v")).distinct())
+    if verts.limit(1).count() == 0:
+        return verts.select("v", F.lit(0.0).alias("x"))
+    n = verts.count()
+    x = truncate_lineage(verts.select("v", F.lit(float(beta)).alias("x")))
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst", "w").repartition(nparts, "dst").persist()
+    e.count()
+    bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
+    for _ in range(max_iters):
+        y = (
+            e.join(bc(x.select(F.col("v").alias("src"), "x")), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("y"))
+        )
+        x = truncate_lineage(
+            verts.join(bc(y), "v", "left").select(
+                "v",
+                (F.lit(float(alpha)) * F.coalesce("y", F.lit(0.0))
+                 + F.lit(float(beta))).alias("x"),
+            )
+        )
+    e.unpersist()
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Connected components
 # ---------------------------------------------------------------------------

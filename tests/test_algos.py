@@ -303,3 +303,36 @@ def test_k_truss_matches_networkx(spark, karate):
             got = {(r["a"], r["b"]) for r in k_truss(edges, k).collect()}
             want = {(min(a, b), max(a, b)) for a, b in nx.k_truss(g, k).edges()}
             assert got == want, (k, len(got), len(want))
+
+
+def test_katz_centrality_matches_networkx(spark, karate):
+    """Fixed-schedule Katz vs the NumPy recurrence (1e-9) and vs
+    networkx's converged katz_centrality after normalization (karate,
+    alpha inside the convergence radius)."""
+    import networkx as nx
+    import numpy as np
+
+    from nido_spark.algos import katz_centrality
+
+    edges, (src, dst, w) = karate
+    alpha, beta, iters = 0.05, 1.0, 60
+    got = {r["v"]: r["x"] for r in
+           katz_centrality(edges, alpha=alpha, beta=beta, max_iters=iters).collect()}
+
+    vs = sorted(set(src.tolist()) | set(dst.tolist()))
+    idx = {v: i for i, v in enumerate(vs)}
+    A = np.zeros((len(vs), len(vs)))
+    for a, b, ww in zip(src, dst, w):
+        A[idx[b], idx[a]] += ww
+    x = np.full(len(vs), beta)
+    for _ in range(iters):
+        x = alpha * (A @ x) + beta
+    for v in vs:
+        assert abs(got[v] - x[idx[v]]) < 1e-9, (v, got[v], x[idx[v]])
+
+    g = nx.Graph()
+    g.add_edges_from((int(a), int(b)) for a, b in zip(src, dst) if a != b)
+    want = nx.katz_centrality(g, alpha=alpha, beta=beta, max_iter=2000, tol=1e-12)
+    gv = np.array([got[v] for v in vs]); gv = gv / np.linalg.norm(gv)
+    wv = np.array([want[v] for v in vs]); wv = wv / np.linalg.norm(wv)
+    assert float(gv @ wv) > 0.999999
