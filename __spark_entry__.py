@@ -578,6 +578,16 @@ def _q_louvain_full(spark, sf):
     return res.labels
 
 
+def _q_ppr_full(spark, sf):
+    # personalized PageRank seeded on the 5 smallest vertex ids — the
+    # oracle unrolls the same 12-iteration schedule with the same seeds
+    edges = lineitem_edges(spark, sf)
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    seeds = verts.orderBy("v").limit(5)
+    out = A.personalized_pagerank(edges, seeds, max_iters=12)
+    return out.select("v", F.round("r", 9).alias("r"))
+
+
 def _q_pagerank_full(spark, sf):
     # tol=0.0: exactly 15 iterations, matching the unrolled SQL oracle
     return A.pagerank(lineitem_edges(spark, sf), max_iters=15, tol=0.0).select(
@@ -670,7 +680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": _q_events_asof_nearest,
         # sources / edge derivation (SURVEY §2.1 S1-S4)
         "edges": _q_edges,
-        "transcript_edges": _q_transcript_edges,
         # time-series relational ops
         "events_asof_click": _q_events_asof_click,
         "events_sessionize": _q_events_sessionize,
@@ -683,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # companion algorithms
         "pagerank_step": _q_pagerank_step,
         "pagerank_full": _q_pagerank_full,
+        "ppr_full": _q_ppr_full,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
         "lpa_step": _q_lpa_step,
@@ -724,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_comm_agg": _q_neighbor_comm_agg,
         "louvain_gain_step": _q_louvain_gain_step,
         "events_edges": _q_events_edges,
+        "transcript_edges": _q_transcript_edges,
     }
 
 
@@ -817,6 +828,30 @@ c{i} AS MATERIALIZED (SELECT ef.dst AS v, SUM(r{i}.r * ef.frac) AS contrib
 r{i + 1} AS MATERIALIZED (SELECT k.v, 0.15 / (SELECT c FROM n) + 0.85 * COALESCE(c{i}.contrib, 0) AS r
            FROM k LEFT JOIN c{i} ON k.v = c{i}.v)""")
     parts.append(f"\nSELECT v, ROUND(r, 9) AS r FROM r{iters}")
+    return "".join(parts)
+
+
+def _ppr_full_sql(iters: int = 12, n_seeds: int = 5) -> str:
+    """Personalized PageRank unrolled: restart mass uniform over the
+    n_seeds smallest vertex ids; r0 = p; r <- 0.15*p + 0.85*contrib
+    (symmetric graph — no dangling mass)."""
+    parts = [
+        f"""{_E},
+k AS MATERIALIZED (SELECT src AS v, SUM(w) AS k FROM e GROUP BY src),
+ef AS MATERIALIZED (SELECT e.src, e.dst, e.w / k.k AS frac FROM e JOIN k ON e.src = k.v),
+sset AS MATERIALIZED (SELECT v FROM k ORDER BY v LIMIT {n_seeds}),
+p AS MATERIALIZED (SELECT k.v,
+       CASE WHEN k.v IN (SELECT v FROM sset) THEN 1.0/{n_seeds} ELSE 0.0 END AS p
+     FROM k),
+pr0 AS MATERIALIZED (SELECT v, p AS r FROM p)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+pc{i} AS MATERIALIZED (SELECT ef.dst AS v, SUM(pr{i}.r * ef.frac) AS contrib
+          FROM ef JOIN pr{i} ON ef.src = pr{i}.v GROUP BY ef.dst),
+pr{i + 1} AS MATERIALIZED (SELECT p.v, 0.15 * p.p + 0.85 * COALESCE(pc{i}.contrib, 0) AS r
+            FROM p LEFT JOIN pc{i} ON p.v = pc{i}.v)""")
+    parts.append(f"\nSELECT v, ROUND(r, 9) AS r FROM pr{iters}")
     return "".join(parts)
 
 
@@ -1839,6 +1874,7 @@ WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
    OR (lang = 'en' AND {_bkt_sql(7)} < {int(0.5 * _SAMPLE_P2)})"""
 
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
+    sql["ppr_full"] = _ppr_full_sql(iters=12, n_seeds=5)
     sql["cc_full"] = _cc_full_sql(rounds=12)
     sql["lpa_full"] = _lpa_full_sql(nbatches=4, max_iters=8)
     sql["k_core"] = _k_core_full_sql(iters=8)

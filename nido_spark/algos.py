@@ -222,6 +222,80 @@ def eigenvector_centrality(
     return x
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources,
+    damping: float = 0.85,
+    max_iters: int = 20,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, r) — PageRank with the teleport restricted to ``sources`` (a
+    list of vertex ids or a (v) DataFrame): r <- (1-d)*p + d*(A_frac^T r
+    + dangling_mass * p) from r0 = p, where p is uniform over the source
+    set — the standard personalized/topic-sensitive variant used for
+    seed-based relevance and local community scoring. Fixed iteration
+    schedule (engine-replayable, like the uniform pagerank); dangling
+    mass returns to the restart distribution. Same plan shape as
+    pagerank: folded dst-pinned edges, broadcast-gated V-row state."""
+    spark = edges.sparkSession
+    verts = truncate_lineage(_pagerank_vertices(edges))
+    n = verts.count()
+    if n == 0:
+        return verts.select("v", F.lit(0.0).alias("r"))
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("v")).distinct()
+    else:
+        ids = sorted({int(v) for v in sources})
+        if not ids:
+            raise ValueError("personalized_pagerank needs a non-empty source set")
+        src_df = spark.createDataFrame([(v,) for v in ids], "v long")
+    src_df = src_df.join(verts.select("v"), "v", "left_semi")
+    ns = src_df.count()
+    if ns == 0:
+        raise ValueError("no source vertex exists in the graph")
+    pvec = truncate_lineage(
+        verts.select("v")
+        .join(src_df.select("v", F.lit(1.0 / ns).alias("p")), "v", "left")
+        .select("v", F.coalesce("p", F.lit(0.0)).alias("p"))
+    )
+    ranks = pvec.select("v", F.col("p").alias("r"))
+    dangling_vs = verts.where(F.col("k") <= 0).select("v")
+    has_dangling = dangling_vs.limit(1).count() > 0
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_frac = (
+        edges.join(verts.select(F.col("v").alias("src"), "k"), "src")
+        .select("src", "dst", (F.col("w") / F.col("k")).alias("frac"))
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    edges_frac.count()
+    bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
+    for _ in range(max_iters):
+        dm = 0.0
+        if has_dangling:
+            dm = (
+                ranks.join(dangling_vs, "v").agg(F.sum("r").alias("s")).first()["s"]
+                or 0.0
+            )
+        contrib = (
+            edges_frac.join(bc(ranks.select(F.col("v").alias("src"), "r")), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("r") * F.col("frac")).alias("contrib"))
+        )
+        ranks = truncate_lineage(
+            pvec.join(bc(contrib), "v", "left").select(
+                "v",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dm) * F.col("p"))
+                ).alias("r"),
+            )
+        )
+    edges_frac.unpersist()
+    return ranks
+
+
 def katz_centrality(
     edges: DataFrame,
     alpha: float = 0.01,

@@ -336,3 +336,29 @@ def test_katz_centrality_matches_networkx(spark, karate):
     gv = np.array([got[v] for v in vs]); gv = gv / np.linalg.norm(gv)
     wv = np.array([want[v] for v in vs]); wv = wv / np.linalg.norm(wv)
     assert float(gv @ wv) > 0.999999
+
+
+def test_personalized_pagerank_vs_numpy(spark, karate):
+    """PPR seeded on {0, 33} vs an independent dense-matrix power
+    iteration (networkx pagerank needs scipy, absent in this image)."""
+    import numpy as np
+
+    from nido_spark.algos import personalized_pagerank
+
+    edges, (src, dst, w) = karate
+    got = {r["v"]: r["r"] for r in
+           personalized_pagerank(edges, [0, 33], max_iters=200).collect()}
+    vs = sorted(set(src.tolist()) | set(dst.tolist()))
+    idx = {v: i for i, v in enumerate(vs)}
+    T = np.zeros((len(vs), len(vs)))  # column-stochastic transition
+    for a, b, ww in zip(src, dst, w):
+        T[idx[b], idx[a]] += ww
+    T = T / T.sum(axis=0, keepdims=True)
+    pvec = np.zeros(len(vs)); pvec[idx[0]] = 0.5; pvec[idx[33]] = 0.5
+    x = pvec.copy()
+    for _ in range(500):
+        x = 0.15 * pvec + 0.85 * (T @ x)
+    for v in vs:
+        assert abs(got[v] - x[idx[v]]) < 1e-10, (v, got[v], x[idx[v]])
+    # mass concentrates near the seeds vs the rest of the graph
+    assert got[0] > 1.5 * max(r for v, r in got.items() if v not in (0, 33, 1, 2, 32))
