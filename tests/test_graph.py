@@ -156,3 +156,29 @@ def test_sample_stratified_many_strata_stays_broadcast(spark):
     # the broadcast-join plan, not a mega-predicate
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_neighbor_sample_deterministic_and_bounded(spark, karate):
+    """GraphSAGE-style fanout: at most `fanout` neighbors per src, a true
+    subset of the edge set, identical across partition layouts and runs,
+    different under a different seed (on a graph with degree > fanout)."""
+    from nido_spark.graph import neighbor_sample
+
+    edges, _ = karate
+    got = {(r["src"], r["dst"]) for r in neighbor_sample(edges, 3, seed=7).collect()}
+    again = {
+        (r["src"], r["dst"])
+        for r in neighbor_sample(edges.repartition(9), 3, seed=7).collect()
+    }
+    assert got == again  # partition-layout independent
+    all_edges = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got <= all_edges
+    from collections import Counter
+
+    per_src = Counter(s for s, _ in got)
+    assert max(per_src.values()) <= 3
+    deg = Counter(s for s, _ in all_edges)
+    for v, d in deg.items():
+        assert per_src[v] == min(d, 3)  # full fanout where degree allows
+    other = {(r["src"], r["dst"]) for r in neighbor_sample(edges, 3, seed=8).collect()}
+    assert other != got
