@@ -6,7 +6,9 @@
                        training-data ops); each callable: (spark, sf_dir) ->
                        DataFrame.
 ``oracle_sql()``     — DuckDB-equivalent SQL per query. EVERY entry is
-                       value-checked (67/67 since r3/r4 — zero rows-only):
+                       value-checked — zero rows-only (count and per-entry
+                       status live in COVERAGE.md, the single source of
+                       truth for gate size):
                        relational/pipeline ops have direct SQL renderings;
                        LSH/IVF embed their seeded hyperplanes/centroids as
                        SQL literals; iterative fixpoints (full Louvain/
@@ -1003,18 +1005,20 @@ def _transcript_louvain_values_sql() -> str:
     )
 
 
-def _karate_k_truss_values_sql(k: int = 4) -> str:
-    """k-truss edges as a VALUES literal — FULLY independent oracle:
-    networkx.k_truss (a third-party implementation sharing no code with
-    the engine's wedge-join peel) over the same public karate edge list."""
-    import networkx as nx
+# networkx.k_truss(karate, 4) — generated ONCE by a third-party
+# implementation sharing no code with the engine's wedge-join peel, and
+# frozen as a literal so oracle_sql() carries no networkx runtime
+# dependency (review finding: a missing optional import must not take
+# down all 72 oracle entries). tests/test_algos.py re-derives this set
+# from networkx live and pins the engine against it.
+KARATE_4TRUSS = [(0, 1), (0, 2), (0, 3), (0, 7), (0, 13), (1, 2), (1, 3), (1, 7), (1, 13), (2, 3), (2, 7), (2, 13), (3, 7), (3, 13), (8, 30), (8, 32), (8, 33), (23, 29), (23, 32), (23, 33), (29, 32), (29, 33), (30, 32), (30, 33), (32, 33)]
 
-    g = nx.Graph()
-    g.add_edges_from(KARATE_PAIRS)
-    es = sorted((min(a, b), max(a, b)) for a, b in nx.k_truss(g, k).edges())
-    if not es:
-        return "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE FALSE"
-    vals = ",".join(f"({a},{b})" for a, b in es)
+
+def _karate_k_truss_values_sql(k: int = 4) -> str:
+    """k-truss edges as a VALUES literal — fully independent oracle (see
+    KARATE_4TRUSS provenance note)."""
+    assert k == 4, "only the precomputed k=4 truss ships as a literal"
+    vals = ",".join(f"({a},{b})" for a, b in KARATE_4TRUSS)
     return (
         f"SELECT a::BIGINT AS a, b::BIGINT AS b FROM (VALUES {vals}) AS t(a, b)"
     )

@@ -311,9 +311,9 @@ def katz_centrality(
     state, one E-row aggregation per round, no per-round scalar action
     at all (no normalization)."""
     verts = truncate_lineage(edges.select(F.col("src").alias("v")).distinct())
-    if verts.limit(1).count() == 0:
-        return verts.select("v", F.lit(0.0).alias("x"))
     n = verts.count()
+    if n == 0:
+        return verts.select("v", F.lit(0.0).alias("x"))
     x = truncate_lineage(verts.select("v", F.lit(float(beta)).alias("x")))
     nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst", "w").repartition(nparts, "dst").persist()
@@ -571,27 +571,12 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
     hub pair explosion, which is what an all-pairs common-neighbor join
     does). union = deg(a)+deg(b)-common, degrees excluding self-loops;
     the denominator is always >= 2 for a real edge."""
-    o = truncate_lineage(_oriented(edges))
-    w1 = o.select(F.col("a").alias("u"), F.col("b").alias("x"))
-    w2 = o.select(F.col("a").alias("u"), F.col("b").alias("y"))
-    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
-    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
-        o.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    )
-    tris = wedges.join(closing, ["x", "y"], "left_semi")  # (u, x, y)
-    pairs = (
-        tris.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-        .unionByName(
-            tris.select(F.least("u", "x").alias("a"), F.greatest("u", "x").alias("b"))
-        )
-        .unionByName(
-            tris.select(F.least("u", "y").alias("a"), F.greatest("u", "y").alias("b"))
-        )
-    )
-    common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
     und = edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
+    # common neighbors per edge = triangles through it — the SAME wedge
+    # machinery k_truss peels with (review finding: one implementation)
+    sup = _edge_support(und).withColumnRenamed("support", "common")
     deg = (
         edges.where(F.col("src") != F.col("dst"))
         .groupBy(F.col("src").alias("v"))
@@ -599,7 +584,7 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
     )
     c = F.coalesce(F.col("common"), F.lit(0))
     return (
-        und.join(common, ["a", "b"], "left")
+        sup
         .join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
         .select(

@@ -163,7 +163,8 @@ def neighbor_sample(
     task, not a failure (hot-split the src key upstream if that matters).
 
     The rank hash reuses the engine's ANSI-safe affine mix
-    (pipeline._bucket) over a src/dst fold, so ties are measure-zero and
+    (pipeline._bucket_col — the single shared implementation) over a
+    src/dst fold, so ties are measure-zero and
     the selection is a uniform-without-replacement sample per vertex."""
     from pyspark.sql import Window
 
@@ -175,7 +176,9 @@ def neighbor_sample(
         F.pmod(F.col("src"), F.lit(1 << 30)) * F.lit(1 << 30)
         + F.pmod(F.col("dst"), F.lit(1 << 30))
     )
-    ranked = edges.withColumn("_rk", _bucket_expr(key, seed))
+    from nido_spark.pipeline import _bucket_col
+
+    ranked = edges.withColumn("_rk", _bucket_col(key, seed))
     w = Window.partitionBy("src").orderBy(F.col("_rk").asc(), F.col("dst").asc())
     return (
         ranked.withColumn("_rn", F.row_number().over(w))
@@ -183,18 +186,3 @@ def neighbor_sample(
         .select("src", "dst", "w")
     )
 
-
-def _bucket_expr(col, seed: int):
-    """pipeline._bucket over an arbitrary long column expression."""
-    from nido_spark import pipeline as P
-
-    x = F.pmod(col.cast("long"), F.lit(P._SAMPLE_P)) + F.lit(seed)
-    xh = F.shiftright(x, 31)
-    xl = F.pmod(x, F.lit(1 << 31))
-    t = F.lit(P._SAMPLE_A1) * xh
-    th = F.shiftright(t, 30)
-    tl = F.pmod(t, F.lit(1 << 30))
-    hi = th + tl * F.lit(1 << 31)
-    r1 = F.pmod(hi + F.lit(P._SAMPLE_A1) * xl + F.lit(P._SAMPLE_B1), F.lit(P._SAMPLE_P))
-    low = F.pmod(r1, F.lit(1 << 30))
-    return F.pmod(F.lit(P._SAMPLE_A2) * low + F.lit(P._SAMPLE_B2), F.lit(P._SAMPLE_P2))

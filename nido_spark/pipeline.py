@@ -50,9 +50,17 @@ _SAMPLE_B2 = 11_213
 
 
 def _bucket(id_col, seed: int):
-    """Two-round mix -> uniform bucket in [0, 2^31-1)."""
+    """Two-round mix -> uniform bucket in [0, 2^31-1) over a COLUMN NAME."""
+    return _bucket_col(F.col(id_col), seed)
+
+
+def _bucket_col(col, seed: int):
+    """Two-round mix over an arbitrary long Column expression — the single
+    home of the ANSI-overflow-sensitive arithmetic (graph.neighbor_sample
+    and every sampling oracle replay THIS exact math; review finding: no
+    second copy may exist to drift)."""
     # x = (id mod P) + seed          < 2^61 + 2^31, non-negative
-    x = F.pmod(F.col(id_col).cast("long"), F.lit(_SAMPLE_P)) + F.lit(seed)
+    x = F.pmod(col.cast("long"), F.lit(_SAMPLE_P)) + F.lit(seed)
     # splits use shifts, NOT `/` (double division is inexact above 2^53)
     xh = F.shiftright(x, 31)                  # < 2^30 + 1
     xl = F.pmod(x, F.lit(1 << 31))            # < 2^31

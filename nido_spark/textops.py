@@ -530,9 +530,11 @@ def vocab_top_k(
     frequency table) of a corpus pipeline.
 
     100 TB shape: explode + one map-side-combined groupBy on the token;
-    the final top-n is a TakeOrdered over the aggregated (distinct-token)
-    stream — never a full sort of the corpus, and n rows reach the
-    driver/consumer. min_count prunes the hapax tail before the take."""
+    the final top-n is a GUARANTEED TakeOrderedAndProject (orderBy+limit —
+    not a rank<=n filter over an empty-partition window, whose single-
+    partition-sort avoidance depends on the InferWindowGroupLimit
+    optimizer rule firing); rank is then assigned over the n surviving
+    rows only. min_count prunes the hapax tail before the take."""
     from pyspark.sql import Window
 
     toks = tokens(F.lower(F.col(text_col)))
@@ -542,9 +544,8 @@ def vocab_top_k(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= n)
-        .select("token", "cnt", F.col("rank").cast("long").alias("rank"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "token", "cnt", "rank"
     )
