@@ -213,6 +213,18 @@ def _q_transcript_eigenvector(spark, sf):
     return out.select("v", F.round("x", 9).alias("x"))
 
 
+def _q_transcript_sssp(spark, sf):
+    # weighted single-source shortest paths from actor 0 on the transcript
+    # graph: Spark runs the Bellman-Ford relaxation to FIXPOINT (10 rounds
+    # on this fixture, measured); the oracle unrolls 14 rounds — relaxation
+    # is idempotent once converged, so extra rounds are exact no-ops.
+    # ~26% of actors are unreachable from actor 0 here, so the NULL-dist
+    # (unreached) path is value-checked too.
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.sssp(transcripts_to_edges(tr, strategy="dense"), source=0)
+    return out.select("v", F.round("dist", 9).alias("dist"))
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -657,20 +669,66 @@ def _q_transcript_louvain(spark, sf):
     return res.labels
 
 
+def _rotated(
+    impls: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Self-maintaining driver-window rotation (closes VERDICT r4 task 1 and
+    the ADVICE 'encode the rotation, not a comment' finding).
+
+    The external driver's correctness report truncates at the FIRST 50
+    dict entries (observed r2-r4), so only the front of this dict earns a
+    driver-green row each round.  Rather than hand-reordering every round,
+    order entries by the LAST round in which each earned a fully-green
+    driver row, ascending — never-verified entries sort first (round -1),
+    then the longest-unverified veterans, then last round's freshly-green
+    entries at the tail.  Ties keep the canonical declaration order
+    (stable sort), so within the most-recent-round group the same prefix
+    occupies the window until it goes green and rotates out — no entry
+    can go two rounds without a driver row while >=50 slots cycle.
+    Reads the driver's own CORRECTNESS_r*.json artifacts next to this
+    file; with no artifacts (fresh checkout) the canonical order stands.
+    The local gate (tools/check_oracles.py) still runs ALL entries."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                report = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(report, dict):
+            continue
+        for name, row in report.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, -1), rnd)
+    order = sorted(impls, key=lambda n: last_green.get(n, -1))
+    return {n: impls[n] for n in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's correctness report truncates at 50 rows
-    # in dict order (observed r2 AND r3 — VERDICT r3 "structural gate
-    # finding").  Entries that have never earned a driver-green row therefore
-    # go FIRST; long-stable veterans (each driver-green in at least two
-    # earlier rounds: the A1-A5 vertex aggregates, modularity scalars,
-    # map-only doc queries, and the r1-r3 edge derivations) rotate to the
-    # tail as new r4 operators claim window slots.  ROTATION NOTE for the
-    # next round: the tail entries skipped THIS round (everything after
-    # position 50) must rotate back into the window next round so no entry
-    # goes two rounds without a driver row.  The local gate
-    # (tools/check_oracles.py) still runs ALL entries every round.
-    return {
-        # --- never driver-verified before r4 (front of the 50-row window) ---
+    # Canonical declaration order below is by operator family; the returned
+    # dict is REORDERED by _rotated() so the external driver's 50-row
+    # correctness window always sees the least-recently-verified entries
+    # first (see _rotated's docstring for the full contract).
+    impls = {
+        # multimodal / scrub / span family
         "doc_pii_scrub": _q_doc_pii_scrub,
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "transcript_triangles": _q_transcript_triangles,
@@ -685,7 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_thumbs": _q_media_thumbs,
-        # --- new in r4 ---
+        # span dedup / vocab / as-of directions
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_spans_within": _q_doc_dup_spans_within,
         "doc_dup_span_scrub": _q_doc_dup_span_scrub,
@@ -707,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_step": _q_pagerank_step,
         "pagerank_full": _q_pagerank_full,
         "ppr_full": _q_ppr_full,
+        "transcript_sssp": _q_transcript_sssp,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
         "lpa_step": _q_lpa_step,
@@ -726,7 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_repetition_stats": _q_doc_repetition_stats,
-        # --- tail: veterans, driver-green in BOTH r2 and r3 ---
+        # vertex aggregates, modularity scalars, map-only doc queries
         "degree": _q_degree,
         "weighted_degree": _q_weighted_degree,
         "salted_weighted_degree": _q_salted_weighted_degree,
@@ -751,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_edges": _q_transcript_edges,
         "events_asof_click": _q_events_asof_click,
     }
+    return _rotated(impls)
 
 
 # ---------------------------------------------------------------------------
@@ -1267,11 +1327,17 @@ def oracle_sql() -> dict[str, str]:
 
     sql["events_edges"] = EVENTS_EDGES_SQL
 
+    # the src/dst reductions use the POSITIVE-mod rendering ((x % m + m) % m)
+    # — DuckDB's % is sign-preserving while Spark's pmod is non-negative, so
+    # a bare % would diverge on negative vertex ids (fixture ids are
+    # non-negative, but the replay should not depend on that); with the fold
+    # key non-negative every later intermediate is too, so plain % suffices
+    # downstream
     sql["edges_neighbor_sample"] = f"""
 {_E},
 rk AS (
   SELECT src, dst, w,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY ((48271 * (((1103515245::HUGEINT * (((src % 1073741824) * 1073741824 + (dst % 1073741824)) + 7) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, dst ASC) AS rn
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY ((48271 * (((1103515245::HUGEINT * ((((src % 1073741824) + 1073741824) % 1073741824) * 1073741824 + (((dst % 1073741824) + 1073741824) % 1073741824) + 7) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, dst ASC) AS rn
   FROM e
 )
 SELECT src, dst, ROUND(w, 9) AS w FROM rk WHERE rn <= 3"""
@@ -1998,6 +2064,30 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_eig_ctes)
         + "\nSELECT v, ROUND(x, 9) AS x FROM x8"
+    )
+
+    # SSSP: Bellman-Ford relaxation unrolled past the fixpoint (10 rounds
+    # measured on this fixture; 14 for slack — converged rounds are exact
+    # no-ops). LEAST skips NULLs in both engines (unreached = NULL), and
+    # each dist value is the same left-fold of IEEE adds along its path,
+    # so values agree bit-for-bit (9 dp rounding is belt-and-braces).
+    _sssp_ctes = [
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+        "s0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN 0.0 END AS dist FROM verts)",
+    ]
+    for _i in range(1, 15):
+        _sssp_ctes.append(f"""s{_i} AS MATERIALIZED (
+  SELECT s{_i-1}.v, LEAST(s{_i-1}.dist, c.nd) AS dist
+  FROM s{_i-1} LEFT JOIN (
+    SELECT te.dst AS v, MIN(s{_i-1}.dist + te.w) AS nd
+    FROM te JOIN s{_i-1} ON s{_i-1}.v = te.src
+    WHERE s{_i-1}.dist IS NOT NULL GROUP BY te.dst
+  ) c USING (v)
+)""")
+    sql["transcript_sssp"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_sssp_ctes)
+        + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
     )
 
     # edge-scoped Jaccard: same chain; common per edge = triangles through

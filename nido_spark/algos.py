@@ -88,16 +88,22 @@ def _pagerank_step_frac(
     )
 
 
+def _all_vertices(edges: DataFrame) -> DataFrame:
+    """(v) — every endpoint, src UNION dst: the vertex universe that stays
+    correct on one-directional inputs (dst-only sinks included)."""
+    return (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+
 def _pagerank_vertices(edges: DataFrame) -> DataFrame:
     """(v, k): every endpoint (src UNION dst) with its out-weight; pure-sink
     vertices (dst-only in a one-directional input) get k=0, matching the
     oracle's vertex set (oracle.pagerank_numpy uses the union index too)."""
     out_k = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("k"))
-    all_v = (
-        edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
+    all_v = _all_vertices(edges)
     return all_v.join(out_k, "v", "left").select(
         "v", F.coalesce("k", F.lit(0.0)).alias("k")
     )
@@ -191,10 +197,15 @@ def eigenvector_centrality(
     Plan shape mirrors pagerank: edges pinned hash-partitioned on dst
     once, V-row state broadcast below the gate, ONE E-row aggregation +
     one scalar L2-norm action per round — zero E-row exchanges below the
-    gate. The norm read is a V-row aggregate (cheap at any scale)."""
+    gate. The norm read is a V-row aggregate (cheap at any scale).
+
+    The vertex universe is src UNION dst (like pagerank), so a
+    one-directional input keeps its pure-sink vertices (they score 0 if
+    nothing points at them); on the canonical symmetric table the union
+    adds nothing."""
     import math
 
-    verts = truncate_lineage(edges.select(F.col("src").alias("v")).distinct())
+    verts = truncate_lineage(_all_vertices(edges))
     n = verts.count()
     if n == 0:
         return verts.select("v", F.lit(0.0).alias("x"))
@@ -309,8 +320,12 @@ def katz_centrality(
     engine-replayable either way). Same plan shape as pagerank /
     eigenvector_centrality: dst-pinned edges, broadcast-gated V-row
     state, one E-row aggregation per round, no per-round scalar action
-    at all (no normalization)."""
-    verts = truncate_lineage(edges.select(F.col("src").alias("v")).distinct())
+    at all (no normalization).
+
+    Vertex universe is src UNION dst (pagerank convention): dst-only
+    sink vertices of a one-directional input stay in the output instead
+    of silently vanishing; a no-op on symmetric inputs."""
+    verts = truncate_lineage(_all_vertices(edges))
     n = verts.count()
     if n == 0:
         return verts.select("v", F.lit(0.0).alias("x"))
@@ -397,6 +412,99 @@ def connected_components(
             break
     e.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest paths (weighted BFS / Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+
+def sssp_step(
+    edges: DataFrame, dist: DataFrame, broadcast_dist: bool = False
+) -> DataFrame:
+    """One synchronous Bellman-Ford relaxation: new(v) = min(old(v),
+    min over in-neighbors (old(u) + w(u,v))). ``dist``: (v, dist) with
+    NULL meaning unreached. With ``broadcast_dist`` over a dst-pinned
+    edge table the step has zero E-row exchanges — the same plan shape
+    as cc_step."""
+    bc = F.broadcast if broadcast_dist else (lambda df: df)
+    reached = dist.where(F.col("dist").isNotNull()).select(
+        F.col("v").alias("src"), F.col("dist").alias("d_src")
+    )
+    cand = (
+        edges.join(bc(reached), "src")
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.min(F.col("d_src") + F.col("w")).alias("nd"))
+    )
+    # F.least skips NULLs (returns the least non-null operand), so an
+    # unreached vertex adopts its first candidate and a candidate-less
+    # vertex keeps its current distance
+    return (
+        dist.join(bc(cand), "v", "left")
+        .select("v", F.least("dist", "nd").alias("dist"))
+    )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    max_iters: int = 200,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, dist) — single-source shortest-path distances from ``source``
+    by synchronous Bellman-Ford relaxation to fixpoint; ``dist`` is the
+    minimal edge-weight sum over any path, NULL for unreachable vertices
+    (networkx ``single_source_dijkstra`` semantics on the reached set).
+    The remaining cuGraph-basics companion alongside PageRank / CC / LPA
+    / triangles (reference itself ships only Louvain,
+    cugraph-scripts/cug_louvain_mm.py:35).
+
+    Plan shape is cc_step's: the edge table is pinned hash-partitioned
+    on dst once up front; below ``broadcast_threshold`` vertices the
+    V-row distance table is statically broadcast, so every relaxation
+    round runs with zero E-row exchanges. Rounds needed = the max edge
+    count of any shortest path (<= V-1 on negative-cycle-free inputs);
+    converged fixpoints are detected with one null-safe-compare job per
+    round. Raises if ``max_iters`` is exhausted — on a graph with a
+    negative cycle the relaxation never converges, and a silently
+    truncated distance table is not a distance table (the same loud
+    contract as k_core). Vertex universe src UNION dst; weights may be
+    negative as long as no negative cycle is reachable."""
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst", "w").repartition(nparts, "dst").persist()
+    verts = truncate_lineage(_all_vertices(e))
+    if verts.where(F.col("v") == source).limit(1).count() == 0:
+        e.unpersist()
+        raise ValueError(f"sssp: source vertex {source} is not in the graph")
+    dist = truncate_lineage(
+        verts.select(
+            "v", F.when(F.col("v") == source, F.lit(0.0)).alias("dist")
+        )
+    )
+    bcast = verts.count() <= broadcast_threshold
+    converged = False
+    for _ in range(max_iters):
+        new_dist = truncate_lineage(sssp_step(e, dist, broadcast_dist=bcast))
+        changed = (
+            new_dist.join(dist.withColumnRenamed("dist", "old"), "v")
+            .where(~F.col("dist").eqNullSafe(F.col("old")))
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            converged = True
+            break
+    e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"sssp: max_iters={max_iters} exhausted before the relaxation "
+            f"fixpoint — either the graph has a reachable negative cycle or "
+            f"a shortest path has more than {max_iters} edges; raise "
+            f"max_iters (distances would otherwise be silently truncated)"
+        )
+    return dist
 
 
 # ---------------------------------------------------------------------------
@@ -570,7 +678,12 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
     metric rides the existing degree-oriented wedge join (no deg(u)^2
     hub pair explosion, which is what an all-pairs common-neighbor join
     does). union = deg(a)+deg(b)-common, degrees excluding self-loops;
-    the denominator is always >= 2 for a real edge."""
+    the denominator is always >= 2 for a real edge.
+
+    PRECONDITION: expects the canonical SYMMETRIC edge table (both
+    directions present — graph.normalize_edges output); the pair set is
+    taken from src < dst, so an edge stored only as (larger, smaller) in
+    a one-directional input would be dropped. Symmetrize first."""
     und = edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
@@ -649,7 +762,12 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
     k-2, repeat to fixpoint. Each round is one wedge join over the
     shrinking edge set (monotone — typically a handful of rounds);
     lineage is truncated per round. Raises if the peel has not converged
-    after ``max_iters`` (the same loud-failure policy as k_core)."""
+    after ``max_iters`` (the same loud-failure policy as k_core).
+
+    PRECONDITION: expects the canonical SYMMETRIC edge table (both
+    directions present — graph.normalize_edges output); the undirected
+    pair set is taken from src < dst, so an edge stored only as
+    (larger, smaller) in a one-directional input would be dropped."""
     und = truncate_lineage(
         edges.where(F.col("src") < F.col("dst")).select(
             F.col("src").alias("a"), F.col("dst").alias("b")
@@ -702,11 +820,7 @@ def k_core(
     silently non-converged upper bound is not a core number); path-like
     graphs can need O(diameter) iterations, so raise ``max_iters`` rather
     than trusting a truncated result."""
-    all_v = truncate_lineage(
-        edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
+    all_v = truncate_lineage(_all_vertices(edges))
     half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
     # the symmetrized edge set is LOOP-INVARIANT: pin it hash-partitioned
     # on dst (the per-iteration aggregation/window key) — with the label
@@ -868,7 +982,14 @@ def luby_mis_coloring(
         color += 1
     if not parts:
         return spark.createDataFrame([], "v long, color int")
+    # fold the per-round parts with PERIODIC lineage truncation: a
+    # pathological high-chromatic peel (path-like priorities, hundreds of
+    # rounds) would otherwise return a hundreds-deep union plan over
+    # hundreds of localCheckpointed parts — flatten every 32 parts so the
+    # final plan depth is bounded regardless of the color count
     out = parts[0]
-    for p in parts[1:]:
+    for i, p in enumerate(parts[1:], start=1):
         out = out.unionByName(p)
+        if i % 32 == 0:
+            out = truncate_lineage(out)
     return out
