@@ -402,33 +402,78 @@ def ba_random_edges(
 
 
 def write_bucketed_edges(
-    edges: DataFrame, table_name: str, buckets: int = 64, path: str | None = None
+    edges: DataFrame,
+    table_name: str,
+    buckets: int = 64,
+    path: str | None = None,
+    sink_format: str = "parquet",
+    options: dict[str, str] | None = None,
 ) -> None:
     """Bucketed + sorted edge sink: ``bucketBy(buckets, "src").sortBy("src")``
-    parquet table. Two tables bucketed on the same key with the same bucket
+    table. Two tables bucketed on the same key with the same bucket
     count join WITHOUT a shuffle (bucket alignment replaces the exchange) —
     the at-rest layout for repeated joins/aggregations on src at 100 TB,
     where re-shuffling E rows per query is the dominant cost. The same idea
     the reference bakes into its CSR layout (adjacency grouped by vertex,
     graph.cpp:322-495), expressed as a Spark table property instead of a
-    file format."""
-    writer = (
-        edges.write.format("parquet")
-        .mode("overwrite")
-        .bucketBy(buckets, "src")
-        .sortBy("src")
-    )
+    file format.
+
+    ``sink_format``/``options`` mirror ``read_transcripts``'s source hook on
+    the write side: the format string goes straight to ``.format(...)``
+    (e.g. ``"orc"``; for an Iceberg/Delta catalog put the catalog conf on
+    the session via ``get_spark(extra_conf=...)`` and pass a
+    catalog-qualified ``table_name``). Always honored, no silent fallback.
+    NOTE Iceberg ignores Spark's Hive-style bucketBy — for Iceberg use a
+    ``bucket(N, src)`` partition transform on the table DDL instead; this
+    writer targets formats with Spark bucket metadata (parquet/orc)."""
+    writer = edges.write.format(sink_format).mode("overwrite")
+    if options:
+        writer = writer.options(**options)
+    writer = writer.bucketBy(buckets, "src").sortBy("src")
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
-def write_labels(labels: DataFrame, path: str, order_by_vertex: bool = False) -> None:
+def write_labels(
+    labels: DataFrame,
+    path: str,
+    order_by_vertex: bool = False,
+    sink_format: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> None:
     """Community sink (reference: one id per line text dump,
-    /root/reference/clustering.cpp:23-46) — parquet, optionally
-    range-ordered by vertex for deterministic file layout."""
+    /root/reference/clustering.cpp:23-46) — parquet by default, optionally
+    range-ordered by vertex for deterministic file layout.
+
+    ``sink_format``/``options`` are forwarded verbatim (write-side mirror
+    of the read hook): ``"parquet"``/``"orc"``/``"csv"``/... go through
+    ``.format(...).save(path)``; a catalog-managed lake table (Iceberg/
+    Delta with the catalog conf on the session) is addressed by passing the
+    catalog-qualified identifier via ``saveAsTable`` — use
+    ``write_labels_table`` for that."""
     out = labels.orderBy("v") if order_by_vertex else labels
-    out.write.mode("overwrite").parquet(path)
+    writer = out.write.format(sink_format).mode("overwrite")
+    if options:
+        writer = writer.options(**options)
+    writer.save(path)
+
+
+def write_labels_table(
+    labels: DataFrame,
+    table_name: str,
+    sink_format: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> None:
+    """Catalog-managed community sink: ``saveAsTable`` against whatever
+    catalog ``table_name`` is qualified with (session catalog in the
+    sandbox; an Iceberg/Delta catalog in a deployment via
+    ``get_spark(extra_conf={"spark.sql.catalog...."})``). The format is
+    always honored — a misconfigured catalog fails loudly."""
+    writer = labels.write.format(sink_format).mode("overwrite")
+    if options:
+        writer = writer.options(**options)
+    writer.saveAsTable(table_name)
 
 
 def read_labels(spark: SparkSession, path: str) -> DataFrame:

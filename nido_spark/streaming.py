@@ -49,12 +49,41 @@ from pyspark.sql import functions as F
 from nido_spark.io import TRANSCRIPT_SCHEMA, transcript_string_edges
 
 
-def stream_transcripts(spark: SparkSession, path: str, max_files_per_trigger: int = 16) -> DataFrame:
-    return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+def stream_transcripts(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 16,
+    source_format: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """readStream over the transcripts source, mirroring
+    ``io.read_transcripts``'s format contract on the streaming side.
+
+    - ``"parquet"`` (default, the sandbox fixture): schema-pinned file
+      stream; ``path`` is the watched directory and ``maxFilesPerTrigger``
+      bounds micro-batch size.
+    - any other format string goes straight to
+      ``spark.readStream.format(...)`` — e.g. ``"kafka"`` with
+      ``options={"kafka.bootstrap.servers": ..., "subscribe": ...}``
+      (deserialize the value column downstream), ``"rate"``, a Kinesis
+      connector, or ``"delta"``/``"iceberg"`` CDC with the catalog conf on
+      the session via ``get_spark(extra_conf=...)``. ``path`` is forwarded
+      as ``load(path)`` when non-empty, else bare ``load()`` (socket/kafka
+      sources configure themselves purely via options).
+
+    ``options`` are forwarded verbatim and the format is always honored —
+    no silent fallback (same loud-failure policy as the batch reader)."""
+    reader = spark.readStream
+    if options:
+        reader = reader.options(**options)
+    if source_format == "parquet":
+        return (
+            reader.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    reader = reader.format(source_format)
+    return reader.load(path) if path else reader.load()
 
 
 def streaming_turn_counts(

@@ -269,9 +269,13 @@ def dup_spans(
     # the positions feed TWO plan branches (the shared-fp aggregation and
     # the hit probe); without a persist each action runs the Arrow kernel
     # twice over all text. The cached triples are slim (~2 ints + 2 longs
-    # per char/(window+1)) and evicted LRU; pass persist_positions=False
-    # to keep the plan fully lazy (e.g. composing into a larger cached
-    # stage that already materializes positions).
+    # per char/(window+1)). With persist_positions=True the operator is
+    # EAGER: the span result (slim rows) is materialized before returning
+    # and the positions cache is RELEASED — repeated calls in a long-lived
+    # session no longer accumulate cached position tables (ADVICE r4).
+    # Pass persist_positions=False to keep the plan fully lazy (e.g.
+    # composing into a larger cached stage that already materializes
+    # positions — that stage then owns the double-evaluation tradeoff).
     if persist_positions:
         pos = pos.persist()
     occ_key = ["doc_id", "g"] if within_doc else ["doc_id"]
@@ -297,7 +301,7 @@ def dup_spans(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
+    out = (
         isl.groupBy("doc_id", "g")
         .agg(
             F.min("p").cast("long").alias("span_start"),
@@ -307,6 +311,14 @@ def dup_spans(
         .where(F.col("span_end") - F.col("span_start") >= min_len)
         .select("doc_id", "span_start", "span_end", "n_hits")
     )
+    if persist_positions:
+        from nido_spark.plans import truncate_lineage
+
+        # materialize the slim span rows, then release the positions cache
+        # (the one action consuming both branches) — no leak per call
+        out = truncate_lineage(out)
+        pos.unpersist()
+    return out
 
 
 def remove_spans(

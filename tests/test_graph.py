@@ -182,3 +182,42 @@ def test_neighbor_sample_deterministic_and_bounded(spark, karate):
         assert per_src[v] == min(d, 3)  # full fanout where degree allows
     other = {(r["src"], r["dst"]) for r in neighbor_sample(edges, 3, seed=8).collect()}
     assert other != got
+
+
+def test_sink_format_honored(spark, tmp_path):
+    """Write-side mirror of the read hook (VERDICT r4 task 5): sink_format
+    + options reach the writer verbatim for both the path sink
+    (write_labels -> json readable back as json) and the catalog sink
+    (write_labels_table / write_bucketed_edges as ORC tables); an
+    unavailable lake format raises instead of silently writing parquet."""
+    import pytest
+
+    from nido_spark.io import write_bucketed_edges, write_labels, write_labels_table
+
+    lab = spark.createDataFrame([(1, 10), (2, 10), (3, 20)], "v long, comm long")
+    jp = str(tmp_path / "labels_json")
+    write_labels(lab, jp, sink_format="json")
+    back = spark.read.json(jp)
+    assert back.count() == 3 and {r["comm"] for r in back.collect()} == {10, 20}
+
+    try:
+        write_labels_table(lab, "lbl_orc", sink_format="orc",
+                           options={"path": str(tmp_path / "lbl_orc")})
+        prov = spark.sql("DESCRIBE TABLE EXTENDED lbl_orc").collect()
+        assert any("orc" in str(r).lower() for r in prov)
+
+        edges = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, w double"
+        )
+        write_bucketed_edges(edges, "bk_orc", buckets=2,
+                             path=str(tmp_path / "bk_orc"), sink_format="orc")
+        prov2 = spark.sql("DESCRIBE TABLE EXTENDED bk_orc").collect()
+        assert any("orc" in str(r).lower() for r in prov2)
+        assert spark.table("bk_orc").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lbl_orc")
+        spark.sql("DROP TABLE IF EXISTS bk_orc")
+
+    with pytest.raises(Exception):
+        # no iceberg runtime in this image: must raise, not fall back
+        write_labels(lab, str(tmp_path / "lbl_ice"), sink_format="iceberg")

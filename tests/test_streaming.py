@@ -265,3 +265,34 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
     assert [(r["conv_id"], r["n_events"], r["s"], r["e"]) for r in got] == [
         (r["conv_id"], r["n_events"], r["t_start_us"], r["t_end_us"]) for r in want
     ]
+
+
+def test_stream_transcripts_source_format_honored(spark, tmp_path):
+    """source_format/options passthrough on the STREAMING side (mirror of
+    io.read_transcripts): parquet default keeps the schema-pinned file
+    stream; a named built-in format ("rate") is honored verbatim with its
+    options; an unavailable format raises instead of silently falling back
+    to parquet."""
+    import pytest
+
+    from nido_spark.io import synth_transcripts
+    from nido_spark.streaming import stream_transcripts
+
+    p = str(tmp_path / "txs")
+    synth_transcripts(spark, 3, seed=1).write.parquet(p)
+    df = stream_transcripts(spark, p)
+    assert df.isStreaming and "conv_id" in df.columns
+
+    # format passthrough: the rate source needs no path and defines its
+    # own (timestamp, value) schema — reaching it proves .format() is used
+    rate = stream_transcripts(
+        spark, "", source_format="rate", options={"rowsPerSecond": "1"}
+    )
+    assert rate.isStreaming and set(rate.columns) == {"timestamp", "value"}
+
+    with pytest.raises(Exception):
+        # no kafka connector jar in this image: must raise, not fall back
+        stream_transcripts(
+            spark, "", source_format="kafka",
+            options={"subscribe": "t", "kafka.bootstrap.servers": "x:9092"},
+        )

@@ -617,3 +617,22 @@ def test_remove_spans_randomized_matches_python_fold(spark, seed):
     for d, t in texts.items():
         sp = [(s0, e0) for dd, s0, e0 in span_rows if dd == d]
         assert got[d] == excise(t, sp), (seed, d, sp)
+
+
+def test_ivf_precomputed_centroids_match_inline_training(emb):
+    """VERDICT r4 task 7: train once via train_ivf_centroids, reuse via
+    centroids= — results identical to inline training (same deterministic
+    quantizer), no per-call corpus scan; a cell-count mismatch raises."""
+    import pytest
+
+    inline = S.ivf_ann_topk(emb, emb.limit(3), k=5, n_lists=8, n_probe=3)
+    cents = S.train_ivf_centroids(emb, n_lists=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    reused = S.ivf_ann_topk(
+        emb, emb.limit(3), k=5, n_lists=8, n_probe=3, centroids=cents
+    )
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, reused.collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="n_lists"):
+        S.ivf_ann_topk(emb, emb.limit(3), n_lists=4, centroids=cents)
