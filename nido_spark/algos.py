@@ -754,15 +754,28 @@ def _edge_support(und: DataFrame) -> DataFrame:
     )
 
 
-def k_truss(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+def k_truss(
+    edges: DataFrame, k: int, max_iters: int = 100, incremental: bool = True
+) -> DataFrame:
     """(a, b) — edges of the k-truss: the maximal subgraph in which every
     edge participates in >= k-2 triangles (triangles counted WITHIN the
-    surviving subgraph — networkx/cuGraph semantics). Iterative peel:
-    recompute per-edge support on the current edge set, drop edges below
-    k-2, repeat to fixpoint. Each round is one wedge join over the
-    shrinking edge set (monotone — typically a handful of rounds);
-    lineage is truncated per round. Raises if the peel has not converged
-    after ``max_iters`` (the same loud-failure policy as k_core).
+    surviving subgraph — networkx/cuGraph semantics). Iterative peel to
+    fixpoint; lineage truncated per round; raises if not converged after
+    ``max_iters`` (the same loud-failure policy as k_core).
+
+    ``incremental=True`` (default; VERDICT r4 optimization): after the
+    initial full wedge join, each round updates support by DECREMENT
+    instead of recomputing — only triangles that CONTAIN a removed edge
+    die, so enumerate the distinct triangles of the current set touching
+    the removal set (common-neighbor join seeded from the removed edges
+    alone — cost proportional to the removal frontier's wedge volume,
+    not the surviving graph's) and subtract one per dead triangle from
+    each surviving edge. On a 100x graph with many peel rounds this cuts
+    round cost from O(wedges(G_round)) to O(wedges(frontier)); when a
+    round removes more than a quarter of the edges the full recompute is
+    cheaper and is used for that round (the decrement path's seed set is
+    no longer small). ``incremental=False`` forces the full recompute
+    every round — results are identical (test-pinned).
 
     PRECONDITION: expects the canonical SYMMETRIC edge table (both
     directions present — graph.normalize_edges output); the undirected
@@ -774,15 +787,56 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
         ).distinct()
     )
     n = und.count()
+    if n == 0:
+        return und
+    sup = truncate_lineage(_edge_support(und))
     for _ in range(max_iters):
-        if n == 0:
-            return und
-        kept = _edge_support(und).where(F.col("support") >= k - 2).select("a", "b")
-        kept = truncate_lineage(kept)
-        n_new = kept.count()
-        if n_new == n:
-            return kept
-        und, n = kept, n_new
+        removed = sup.where(F.col("support") < k - 2).select("a", "b")
+        nr = removed.count()
+        if nr == 0:
+            return sup.select("a", "b")
+        kept = sup.where(F.col("support") >= k - 2)
+        n_kept = n - nr
+        if n_kept == 0:
+            return truncate_lineage(kept.select("a", "b"))
+        if not incremental or nr * 4 > n:
+            # removal fraction too large for the frontier walk to win (or
+            # incremental disabled): full recompute over the survivors
+            und = truncate_lineage(kept.select("a", "b"))
+            sup = truncate_lineage(_edge_support(und))
+            n = n_kept
+            continue
+        # triangles of the CURRENT set containing >= 1 removed edge:
+        # common-neighbor join seeded from the removed edges — adj rows
+        # stream past the (small) broadcast-able removal frontier
+        adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        cand = removed.join(
+            adj.select(F.col("v").alias("a"), "u"), "a"
+        ).join(
+            adj.select(F.col("v").alias("b"), "u"), ["b", "u"], "left_semi"
+        )
+        tri = cand.select(
+            F.array_sort(F.array("a", "b", "u")).alias("t")
+        ).distinct()
+        dead_edges = (
+            tri.select(F.col("t")[0].alias("a"), F.col("t")[1].alias("b"))
+            .unionByName(tri.select(F.col("t")[0].alias("a"), F.col("t")[2].alias("b")))
+            .unionByName(tri.select(F.col("t")[1].alias("a"), F.col("t")[2].alias("b")))
+        )
+        decs = dead_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("dec"))
+        sup = truncate_lineage(
+            kept.join(decs, ["a", "b"], "left").select(
+                "a",
+                "b",
+                (F.col("support") - F.coalesce("dec", F.lit(0)))
+                .cast("long")
+                .alias("support"),
+            )
+        )
+        und = truncate_lineage(kept.select("a", "b"))
+        n = n_kept
     raise RuntimeError(f"k_truss did not converge within {max_iters} rounds")
 
 

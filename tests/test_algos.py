@@ -447,3 +447,19 @@ def test_luby_coloring_many_rounds_bounded_plan(spark):
     assert len(colors) == n
     assert len(set(colors.values())) == n  # K_n needs n colors
     assert set(colors.values()) == set(range(n))  # color = round index
+
+
+def test_k_truss_incremental_matches_full_recompute(spark, karate):
+    """The incremental decrement peel and the full per-round recompute
+    must produce the IDENTICAL truss edge set for every k (the networkx
+    parity test pins the default path; this pins the two paths to each
+    other on graphs where multiple peel rounds fire)."""
+    from nido_spark.io import ba_random_edges
+
+    for edges in (karate[0], ba_random_edges(spark, 150, m0=4, seed=3)):
+        for k in (3, 4, 5):
+            inc = {(r["a"], r["b"])
+                   for r in A.k_truss(edges, k, incremental=True).collect()}
+            full = {(r["a"], r["b"])
+                    for r in A.k_truss(edges, k, incremental=False).collect()}
+            assert inc == full, (k, inc ^ full)
