@@ -225,6 +225,42 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_hits(spark, sf):
+    # fixed-8-iteration HITS (alternating L2-normalized halves) — the
+    # unrolled oracle replays both halves round-for-round; 9 dp rounding
+    # for engine-order float sums and the two per-round norm divides
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.hits(transcripts_to_edges(tr, strategy="dense"), max_iters=8)
+    return out.select(
+        "v", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    )
+
+
+def _q_transcript_landmarks(spark, sf):
+    # multi-source Bellman-Ford (landmark distances) from actors 0-3 in ONE
+    # relaxation loop; fixpoint = 10 rounds measured on this fixture, the
+    # oracle unrolls 14 (converged rounds are exact no-ops). Unreached
+    # (source, v) pairs keep NULL dist — value-checked too.
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.multi_source_sssp(
+        transcripts_to_edges(tr, strategy="dense"), sources=[0, 1, 2, 3]
+    )
+    return out.select("source", "v", F.round("dist", 9).alias("dist"))
+
+
+def _q_transcript_closeness(spark, sf):
+    # harmonic-centrality estimate from the 4-landmark distance table:
+    # sum of 1/dist over reachable landmarks != v (pure V-row rollup)
+    tr = synth_transcripts(spark, 500, seed=42)
+    d = A.multi_source_sssp(
+        transcripts_to_edges(tr, strategy="dense"), sources=[0, 1, 2, 3]
+    )
+    out = A.landmark_closeness(d)
+    return out.select(
+        "v", F.round("harmonic", 9).alias("harmonic"), "n_reached"
+    )
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -766,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_full": _q_pagerank_full,
         "ppr_full": _q_ppr_full,
         "transcript_sssp": _q_transcript_sssp,
+        "transcript_hits": _q_transcript_hits,
+        "transcript_landmarks": _q_transcript_landmarks,
+        "transcript_closeness": _q_transcript_closeness,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
         "lpa_step": _q_lpa_step,
@@ -2088,6 +2127,82 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # HITS: unrolled alternating power iteration — per round one auth half
+    # (aggregate over in-edges of hub, L2-normalize) and one hub half
+    # (aggregate over out-edges of auth, L2-normalize), exactly the Spark
+    # schedule; norms replayed as scalar subqueries (9 dp rounding absorbs
+    # engine float-sum order)
+    _hits_ctes = [
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+        "nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts)",
+        "h0 AS MATERIALIZED (SELECT v, 1.0/sqrt((SELECT n FROM nv)) AS s FROM verts)",
+    ]
+    for _i in range(1, 9):
+        _hits_ctes.append(f"""ay{_i} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(s.y, 0.0) AS y
+  FROM verts LEFT JOIN (
+    SELECT te.dst AS v, SUM(h{_i-1}.s * te.w) AS y
+    FROM te JOIN h{_i-1} ON h{_i-1}.v = te.src GROUP BY te.dst
+  ) s USING (v)
+)""")
+        _hits_ctes.append(
+            f"an{_i} AS MATERIALIZED (SELECT sqrt(SUM(y*y)) AS nm FROM ay{_i})"
+        )
+        _hits_ctes.append(
+            f"a{_i} AS MATERIALIZED (SELECT v, y/(SELECT nm FROM an{_i}) AS s FROM ay{_i})"
+        )
+        _hits_ctes.append(f"""hy{_i} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(s.y, 0.0) AS y
+  FROM verts LEFT JOIN (
+    SELECT te.src AS v, SUM(a{_i}.s * te.w) AS y
+    FROM te JOIN a{_i} ON a{_i}.v = te.dst GROUP BY te.src
+  ) s USING (v)
+)""")
+        _hits_ctes.append(
+            f"hn{_i} AS MATERIALIZED (SELECT sqrt(SUM(y*y)) AS nm FROM hy{_i})"
+        )
+        _hits_ctes.append(
+            f"h{_i} AS MATERIALIZED (SELECT v, y/(SELECT nm FROM hn{_i}) AS s FROM hy{_i})"
+        )
+    sql["transcript_hits"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_hits_ctes)
+        + "\nSELECT h8.v, ROUND(h8.s, 9) AS hub, ROUND(a8.s, 9) AS auth"
+          "\nFROM h8 JOIN a8 USING (v)"
+    )
+
+    # multi-source SSSP (landmark distances): the sssp relaxation with the
+    # state keyed (source, v) — one unrolled loop relaxes all 4 landmarks
+    # (10 rounds measured to fixpoint, 14 for slack; converged rounds are
+    # exact no-ops, LEAST skips NULLs in both engines)
+    _ms_ctes = [
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+        "srcs AS MATERIALIZED (SELECT * FROM (VALUES (0),(1),(2),(3)) s(source))",
+        "m0 AS MATERIALIZED (SELECT source, v, CASE WHEN v = source THEN 0.0 END AS dist FROM verts CROSS JOIN srcs)",
+    ]
+    for _i in range(1, 15):
+        _ms_ctes.append(f"""m{_i} AS MATERIALIZED (
+  SELECT m.source, m.v, LEAST(m.dist, c.nd) AS dist
+  FROM m{_i-1} m LEFT JOIN (
+    SELECT m2.source, te.dst AS v, MIN(m2.dist + te.w) AS nd
+    FROM te JOIN m{_i-1} m2 ON m2.v = te.src
+    WHERE m2.dist IS NOT NULL GROUP BY m2.source, te.dst
+  ) c USING (source, v)
+)""")
+    _ms_prefix = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_ms_ctes)
+    )
+    sql["transcript_landmarks"] = (
+        _ms_prefix + "\nSELECT source, v, ROUND(dist, 9) AS dist FROM m14"
+    )
+    sql["transcript_closeness"] = (
+        _ms_prefix
+        + """
+SELECT v, ROUND(SUM(1.0/dist), 9) AS harmonic, COUNT(*)::BIGINT AS n_reached
+FROM m14 WHERE dist IS NOT NULL AND source != v GROUP BY v"""
     )
 
     # edge-scoped Jaccard: same chain; common per edge = triangles through

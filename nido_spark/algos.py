@@ -351,6 +351,70 @@ def katz_centrality(
     return x
 
 
+def hits(
+    edges: DataFrame,
+    max_iters: int = 20,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, hub, auth) — HITS hubs-and-authorities (Kleinberg 1999) by the
+    classic alternating power iteration with per-half L2 normalization:
+    auth <- normalize(A^T hub), hub <- normalize(A auth), from the uniform
+    start 1/sqrt(n). FIXED iteration count — a deterministic schedule any
+    engine replays exactly (same contract as eigenvector_centrality; on a
+    symmetric graph hub == auth == eigenvector direction, which the tests
+    pin, and on a directed graph the two halves genuinely differ).
+
+    Plan shape doubles the pagerank template: the edge table is pinned
+    hash-partitioned TWICE, once on dst (the auth aggregation key) and
+    once on src (the hub aggregation key) — both loop-invariant, so each
+    round is exactly two E-row aggregations and two V-row scalar norms
+    with zero E-row exchanges below the broadcast gate. Vertex universe
+    is src UNION dst (pagerank convention): a pure sink can still be a
+    strong authority and a pure source a strong hub."""
+    verts = truncate_lineage(_all_vertices(edges))
+    n = verts.count()
+    if n == 0:
+        return verts.select("v", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth"))
+    import math
+
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e_dst = edges.select("src", "dst", "w").repartition(nparts, "dst").persist()
+    e_src = edges.select("src", "dst", "w").repartition(nparts, "src").persist()
+    e_dst.count(), e_src.count()
+    bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
+    hub = truncate_lineage(verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")))
+    auth = None
+
+    def _normalize(y: DataFrame) -> DataFrame:
+        filled = truncate_lineage(
+            verts.join(bc(y), "v", "left").select(
+                "v", F.coalesce("y", F.lit(0.0)).alias("y")
+            )
+        )
+        norm = filled.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n")).first()["n"]
+        if not norm or norm <= 0.0:
+            return truncate_lineage(filled.select("v", F.lit(0.0).alias("s")))
+        return truncate_lineage(
+            filled.select("v", (F.col("y") / F.lit(norm)).alias("s"))
+        )
+
+    for _ in range(max_iters):
+        auth = _normalize(
+            e_dst.join(bc(hub.select(F.col("v").alias("src"), "s")), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("s") * F.col("w")).alias("y"))
+        )
+        hub = _normalize(
+            e_src.join(bc(auth.select(F.col("v").alias("dst"), "s")), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum(F.col("s") * F.col("w")).alias("y"))
+        )
+    e_dst.unpersist(), e_src.unpersist()
+    return hub.withColumnRenamed("s", "hub").join(
+        auth.withColumnRenamed("s", "auth"), "v"
+    ).select("v", "hub", "auth")
+
+
 # ---------------------------------------------------------------------------
 # Connected components
 # ---------------------------------------------------------------------------
@@ -505,6 +569,113 @@ def sssp(
             f"max_iters (distances would otherwise be silently truncated)"
         )
     return dist
+
+
+def multi_source_sssp(
+    edges: DataFrame,
+    sources,
+    max_iters: int = 200,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(source, v, dist) — shortest-path distances from EVERY vertex in
+    ``sources`` (a list of ids or a single-column DataFrame) in ONE
+    relaxation loop: the Bellman-Ford state is keyed (source, v), so all
+    landmarks relax simultaneously against the same pinned edge table
+    instead of |S| sequential sssp() calls (|S| full loops -> one loop of
+    |S|-times-wider V-row state — the landmark-distance shape used for
+    graph sketches, closeness/harmonic approximation, and diameter lower
+    bounds). NULL dist = unreachable from that source. The broadcast gate
+    compares |S| x V (the actual state width); above it the relaxation
+    degrades to shuffled joins, still one E-row aggregation per round.
+    Same loud fixpoint contract as sssp."""
+    spark = edges.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("source")
+        ).distinct()
+    else:
+        ids = sorted({int(v) for v in sources})
+        if not ids:
+            raise ValueError("multi_source_sssp needs a non-empty source set")
+        src_df = spark.createDataFrame([(v,) for v in ids], "source long")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst", "w").repartition(nparts, "dst").persist()
+    verts = truncate_lineage(_all_vertices(e))
+    src_df = src_df.join(verts.select(F.col("v").alias("source")), "source", "left_semi")
+    ns = src_df.count()
+    if ns == 0:
+        e.unpersist()
+        raise ValueError("multi_source_sssp: no source vertex exists in the graph")
+    dist = truncate_lineage(
+        verts.crossJoin(F.broadcast(src_df)).select(
+            "source",
+            "v",
+            F.when(F.col("v") == F.col("source"), F.lit(0.0)).alias("dist"),
+        )
+    )
+    bcast = verts.count() * ns <= broadcast_threshold
+    bc = F.broadcast if bcast else (lambda df: df)
+    converged = False
+    for _ in range(max_iters):
+        relax = (
+            e.join(
+                bc(
+                    dist.where(F.col("dist").isNotNull()).select(
+                        "source", F.col("v").alias("src"), "dist"
+                    )
+                ),
+                "src",
+            )
+            .groupBy("source", F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        new_dist = truncate_lineage(
+            dist.join(bc(relax), ["source", "v"], "left").select(
+                "source", "v", F.least("dist", "nd").alias("dist")
+            )
+        )
+        changed = (
+            new_dist.withColumnRenamed("dist", "new")
+            .join(dist, ["source", "v"])
+            .where(~F.col("new").eqNullSafe(F.col("dist")))
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            converged = True
+            break
+    e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"multi_source_sssp: max_iters={max_iters} exhausted before the "
+            f"relaxation fixpoint — reachable negative cycle or a shortest "
+            f"path longer than {max_iters} edges; raise max_iters"
+        )
+    return dist
+
+
+def landmark_closeness(distances: DataFrame) -> DataFrame:
+    """(v, harmonic, n_reached) — harmonic-centrality estimate from a
+    ``multi_source_sssp`` landmark distance table: harmonic(v) =
+    sum over landmarks L != v of 1/d(L, v) (unreachable contributes 0 —
+    exactly the term that makes harmonic centrality well-defined on
+    disconnected graphs, where classic closeness is not). With landmarks
+    = all vertices this IS harmonic centrality; with a uniform landmark
+    sample it is the standard unbiased estimator (Eppstein-Wang 2004 for
+    the closeness analogue), scaled by |S| rather than n — rank order is
+    what survives sampling. Pure V-row aggregation, no new shuffle key:
+    the distance table is already grouped by (source, v)."""
+    return (
+        distances.where(
+            F.col("dist").isNotNull() & (F.col("source") != F.col("v"))
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(1.0 / F.col("dist")).alias("harmonic"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -463,3 +463,77 @@ def test_k_truss_incremental_matches_full_recompute(spark, karate):
             full = {(r["a"], r["b"])
                     for r in A.k_truss(edges, k, incremental=False).collect()}
             assert inc == full, (k, inc ^ full)
+
+
+def _hits_numpy(rows, verts, iters=2000):
+    """Dense NumPy HITS reference (networkx.hits needs scipy, absent in
+    this image): alternating power iteration, L2-normalized per half."""
+    idx = {v: i for i, v in enumerate(sorted(verts))}
+    M = np.zeros((len(idx), len(idx)))
+    for a, b, w in rows:
+        M[idx[a], idx[b]] += w
+    h = np.ones(len(idx)) / np.sqrt(len(idx))
+    for _ in range(iters):
+        a = M.T @ h
+        a = a / (np.linalg.norm(a) or 1.0)
+        h = M @ a
+        h = h / (np.linalg.norm(h) or 1.0)
+    return {v: h[i] for v, i in idx.items()}, {v: a[i] for v, i in idx.items()}
+
+
+def test_hits_matches_numpy_reference(spark, karate):
+    """Fixed-schedule HITS converges to the dense-matrix hub/auth vectors
+    on karate (symmetric: hub == auth == eigenvector direction); on a
+    DIRECTED two-level graph the halves genuinely differ and still match,
+    with pure sinks scoring zero hub and pure sources zero auth."""
+    # symmetric
+    got = {r["v"]: (r["hub"], r["auth"])
+           for r in A.hits(karate[0], max_iters=60).collect()}
+    rows = [(r["src"], r["dst"], r["w"]) for r in karate[0].collect()]
+    want_h, want_a = _hits_numpy(rows, {v for a, b, _ in rows for v in (a, b)})
+    for v in want_h:
+        assert abs(got[v][0] - want_h[v]) < 1e-6, v
+        assert abs(got[v][1] - want_a[v]) < 1e-6, v
+
+    # directed: sources are pure hubs, sinks pure authorities
+    rows = [(0, 10, 1.0), (0, 11, 1.0), (1, 10, 1.0), (1, 11, 1.0),
+            (2, 10, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["v"]: (r["hub"], r["auth"])
+           for r in A.hits(edges, max_iters=40).collect()}
+    want_h, want_a = _hits_numpy(rows, {v for a, b, _ in rows for v in (a, b)})
+    for v in want_h:
+        assert abs(got[v][0] - want_h[v]) < 1e-6, v
+        assert abs(got[v][1] - want_a[v]) < 1e-6, v
+    # sinks 10/11 have zero hub score; sources 0/1/2 zero auth
+    assert got[10][0] == 0.0 and got[0][1] == 0.0
+
+
+def test_multi_source_sssp_matches_per_source(spark, karate):
+    """One (source, v)-keyed relaxation loop == |S| independent sssp()
+    runs; landmark_closeness equals the hand-computed harmonic sum."""
+    srcs = [0, 5, 33]
+    ms = {(r["source"], r["v"]): r["dist"]
+          for r in A.multi_source_sssp(karate[0], srcs).collect()}
+    for s in srcs:
+        single = {r["v"]: r["dist"] for r in A.sssp(karate[0], source=s).collect()}
+        for v, d in single.items():
+            assert ms[(s, v)] == d, (s, v)
+    close = {r["v"]: (r["harmonic"], r["n_reached"])
+             for r in A.landmark_closeness(
+                 A.multi_source_sssp(karate[0], srcs)).collect()}
+    for v in {v for _, v in ms}:
+        terms = [1.0 / ms[(s, v)] for s in srcs
+                 if ms[(s, v)] is not None and s != v and ms[(s, v)] > 0]
+        if terms:
+            assert abs(close[v][0] - sum(terms)) < 1e-9, v
+            assert close[v][1] == len(terms), v
+        else:
+            assert v not in close
+
+
+def test_multi_source_sssp_missing_sources_raise(spark):
+    rows = [(0, 1, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    with pytest.raises(ValueError, match="source"):
+        A.multi_source_sssp(edges, [99, 100])
