@@ -261,6 +261,43 @@ def _q_transcript_closeness(spark, sf):
     )
 
 
+def _q_transcript_betweenness(spark, sf):
+    # 4-source sampled Brandes betweenness; forward BFS reaches depth 7 on
+    # this fixture (oracle unrolls 9 — surplus levels are empty no-ops).
+    # bc is a sum of hundreds of sigma-ratio terms whose float order
+    # differs per engine, so round to 4 dp (values up to ~1.2e3; the
+    # per-term divergence is ~1e-10, far inside the 1e-4 grid)
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.betweenness_sampled(
+        transcripts_to_edges(tr, strategy="dense"), sources=[0, 1, 2, 3]
+    )
+    return out.select("v", F.round("bc", 4).alias("bc"))
+
+
+def _q_edges_assortativity(spark, sf):
+    # Newman degree assortativity over the lineitem graph — exact
+    # decimal(38,0)/HUGEINT integer sums, one double division at the end,
+    # so the value is bit-identical across engines (9 dp belt-and-braces)
+    out = G.degree_assortativity(lineitem_edges(spark, sf))
+    return out.select("n_edges", F.round("assortativity", 9).alias("assortativity"))
+
+
+def _q_transcript_linkpred(spark, sf):
+    # Adamic-Adar / resource-allocation / preferential-attachment link
+    # prediction for distance-2 non-adjacent pairs with >= 2 common
+    # neighbors on the transcript actor graph. ln() may differ by 1 ulp
+    # between engines and aa sums hundreds of terms, so aa/ra round to
+    # 6 dp (diff ~1e-14 against a 1e-6 grid); common/pa are exact ints.
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.adamic_adar(transcripts_to_edges(tr, strategy="dense"), min_common=2)
+    return out.select(
+        "a", "b", "common",
+        F.round("aa", 6).alias("aa"),
+        F.round("ra", 6).alias("ra"),
+        "pa",
+    )
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -805,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
+        "transcript_betweenness": _q_transcript_betweenness,
+        "edges_assortativity": _q_edges_assortativity,
+        "transcript_linkpred": _q_transcript_linkpred,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
         "lpa_step": _q_lpa_step,
@@ -2203,6 +2243,115 @@ FROM allv LEFT JOIN per USING (v)"""
         + """
 SELECT v, ROUND(SUM(1.0/dist), 9) AS harmonic, COUNT(*)::BIGINT AS n_reached
 FROM m14 WHERE dist IS NOT NULL AND source != v GROUP BY v"""
+    )
+
+    # Degree assortativity: exact HUGEINT sums mirroring Spark's
+    # decimal(38,0), one double division — value-exact
+    sql["edges_assortativity"] = f"""{_E},
+half AS (SELECT src, dst FROM e WHERE src != dst),
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM half GROUP BY src),
+p AS (
+  SELECT d1.deg AS dx, d2.deg AS dy
+  FROM half JOIN deg d1 ON d1.v = half.src JOIN deg d2 ON d2.v = half.dst
+),
+s AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(dx::HUGEINT) AS sx, SUM(dy::HUGEINT) AS sy,
+         SUM(dx::HUGEINT * dx) AS sxx, SUM(dy::HUGEINT * dy) AS syy,
+         SUM(dx::HUGEINT * dy) AS sxy
+  FROM p
+)
+SELECT n::BIGINT AS n_edges,
+       ROUND(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+         THEN (n*sxy - sx*sy)::DOUBLE
+              / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+         ELSE 0.0 END, 9) AS assortativity
+FROM s"""
+
+    # Adamic-Adar link prediction: wedge enumeration through every shared
+    # neighbor, scored per non-adjacent canonical pair (a < b); ln/deg
+    # sums rounded at 6 dp (see the query fn), common/pa exact integers
+    sql["transcript_linkpred"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + """te2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src != dst),
+deg AS MATERIALIZED (SELECT src AS u, COUNT(*) AS deg FROM te2 GROUP BY src),
+adj AS MATERIALIZED (
+  SELECT te2.src AS u, te2.dst AS n, deg.deg FROM te2 JOIN deg ON deg.u = te2.src
+),
+pairs AS MATERIALIZED (
+  SELECT a.u, a.deg, a.n AS a, b.n AS b
+  FROM adj a JOIN adj b ON a.u = b.u WHERE a.n < b.n
+),
+scored AS MATERIALIZED (
+  SELECT a, b, COUNT(*)::BIGINT AS common,
+         SUM(1.0 / ln(deg)) AS aa, SUM(1.0 / deg) AS ra
+  FROM pairs GROUP BY a, b
+),
+nonadj AS MATERIALIZED (
+  SELECT s.* FROM scored s
+  WHERE s.common >= 2 AND NOT EXISTS (
+    SELECT 1 FROM te2 WHERE te2.src = s.a AND te2.dst = s.b)
+)
+SELECT n.a, n.b, n.common, ROUND(n.aa, 6) AS aa, ROUND(n.ra, 6) AS ra,
+       (da.deg::BIGINT * db.deg)::BIGINT AS pa
+FROM nonadj n JOIN deg da ON da.u = n.a JOIN deg db ON db.u = n.b"""
+    )
+
+    # Sampled-source Brandes betweenness: forward level-synchronous BFS
+    # with integer-exact sigma path counts (doubles < 2^53 — engine- and
+    # order-independent), then the backward dependency sweep in the same
+    # factored form Spark evaluates: delta_v = sigma_v * SUM((1+delta_w)/
+    # sigma_w) over BFS-DAG successors. 9 unrolled levels (depth 7
+    # measured; surplus levels empty). 4 dp rounding (see the query fn).
+    _bw_pre = [
+        "te2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src != dst)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+        "srcs AS MATERIALIZED (SELECT * FROM (VALUES (0),(1),(2),(3)) s(source))",
+        "l0 AS MATERIALIZED (SELECT source, source AS v, 1.0 AS sigma FROM srcs)",
+        "sp0 AS MATERIALIZED (SELECT source, v FROM l0)",
+    ]
+    _BW_DEPTH = 9
+    for _i in range(1, _BW_DEPTH + 1):
+        _bw_pre.append(f"""l{_i} AS MATERIALIZED (
+  SELECT c.source, c.v, c.sigma FROM (
+    SELECT l.source, te2.dst AS v, SUM(l.sigma) AS sigma
+    FROM te2 JOIN l{_i-1} l ON l.v = te2.src GROUP BY l.source, te2.dst
+  ) c WHERE NOT EXISTS (
+    SELECT 1 FROM sp{_i-1} s WHERE s.source = c.source AND s.v = c.v)
+)""")
+        _bw_pre.append(
+            f"sp{_i} AS MATERIALIZED (SELECT source, v FROM sp{_i-1} "
+            f"UNION ALL SELECT source, v FROM l{_i})"
+        )
+    _bw_pre.append(
+        f"d{_BW_DEPTH} AS MATERIALIZED "
+        f"(SELECT source, v, 0.0 AS delta FROM l{_BW_DEPTH})"
+    )
+    for _l in range(_BW_DEPTH - 1, -1, -1):
+        _bw_pre.append(f"""c{_l} AS MATERIALIZED (
+  SELECT s.source, te2.src AS v, SUM(s.t) AS srat
+  FROM te2 JOIN (
+    SELECT l.source, l.v, (1.0 + d.delta) / l.sigma AS t
+    FROM l{_l+1} l JOIN d{_l+1} d USING (source, v)
+  ) s ON s.v = te2.dst GROUP BY s.source, te2.src
+)""")
+        _bw_pre.append(f"""d{_l} AS MATERIALIZED (
+  SELECT l.source, l.v, l.sigma * COALESCE(c.srat, 0.0) AS delta
+  FROM l{_l} l LEFT JOIN c{_l} c USING (source, v)
+)""")
+    _bw_union = " UNION ALL ".join(
+        f"SELECT source, v, delta FROM d{_l}" for _l in range(_BW_DEPTH + 1)
+    )
+    sql["transcript_betweenness"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_bw_pre)
+        + f""",
+alldelta AS MATERIALIZED ({_bw_union}),
+per AS MATERIALIZED (
+  SELECT v, 0.5 * SUM(delta) AS bc FROM alldelta WHERE v != source GROUP BY v
+)
+SELECT verts.v, ROUND(COALESCE(per.bc, 0.0), 4) AS bc
+FROM verts LEFT JOIN per USING (v)"""
     )
 
     # edge-scoped Jaccard: same chain; common per edge = triangles through

@@ -655,6 +655,154 @@ def multi_source_sssp(
     return dist
 
 
+def betweenness_sampled(
+    edges: DataFrame,
+    sources,
+    max_depth: int = 50,
+    undirected: bool = True,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, bc) — betweenness centrality accumulated over the given source
+    set by Brandes' algorithm (2001) on the UNWEIGHTED (hop-count) graph:
+    a level-synchronous BFS per the whole source set at once counts
+    shortest paths (sigma), then a level-by-level backward sweep
+    accumulates the pair-dependency delta(v) = sum over BFS-DAG
+    successors w of sigma_v * (1 + delta_w) / sigma_w. With ``sources``
+    = all vertices this is exact betweenness; with a uniform sample it
+    is the standard unbiased estimator (Brandes-Pich 2007) — scale by
+    n/|S| if absolute values are needed; ranking survives sampling.
+
+    ``undirected=True`` (default) halves the accumulated score so
+    results on the canonical symmetric edge table match the undirected
+    convention (each unordered pair contributes once — what
+    networkx.betweenness_centrality(normalized=False) reports); pass
+    False for a genuinely directed input.
+
+    Scale shape: BFS state is (source, v, dist, sigma) keyed like
+    multi_source_sssp — |S| x reached rows; sigma is a DOUBLE holding an
+    exact integer (path counts are integer sums, exact in any engine /
+    any order while < 2^53, which is what makes the unrolled SQL oracle
+    value-exact). Each forward level is one E-row join + aggregation
+    against the frontier only; each backward level joins one level's
+    vertices with the next. 2 * eccentricity(S) rounds total. Raises if
+    ``max_depth`` is hit with the frontier still non-empty (a silently
+    truncated BFS would understate centrality)."""
+    spark = edges.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("source")
+        ).distinct()
+    else:
+        ids = sorted({int(v) for v in sources})
+        if not ids:
+            raise ValueError("betweenness_sampled needs a non-empty source set")
+        src_df = spark.createDataFrame([(v,) for v in ids], "source long")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    verts = truncate_lineage(_all_vertices(e))
+    src_df = src_df.join(
+        verts.select(F.col("v").alias("source")), "source", "left_semi"
+    )
+    ns = src_df.count()
+    if ns == 0:
+        e.unpersist()
+        raise ValueError("betweenness_sampled: no source vertex exists in the graph")
+    bcast = verts.count() * ns <= broadcast_threshold
+    bc_h = F.broadcast if bcast else (lambda df: df)
+
+    # forward: level-synchronous BFS with path counting
+    frontier = truncate_lineage(
+        src_df.select(
+            "source",
+            F.col("source").alias("v"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    levels = [frontier]
+    sp = frontier
+    depth = 0
+    while True:
+        depth += 1
+        if depth > max_depth:
+            e.unpersist()
+            raise RuntimeError(
+                f"betweenness_sampled: BFS frontier still non-empty at "
+                f"max_depth={max_depth}; raise max_depth (a truncated BFS "
+                f"understates centrality)"
+            )
+        cand = (
+            e.join(bc_h(frontier.select("source", F.col("v").alias("src"), "sigma")), "src")
+            .groupBy("source", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = truncate_lineage(
+            cand.join(bc_h(sp.select("source", "v")), ["source", "v"], "left_anti")
+            .select("source", "v", F.lit(depth).alias("dist"), "sigma")
+        )
+        if new.limit(1).count() == 0:
+            break
+        levels.append(new)
+        sp = truncate_lineage(sp.unionByName(new))
+        frontier = new
+    max_level = len(levels) - 1
+
+    # backward: delta(v) = sigma_v * sum over successors w of
+    # (1 + delta_w) / sigma_w — the same factored form the oracle replays
+    deltas = []
+    delta_next = None  # delta table for level l+1
+    for lvl in range(max_level, -1, -1):
+        cur = levels[lvl]
+        if delta_next is None:
+            delta_cur = truncate_lineage(
+                cur.select("source", "v", F.lit(0.0).alias("delta"))
+            )
+        else:
+            succ = levels[lvl + 1].join(bc_h(delta_next), ["source", "v"])
+            srat = (
+                e.join(
+                    bc_h(
+                        succ.select(
+                            "source",
+                            F.col("v").alias("dst"),
+                            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("t"),
+                        )
+                    ),
+                    "dst",
+                )
+                .groupBy("source", F.col("src").alias("v"))
+                .agg(F.sum("t").alias("srat"))
+            )
+            delta_cur = truncate_lineage(
+                cur.join(bc_h(srat), ["source", "v"], "left").select(
+                    "source",
+                    "v",
+                    (F.col("sigma") * F.coalesce("srat", F.lit(0.0))).alias("delta"),
+                )
+            )
+        deltas.append(delta_cur)
+        delta_next = delta_cur
+    e.unpersist()
+    from functools import reduce
+
+    all_delta = reduce(lambda a, b: a.unionByName(b), deltas)
+    per_v = (
+        all_delta.where(F.col("v") != F.col("source"))
+        .groupBy("v")
+        .agg(F.sum("delta").alias("bc"))
+    )
+    scale = 0.5 if undirected else 1.0
+    return verts.join(per_v, "v", "left").select(
+        "v", (F.lit(scale) * F.coalesce("bc", F.lit(0.0))).alias("bc")
+    )
+
+
 def landmark_closeness(distances: DataFrame) -> DataFrame:
     """(v, harmonic, n_reached) — harmonic-centrality estimate from a
     ``multi_source_sssp`` landmark distance table: harmonic(v) =
@@ -878,6 +1026,64 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
             (c / (F.col("da") + F.col("db") - c)).alias("jaccard"),
             (c / F.least("da", "db")).alias("overlap"),
             (2.0 * c / (F.col("da") + F.col("db"))).alias("sorensen"),
+        )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_wedge_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """(a, b, common, aa, ra, pa) — link-prediction scores for NON-ADJACENT
+    vertex pairs at distance 2 (the candidate set every classic predictor
+    ranks): common-neighbor count, Adamic-Adar sum(1/ln(deg(u))),
+    resource-allocation sum(1/deg(u)) over shared neighbors u, and
+    preferential attachment deg(a)*deg(b). Pairs are canonical a < b;
+    existing edges are anti-joined out; degrees exclude self-loops.
+
+    Scale note: distance-2 pair enumeration is inherently a wedge
+    explosion around hubs (deg(u)^2 pairs per shared neighbor u — unlike
+    the edge-scoped jaccard, which is bounded by |E|). ``max_wedge_degree``
+    caps it: wedges THROUGH vertices above the cap are skipped (the
+    standard approximation — a 10^6-degree hub contributes ~0 to AA/RA
+    anyway: 1/ln(10^6) per pair but 10^12 pairs of mostly-noise
+    candidates). Leave None only when the degree distribution is known
+    bounded. ``min_common`` prunes the long tail of weak candidates
+    map-side (common >= 2 quarters typical candidate volume).
+
+    PRECONDITION: canonical SYMMETRIC edge table (normalize_edges
+    output), like edge_jaccard/k_truss."""
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    deg = half.groupBy(F.col("src").alias("u")).agg(F.count(F.lit(1)).alias("deg"))
+    hub = deg if max_wedge_degree is None else deg.where(
+        F.col("deg") <= max_wedge_degree
+    )
+    # wedges through each (cap-surviving) center u: neighbor pairs x < y
+    adj = half.select(F.col("src").alias("u"), F.col("dst").alias("n")).join(
+        hub, "u"
+    )
+    pairs = (
+        adj.select("u", "deg", F.col("n").alias("a"))
+        .join(adj.select("u", F.col("n").alias("b")), "u")
+        .where(F.col("a") < F.col("b"))
+    )
+    scored = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.sum(1.0 / F.log("deg")).alias("aa"),
+        F.sum(1.0 / F.col("deg")).alias("ra"),
+    )
+    nonadj = scored.join(
+        half.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    ).where(F.col("common") >= min_common)
+    return (
+        nonadj.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a", "b", "common", "aa", "ra",
+            (F.col("da") * F.col("db")).cast("long").alias("pa"),
         )
     )
 

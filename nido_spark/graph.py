@@ -109,6 +109,53 @@ def salted_weighted_degree(edges: DataFrame, n_salts: int = 16) -> DataFrame:
     return partial.groupBy("v").agg(F.sum("pk").alias("k"))
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row (n_edges, assortativity) — the degree assortativity
+    coefficient (Newman 2002): Pearson correlation of (deg(src),
+    deg(dst)) over the directed rows of the symmetric table (each
+    undirected edge contributes both orientations, the standard
+    convention — networkx degree_assortativity_coefficient semantics).
+    Self-loops excluded from both the pair list and the degrees.
+
+    Rendered entirely as exact INTEGER sums (sum deg, sum deg^2, sum
+    dx*dy, n) combined in one closed-form ratio — the cross-engine
+    bit-stability recipe this repo uses everywhere (incremental
+    AVG/STDDEV kernels differ between engines; ratios of integer sums do
+    not). One degree aggregation + two broadcastable joins + one scalar
+    aggregate; no O(V^2) anything."""
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    deg = half.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    paired = half.join(
+        deg.select(F.col("v").alias("src"), F.col("deg").alias("dx")), "src"
+    ).join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dy")), "dst")
+    # decimal(38,0) sums: exact at 10^12 edges x 10^6 degrees (dx*dy sums
+    # reach ~1e24, and n*sxy ~1e36 — a long would ANSI-overflow; DuckDB's
+    # HUGEINT matches the 128-bit headroom, so the oracle is value-exact
+    # with ONE double rounding at the final division)
+    dec = "decimal(38,0)"
+    s = paired.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast(dec) * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dy")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias(
+            "assortativity"
+        ),
+    )
+
+
 def degree_histogram(edges: DataFrame, n_buckets: int = 32) -> DataFrame:
     """log2-bucketed degree histogram — the skew diagnostic used to decide
     salting / repartitioning. ``(bucket, n_vertices, max_deg_in_bucket)``."""

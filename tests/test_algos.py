@@ -537,3 +537,87 @@ def test_multi_source_sssp_missing_sources_raise(spark):
     edges = spark.createDataFrame(rows, "src long, dst long, w double")
     with pytest.raises(ValueError, match="source"):
         A.multi_source_sssp(edges, [99, 100])
+
+
+def test_betweenness_matches_networkx(spark, karate):
+    """All-sources Brandes on karate == networkx betweenness_centrality
+    (normalized=False); a sampled source set == the per-source Brandes
+    accumulation networkx computes via betweenness_centrality_subset over
+    all targets (x2 for the unordered-pair halving)."""
+    import networkx as nx
+
+    g = nx.Graph()
+    rows = karate[0].select("src", "dst").collect()
+    g.add_edges_from((r["src"], r["dst"]) for r in rows)
+
+    got = {r["v"]: r["bc"]
+           for r in A.betweenness_sampled(karate[0], sorted(g.nodes)).collect()}
+    want = nx.betweenness_centrality(g, normalized=False)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-7, (v, got[v], want[v])
+    # the two karate hubs dominate
+    top2 = sorted(got, key=got.get, reverse=True)[:2]
+    assert set(top2) == {0, 33}
+
+    srcs = [0, 5, 33]
+    got_s = {r["v"]: r["bc"]
+             for r in A.betweenness_sampled(karate[0], srcs).collect()}
+    want_s = nx.betweenness_centrality_subset(
+        g, sources=srcs, targets=list(g.nodes), normalized=False
+    )
+    for v in want_s:
+        assert abs(got_s[v] - want_s[v]) < 1e-7, (v, got_s[v], want_s[v])
+
+
+def test_betweenness_path_graph_exact(spark):
+    """Path 0-1-2-3-4: interior vertices carry the classic n-1-choose
+    pair counts (undirected, all sources): bc(2)=4, bc(1)=bc(3)=3."""
+    rows = [(i, i + 1, 1.0) for i in range(4)]
+    sym = rows + [(b, a, w) for a, b, w in rows]
+    edges = spark.createDataFrame(sym, "src long, dst long, w double")
+    got = {r["v"]: r["bc"]
+           for r in A.betweenness_sampled(edges, [0, 1, 2, 3, 4]).collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+
+
+def test_adamic_adar_matches_networkx(spark, karate):
+    """Distance-2 non-adjacent candidate scores == networkx
+    adamic_adar_index / resource_allocation_index /
+    preferential_attachment on the same pair set; the wedge-degree cap
+    drops exactly the pairs whose ONLY witnesses are capped hubs."""
+    import math
+
+    import networkx as nx
+
+    g = nx.Graph()
+    rows = karate[0].select("src", "dst").collect()
+    g.add_edges_from((r["src"], r["dst"]) for r in rows if r["src"] != r["dst"])
+    got = {(r["a"], r["b"]): r for r in A.adamic_adar(karate[0]).collect()}
+    want_pairs = {
+        (min(x, y), max(x, y))
+        for x in g.nodes for y in g.nodes
+        if x < y and not g.has_edge(x, y) and len(set(g[x]) & set(g[y])) >= 1
+    }
+    assert set(got) == want_pairs
+    for a, b, aa in nx.adamic_adar_index(g, sorted(want_pairs)):
+        assert abs(got[(a, b)]["aa"] - aa) < 1e-9, (a, b)
+    for a, b, ra in nx.resource_allocation_index(g, sorted(want_pairs)):
+        assert abs(got[(a, b)]["ra"] - ra) < 1e-9, (a, b)
+    for a, b, pa in nx.preferential_attachment(g, sorted(want_pairs)):
+        assert got[(a, b)]["pa"] == pa, (a, b)
+    for (a, b), r in got.items():
+        assert r["common"] == len(set(g[a]) & set(g[b]))
+
+    capped = {(r["a"], r["b"]): r
+              for r in A.adamic_adar(karate[0], max_wedge_degree=10).collect()}
+    hubs = {v for v in g.nodes if g.degree(v) > 10}
+    expect = {
+        (x, y) for (x, y) in want_pairs
+        if any(u not in hubs for u in set(g[x]) & set(g[y]))
+    }
+    assert set(capped) == expect
+    for (a, b), r in capped.items():
+        want_aa = sum(1.0 / math.log(g.degree(u))
+                      for u in set(g[a]) & set(g[b]) if u not in hubs)
+        assert abs(r["aa"] - want_aa) < 1e-9, (a, b)

@@ -221,3 +221,22 @@ def test_sink_format_honored(spark, tmp_path):
     with pytest.raises(Exception):
         # no iceberg runtime in this image: must raise, not fall back
         write_labels(lab, str(tmp_path / "lbl_ice"), sink_format="iceberg")
+
+
+def test_degree_assortativity_matches_networkx(spark, karate):
+    """Exact-integer-sum Pearson over (deg_src, deg_dst) pairs ==
+    networkx degree_assortativity_coefficient on karate and a random
+    graph (karate is famously disassortative, ~-0.4756)."""
+    import networkx as nx
+
+    from nido_spark.graph import degree_assortativity
+    from nido_spark.io import ba_random_edges
+
+    for edges in (karate[0], ba_random_edges(spark, 200, m0=3, seed=5)):
+        row = degree_assortativity(edges).first()
+        g = nx.Graph()
+        rows = edges.select("src", "dst").collect()
+        g.add_edges_from((r["src"], r["dst"]) for r in rows if r["src"] != r["dst"])
+        want = nx.degree_assortativity_coefficient(g)
+        assert abs(row["assortativity"] - want) < 1e-9, (row, want)
+        assert row["n_edges"] == 2 * g.number_of_edges()
