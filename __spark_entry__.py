@@ -298,6 +298,32 @@ def _q_transcript_linkpred(spark, sf):
     )
 
 
+def _q_transcript_walks(spark, sf):
+    # deterministic DeepWalk-style corpus: 5-step walks from actors 0-15;
+    # the oracle replays the shared affine mix in HUGEINT with the same
+    # positive-mod (start, cur, dst) fold and (rank, dst) argmin —
+    # engine-for-engine identical paths, no rand() anywhere
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = G.random_walks(
+        transcripts_to_edges(tr, strategy="dense"), starts=list(range(16)),
+        length=5, seed=42,
+    )
+    return out.select("start", "step", "v")
+
+
+def _q_doc_line_dedup(spark, sf):
+    # C4-style corpus-wide line dedup: md5 byte parity of the rewritten
+    # text. Spark groups on a 128-bit line hash, the oracle on the line
+    # text itself — identical output absent a 2^-128 collision (the same
+    # exhaustive-vs-sketch oracle pattern as minhash_near_dups).
+    out = X.line_dedup(_docs(spark, sf))
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -844,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_closeness": _q_transcript_closeness,
         "transcript_betweenness": _q_transcript_betweenness,
         "edges_assortativity": _q_edges_assortativity,
+        "transcript_walks": _q_transcript_walks,
+        "doc_line_dedup": _q_doc_line_dedup,
         "transcript_linkpred": _q_transcript_linkpred,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
@@ -2296,6 +2324,86 @@ SELECT n.a, n.b, n.common, ROUND(n.aa, 6) AS aa, ROUND(n.ra, 6) AS ra,
        (da.deg::BIGINT * db.deg)::BIGINT AS pa
 FROM nonadj n JOIN deg da ON da.u = n.a JOIN deg db ON db.u = n.b"""
     )
+
+    # Random walks: HUGEINT replay of the shared affine mix over the
+    # positive-mod (start, cur, dst) fold, per-step seed 42 + 1000003*i,
+    # argmin by (rank, dst) — the same engine-portability contract (and
+    # SQL rendering) as edges_neighbor_sample
+    sql["transcript_walks"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + """te2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM te),
+w0 AS MATERIALIZED (SELECT t.range AS start, t.range AS v FROM range(0,16) t WHERE EXISTS (SELECT 1 FROM te2 WHERE te2.src = t.range OR te2.dst = t.range)),
+w1 AS MATERIALIZED (
+  SELECT r.start, r.dst AS v FROM (
+    SELECT w.start, te2.dst,
+           ROW_NUMBER() OVER (PARTITION BY w.start ORDER BY ((48271 * (((1103515245::HUGEINT * ((((((w.start) % 1048576 + 1048576) % 1048576) * 1048576 + (((w.v) % 1048576 + 1048576) % 1048576)) * 1048576::HUGEINT + (((te2.dst) % 1048576 + 1048576) % 1048576)) + 1000045) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, te2.dst ASC) AS rn
+    FROM w0 w JOIN te2 ON te2.src = w.v
+  ) r WHERE r.rn = 1
+),
+w2 AS MATERIALIZED (
+  SELECT r.start, r.dst AS v FROM (
+    SELECT w.start, te2.dst,
+           ROW_NUMBER() OVER (PARTITION BY w.start ORDER BY ((48271 * (((1103515245::HUGEINT * ((((((w.start) % 1048576 + 1048576) % 1048576) * 1048576 + (((w.v) % 1048576 + 1048576) % 1048576)) * 1048576::HUGEINT + (((te2.dst) % 1048576 + 1048576) % 1048576)) + 2000048) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, te2.dst ASC) AS rn
+    FROM w1 w JOIN te2 ON te2.src = w.v
+  ) r WHERE r.rn = 1
+),
+w3 AS MATERIALIZED (
+  SELECT r.start, r.dst AS v FROM (
+    SELECT w.start, te2.dst,
+           ROW_NUMBER() OVER (PARTITION BY w.start ORDER BY ((48271 * (((1103515245::HUGEINT * ((((((w.start) % 1048576 + 1048576) % 1048576) * 1048576 + (((w.v) % 1048576 + 1048576) % 1048576)) * 1048576::HUGEINT + (((te2.dst) % 1048576 + 1048576) % 1048576)) + 3000051) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, te2.dst ASC) AS rn
+    FROM w2 w JOIN te2 ON te2.src = w.v
+  ) r WHERE r.rn = 1
+),
+w4 AS MATERIALIZED (
+  SELECT r.start, r.dst AS v FROM (
+    SELECT w.start, te2.dst,
+           ROW_NUMBER() OVER (PARTITION BY w.start ORDER BY ((48271 * (((1103515245::HUGEINT * ((((((w.start) % 1048576 + 1048576) % 1048576) * 1048576 + (((w.v) % 1048576 + 1048576) % 1048576)) * 1048576::HUGEINT + (((te2.dst) % 1048576 + 1048576) % 1048576)) + 4000054) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, te2.dst ASC) AS rn
+    FROM w3 w JOIN te2 ON te2.src = w.v
+  ) r WHERE r.rn = 1
+),
+w5 AS MATERIALIZED (
+  SELECT r.start, r.dst AS v FROM (
+    SELECT w.start, te2.dst,
+           ROW_NUMBER() OVER (PARTITION BY w.start ORDER BY ((48271 * (((1103515245::HUGEINT * ((((((w.start) % 1048576 + 1048576) % 1048576) * 1048576 + (((w.v) % 1048576 + 1048576) % 1048576)) * 1048576::HUGEINT + (((te2.dst) % 1048576 + 1048576) % 1048576)) + 5000057) + 12345) % 2305843009213693951) % 1073741824) + 11213) % 2147483647) ASC, te2.dst ASC) AS rn
+    FROM w4 w JOIN te2 ON te2.src = w.v
+  ) r WHERE r.rn = 1
+)
+SELECT start, 0 AS step, v FROM w0 UNION ALL SELECT start, 1 AS step, v FROM w1 UNION ALL SELECT start, 2 AS step, v FROM w2 UNION ALL SELECT start, 3 AS step, v FROM w3 UNION ALL SELECT start, 4 AS step, v FROM w4 UNION ALL SELECT start, 5 AS step, v FROM w5"""
+    )
+
+    # C4-style line dedup: window rn/cnt over the line TEXT (the
+    # collision-free rendering of Spark's 128-bit line-hash groupBy),
+    # canonical occurrence = smallest (doc_id, idx); string_agg rebuild
+    sql["doc_line_dedup"] = """
+WITH la AS MATERIALIZED (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+),
+lines AS MATERIALIZED (
+  SELECT doc_id, UNNEST(arr) AS line, UNNEST(range(len(arr))) AS idx FROM la
+),
+dd AS MATERIALIZED (
+  SELECT doc_id, idx, line FROM lines WHERE length(line) >= 1
+),
+marked AS MATERIALIZED (
+  SELECT doc_id, idx,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn,
+         COUNT(*) OVER (PARTITION BY line) AS cnt
+  FROM dd
+),
+dropped AS MATERIALIZED (
+  SELECT doc_id, idx FROM marked WHERE cnt > 1 AND rn > 1
+),
+rebuilt AS MATERIALIZED (
+  SELECT l.doc_id,
+         COALESCE(string_agg(l.line, chr(10) ORDER BY l.idx), '') AS clean_text
+  FROM lines l LEFT JOIN dropped d ON l.doc_id = d.doc_id AND l.idx = d.idx
+  WHERE d.doc_id IS NULL
+  GROUP BY l.doc_id
+)
+SELECT documents.doc_id,
+       length(COALESCE(r.clean_text, ''))::BIGINT AS n_chars_clean,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM documents LEFT JOIN rebuilt r USING (doc_id)"""
 
     # Sampled-source Brandes betweenness: forward level-synchronous BFS
     # with integer-exact sigma path counts (doubles < 2^53 — engine- and

@@ -116,6 +116,7 @@ def pagerank(
     tol: float = 1e-9,
     checkpoint_every: int = 1,
     broadcast_threshold: int = 8_000_000,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank to tolerance/iteration cap; returns (v, r).
 
@@ -126,12 +127,30 @@ def pagerank(
     exactly one V-row join + one E-row aggregation; at or below
     ``broadcast_threshold`` vertices the ranks are statically broadcast
     over the dst-pinned folded edges and the round runs with zero E-row
-    exchanges (above it, huge-V clusters fall back to AQE-planned joins)."""
+    exchanges (above it, huge-V clusters fall back to AQE-planned joins).
+
+    ``init_ranks``: warm start from a previous (v, r) result — the
+    incremental-deployment path (streaming.IncrementalEdgeStore folds new
+    edges, a scheduled job re-ranks): near a fixpoint the delta loop
+    converges in a few iterations instead of the full schedule. Vertices
+    absent from ``init_ranks`` (new since the last run) start at the mass
+    they would have gotten from a uniform init (1/n); the vector is then
+    L1-renormalized so the power iteration starts on the simplex (PageRank
+    converges from ANY simplex start, so warm-start changes iteration
+    count, never the fixpoint — test-pinned)."""
     verts = truncate_lineage(_pagerank_vertices(edges))
     n = verts.count()
     if n == 0:
         return verts.select("v", F.lit(0.0).alias("r"))
-    ranks = truncate_lineage(verts.select("v", F.lit(1.0 / n).alias("r")))
+    if init_ranks is not None:
+        raw = verts.join(
+            init_ranks.select("v", F.col("r").alias("r0")), "v", "left"
+        ).select("v", F.coalesce("r0", F.lit(1.0 / n)).alias("r"))
+        raw = truncate_lineage(raw)
+        tot = raw.agg(F.sum("r").alias("s")).first()["s"] or 1.0
+        ranks = truncate_lineage(raw.select("v", (F.col("r") / F.lit(tot)).alias("r")))
+    else:
+        ranks = truncate_lineage(verts.select("v", F.lit(1.0 / n).alias("r")))
     dangling_vs = verts.where(F.col("k") <= 0).select("v")
     has_dangling = dangling_vs.limit(1).count() > 0
     # fold the loop-invariant out-fraction into the edge table once, pinned

@@ -198,6 +198,82 @@ def validate_edges(edges: DataFrame) -> dict:
     }
 
 
+def random_walks(
+    edges: DataFrame,
+    starts,
+    length: int,
+    seed: int = 42,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(start, step, v) — one deterministic random walk of ``length``
+    steps from every vertex in ``starts`` (list of ids or single-column
+    DataFrame): the DeepWalk/node2vec corpus-generation step of a graph-
+    embedding pipeline, made reproducible across engines, partitionings
+    and retries by replacing rand() with the engine's shared seeded
+    affine mix (pipeline._bucket_col — the same portable hash
+    neighbor_sample ranks with). At each step the walker at vertex v
+    moves to the out-neighbor minimizing the mix of a (start, v, dst)
+    fold with a per-step seed — walkers from different starts decorrelate
+    via the start term, successive visits to the same vertex via the step
+    term. A walker at a vertex with no out-neighbors stops (its walk
+    simply has fewer rows); step 0 is the start itself.
+
+    Scale shape: one E-row join + per-walker argmin per step — state is
+    |starts| rows, broadcast-joined against the pinned edge table; walk
+    corpora for embedding training run millions of starts, which is
+    still V-row-bounded state (broadcast below ``broadcast_threshold``
+    walkers, shuffled hash join above). No rand(), no sampling
+    shuffle."""
+    from nido_spark.pipeline import _bucket_col
+
+    spark = edges.sparkSession
+    if isinstance(starts, DataFrame):
+        st = starts.select(F.col(starts.columns[0]).cast("long").alias("start")).distinct()
+    else:
+        ids = sorted({int(v) for v in starts})
+        if not ids:
+            raise ValueError("random_walks needs a non-empty start set")
+        st = spark.createDataFrame([(v,) for v in ids], "start long")
+    from nido_spark.plans import truncate_lineage
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").distinct().repartition(nparts, "src").persist()
+    verts = e.select(F.col("src").alias("start")).distinct()
+    st = st.join(verts, "start", "left_semi")
+    cur = truncate_lineage(st.select("start", F.col("start").alias("v")))
+    bc = F.broadcast if st.count() <= broadcast_threshold else (lambda df: df)
+    out = [cur.select("start", F.lit(0).alias("step"), "v")]
+    M20 = 1 << 20
+    for step in range(1, length + 1):
+        cand = e.join(bc(cur.select("start", F.col("v").alias("src"))), "src")
+        # (start, src, dst) folded into < 2^60 (positive 20-bit fields) so
+        # the shared mix stays ANSI-safe; per-step seed decorrelates
+        # revisits. The fold is a hash, not injective beyond 2^20 ids —
+        # all the argmin needs (ties break on dst asc).
+        key = (
+            (
+                F.pmod(F.col("start"), F.lit(M20)) * M20
+                + F.pmod(F.col("src"), F.lit(M20))
+            )
+            * M20
+            + F.pmod(F.col("dst"), F.lit(M20))
+        )
+        ranked = cand.withColumn(
+            "_rk", _bucket_col(key, seed + 1_000_003 * step)
+        )
+        nxt = ranked.groupBy("start").agg(
+            F.min(F.struct("_rk", "dst")).alias("m")
+        ).select("start", F.col("m.dst").alias("v"))
+        cur = truncate_lineage(nxt)
+        if cur.limit(1).count() == 0:
+            break
+        out.append(cur.select("start", F.lit(step).alias("step"), "v"))
+    e.unpersist()
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
 def neighbor_sample(
     edges: DataFrame, fanout: int, seed: int = 42
 ) -> DataFrame:

@@ -621,3 +621,24 @@ def test_adamic_adar_matches_networkx(spark, karate):
         want_aa = sum(1.0 / math.log(g.degree(u))
                       for u in set(g[a]) & set(g[b]) if u not in hubs)
         assert abs(r["aa"] - want_aa) < 1e-9, (a, b)
+
+
+def test_pagerank_warm_start_same_fixpoint_fewer_iters(karate):
+    """init_ranks warm start converges to the same fixpoint (1e-9) —
+    and from the converged vector itself, ONE delta check suffices; new
+    vertices absent from the init get uniform mass and renormalization
+    keeps the simplex invariant."""
+    edges, _ = karate
+    cold = A.pagerank(edges, max_iters=100, tol=1e-12)
+    warm = A.pagerank(edges, max_iters=100, tol=1e-12, init_ranks=cold)
+    c = {r["v"]: r["r"] for r in cold.collect()}
+    w = {r["v"]: r["r"] for r in warm.collect()}
+    assert set(c) == set(w)
+    for v in c:
+        assert abs(c[v] - w[v]) < 1e-9, v
+    # partial init (half the vertices) still reaches the same fixpoint
+    part = cold.where(F.col("v") % 2 == 0)
+    warm2 = {r["v"]: r["r"] for r in A.pagerank(
+        edges, max_iters=100, tol=1e-12, init_ranks=part).collect()}
+    for v in c:
+        assert abs(c[v] - warm2[v]) < 1e-8, v

@@ -240,3 +240,62 @@ def test_degree_assortativity_matches_networkx(spark, karate):
         want = nx.degree_assortativity_coefficient(g)
         assert abs(row["assortativity"] - want) < 1e-9, (row, want)
         assert row["n_edges"] == 2 * g.number_of_edges()
+
+
+def _bucket_py(x: int, seed: int) -> int:
+    """Python-integer replay of pipeline._bucket_col (exact arithmetic)."""
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+    )
+
+    xx = (x % _SAMPLE_P) + seed
+    r1 = (_SAMPLE_A1 * xx + _SAMPLE_B1) % _SAMPLE_P
+    return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+
+def test_random_walks_deterministic_and_replayable(spark, karate):
+    """Walks are (1) valid paths over the edge set, (2) bit-identical
+    across repartitionings, (3) seed-sensitive, and (4) EXACTLY replayed
+    by a pure-Python argmin over the same affine mix — the engine-
+    portability contract shared with neighbor_sample."""
+    from nido_spark.graph import random_walks
+
+    edges = karate[0]
+    starts = [0, 5, 11, 33]
+    walks = random_walks(edges, starts, length=6, seed=9).collect()
+    got = {}
+    for r in walks:
+        got.setdefault(r["start"], {})[r["step"]] = r["v"]
+    assert set(got) == set(starts)
+    adj = {}
+    for r in edges.select("src", "dst").collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    M20 = 1 << 20
+    for s in starts:
+        path = [got[s][i] for i in range(7)]
+        assert path[0] == s
+        cur = s
+        for step in range(1, 7):
+            # python replay of the per-step argmin
+            key = lambda d: ((s % M20) * M20 + (cur % M20)) * M20 + (d % M20)
+            want = min(adj[cur], key=lambda d: (_bucket_py(key(d), 9 + 1_000_003 * step), d))
+            assert path[step] == want, (s, step)
+            assert path[step] in adj[cur]
+            cur = path[step]
+
+    reparted = random_walks(edges.repartition(13), starts, length=6, seed=9).collect()
+    assert sorted(map(tuple, reparted)) == sorted(map(tuple, walks))
+    other = random_walks(edges, starts, length=6, seed=10).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, walks))
+
+
+def test_random_walks_dead_end_stops(spark):
+    """A walker with no out-neighbor stops early: directed chain 0->1->2
+    gives start 0 steps 0,1,2 then nothing."""
+    from nido_spark.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, w double"
+    )
+    rows = random_walks(edges, [0], length=5, seed=1).collect()
+    assert {(r["step"], r["v"]) for r in rows} == {(0, 0), (1, 1), (2, 2)}

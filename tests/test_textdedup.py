@@ -636,3 +636,30 @@ def test_ivf_precomputed_centroids_match_inline_training(emb):
     assert a == b
     with pytest.raises(ValueError, match="n_lists"):
         S.ivf_ann_topk(emb, emb.limit(3), n_lists=4, centroids=cents)
+
+
+def test_line_dedup_c4_semantics(spark):
+    """Corpus-wide line dedup: duplicate lines keep only the globally
+    smallest (doc_id, line_idx) occurrence; unique and blank lines pass
+    through; order and trailing newlines preserved; a doc can dedup
+    against ITSELF (repeated boilerplate)."""
+    rows = [
+        (1, "keep me\nSHARED\nunique one"),
+        (2, "SHARED\nunique two\n\nSHARED"),
+        (3, "unique three\nSHARED\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in X.line_dedup(docs).collect()}
+    # doc 1 holds the canonical SHARED (smallest doc_id)
+    assert got[1] == "keep me\nSHARED\nunique one"
+    # doc 2 loses both SHARED occurrences (cross-doc AND within-doc),
+    # blank separator line survives
+    assert got[2] == "unique two\n"
+    # doc 3 loses SHARED, keeps its trailing empty line
+    assert got[3] == "unique three\n"
+    # doc made entirely of duplicates collapses to empty
+    docs2 = spark.createDataFrame(
+        [(1, "A\nB"), (2, "A\nB")], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r["clean_text"] for r in X.line_dedup(docs2).collect()}
+    assert got2 == {1: "A\nB", 2: ""}
