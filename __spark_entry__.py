@@ -324,6 +324,19 @@ def _q_doc_line_dedup(spark, sf):
     )
 
 
+def _q_emb_kmeans(spark, sf):
+    # FULLY DISTRIBUTED Lloyd k-means (no driver training collect): the
+    # oracle replays the exact schedule in NumPy (same init rank, argmin
+    # tie-break, per-round 6 dp centroid rounding — the rounding is what
+    # pins the trajectory across summation orders) and embeds the FINAL
+    # centroids as literals; sqdist folds are the same sequential
+    # left-fold both engines evaluate bit-for-bit (ann_ivf precedent)
+    emb = _emb(spark, sf)
+    cents = S.kmeans_fit(emb, k=8, iters=5, seed=42)
+    out = S.kmeans_assign(emb, cents)
+    return out.select("id", "cid", F.round("sqdist", 6).alias("sqdist"))
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -872,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_assortativity": _q_edges_assortativity,
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
+        "emb_kmeans": _q_emb_kmeans,
         "transcript_linkpred": _q_transcript_linkpred,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
@@ -1189,6 +1203,47 @@ def _karate_k_truss_values_sql(k: int = 4) -> str:
     return (
         f"SELECT a::BIGINT AS a, b::BIGINT AS b FROM (VALUES {vals}) AS t(a, b)"
     )
+
+
+def _emb_kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Exact mirror of similarity.kmeans_fit + kmeans_assign: the NumPy
+    replay of the distributed schedule (kmeans_schedule_numpy) yields the
+    FINAL rounded centroids, embedded as DOUBLE[] literals; assignment is
+    the same sequential-fold squared-L2 with (d, cid) tie-break."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from nido_spark.similarity import kmeans_schedule_numpy
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = list(pdf["vec_id"])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C, _ = kmeans_schedule_numpy(ids, X, k=k, iters=iters, seed=42)
+    cent_rows = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in C[j])}]::DOUBLE[])"
+        for j in range(k)
+    )
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> (ev.v[i] - cent.c[i]) * (ev.v[i] - cent.c[i])), (a, x) -> a + x)"
+    )
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(j, c) AS (VALUES {cent_rows}),
+ad AS (SELECT ev.vec_id, cent.j, {sq} AS d FROM ev CROSS JOIN cent),
+best AS (
+  SELECT vec_id, j, d FROM (
+    SELECT vec_id, j, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
+    FROM ad) WHERE rn = 1)
+SELECT vec_id AS id, j AS cid, ROUND(d, 6) AS sqdist FROM best"""
 
 
 def _ivf_ann_sql(k: int = 5, n_lists: int = 8, n_probe: int = 3, dim: int = 64) -> str:
@@ -2080,6 +2135,7 @@ WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
     sql["louvain_full"] = _louvain_full_values_sql()
     sql["simhash_near_pairs"] = _simhash_near_pairs_sql(max_dist=3)
     sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
+    sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
     sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)
     sql["luby_coloring"] = _luby_coloring_sql(rounds=8, seed=42)

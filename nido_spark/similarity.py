@@ -211,6 +211,188 @@ def lsh_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(cid, centroid, n_members) — FULLY DISTRIBUTED Lloyd k-means: no
+    driver-side training collect at all (the scale path past
+    train_ivf_centroids' bounded-sample driver trainer — at 10^10
+    vectors even the sample cap bites; here only the k x dim centroid
+    table ever leaves the executors).
+
+    Deterministic contract (what makes the oracle replay possible):
+    - init = the k vectors with the smallest seeded affine-mix rank of
+      their id (pipeline._bucket_col — the engine's shared portable
+      hash), ties by id; a deterministic pseudo-random spread, no rand().
+    - assignment = argmin squared-L2 with ties to the smallest cid
+      (min over (dist, cid) structs).
+    - update = per-dimension SUM/COUNT then divide, ROUNDED to
+      ``round_dp`` decimals; empty clusters keep their previous
+      centroid. The rounding pins each round's centroid table to exact
+      decimal values, so engine/order float-sum differences (~1e-12)
+      cannot compound across rounds — a NumPy or SQL replay of the same
+      schedule reproduces the trajectory exactly unless a vector sits
+      within the sum-error of a Voronoi boundary (measure-~1e-6 per
+      component; validated on the fixtures).
+
+    Each round: one broadcast of k centroids, one (n x k) distance scan
+    (crossJoin against the broadcast centroid table — k rows per vector,
+    Catalyst-codegen zip_with fold), one argmin aggregation, one
+    explode-by-dimension partial aggregation (dim x k result rows). No
+    V-row table is ever collected."""
+    spark = vectors.sparkSession
+    from nido_spark.pipeline import _bucket_col
+    from nido_spark.plans import truncate_lineage
+
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    init = (
+        v.withColumn("_rk", _bucket_col(F.col("_id"), seed))
+        .orderBy("_rk", "_id")
+        .limit(k)
+        .orderBy("_id")
+    )
+    cents = truncate_lineage(
+        init.select(
+            (F.row_number().over(Window.orderBy("_id")) - 1).alias("cid"),
+            F.transform(
+                "_vec", lambda x: F.round(x.cast("double"), round_dp)
+            ).alias("centroid"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("_vec"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .select("_id", "_vec", "cid", sqd.alias("_d"))
+            .groupBy("_id")
+            .agg(
+                F.min(F.struct("_d", "cid")).alias("m"),
+                F.first("_vec").alias("_vec"),
+            )
+            .select("_id", F.col("m.cid").alias("cid"), "_vec")
+        )
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("_vec").alias("_dim", "_x")
+            )
+            .groupBy("cid", "_dim")
+            .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_dim", (F.col("_s") / F.col("_n")).alias("_m")))
+                ).alias("dims"),
+                F.first("_n").alias("n_members"),
+            )
+            .select(
+                "cid",
+                F.transform("dims", lambda s: F.round(s["_m"], round_dp)).alias(
+                    "centroid"
+                ),
+                "n_members",
+            )
+        )
+        cents = truncate_lineage(
+            cents.select("cid", "centroid")
+            .join(
+                sums.select(
+                    "cid",
+                    F.col("centroid").alias("_new"),
+                    F.col("n_members").alias("_nm"),
+                ),
+                "cid",
+                "left",
+            )
+            .select(
+                "cid",
+                F.coalesce("_new", "centroid").alias("centroid"),
+                F.coalesce("_nm", F.lit(0)).alias("n_members"),
+            )
+        )
+    return cents
+
+
+def kmeans_schedule_numpy(ids, X, k, iters=10, seed=42, round_dp=6):
+    """NumPy replay of kmeans_fit's EXACT distributed schedule (init by
+    the portable affine-mix rank of the id, argmin ties to the smallest
+    cid, per-round mean rounded to ``round_dp``, empty clusters keep
+    their centroid) — the host oracle that pins the distributed trainer,
+    same role oracle.py's schedules play for Louvain/PageRank. Returns
+    (C, assign): the final rounded centroids and per-row cids."""
+    import numpy as np
+
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+    )
+
+    def mix(x: int) -> int:
+        xx = (int(x) % _SAMPLE_P) + seed
+        r1 = (_SAMPLE_A1 * xx + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    ids = list(ids)
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    order = sorted(range(len(ids)), key=lambda i: (mix(ids[i]), ids[i]))[:k]
+    order = sorted(order, key=lambda i: ids[i])  # cid = id ascending
+    C = np.round(X[order].copy(), round_dp)
+    assign = None
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first-match tie == smallest cid
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = np.round(X[m].sum(axis=0) / m.sum(), round_dp)
+    return C, assign
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, sqdist) — assign each vector to its nearest centroid
+    from a ``kmeans_fit`` output (ties to the smallest cid). One
+    broadcast + one scan; the inverted-list layout for IVF at rest."""
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids.select("cid", "centroid")))
+        .select(
+            F.col(id_col).alias("id"), "cid", sqd.alias("_d")
+        )
+        .groupBy("id")
+        .agg(F.min(F.struct("_d", "cid")).alias("m"))
+        .select(
+            "id", F.col("m.cid").alias("cid"), F.col("m._d").alias("sqdist")
+        )
+    )
+
+
 def _kmeans_numpy(X, k: int, seed: int = 42, iters: int = 20):
     """Deterministic seeded Lloyd k-means in double precision — the coarse
     quantizer trainer. Runs on the DRIVER over a bounded sample (the

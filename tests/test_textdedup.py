@@ -663,3 +663,29 @@ def test_line_dedup_c4_semantics(spark):
     )
     got2 = {r["doc_id"]: r["clean_text"] for r in X.line_dedup(docs2).collect()}
     assert got2 == {1: "A\nB", 2: ""}
+
+
+def test_kmeans_fit_matches_numpy_schedule(emb):
+    """Distributed Lloyd == the NumPy replay of the exact schedule:
+    identical rounded centroids every round and identical assignments
+    (the per-round 6 dp centroid rounding is what pins the trajectory
+    across engines/summation orders)."""
+    import numpy as np
+
+    cents = S.kmeans_fit(emb, k=6, iters=4, seed=42)
+    got = {r["cid"]: (list(r["centroid"]), r["n_members"])
+           for r in cents.collect()}
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = list(pdf["vec_id"])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C, assign = S.kmeans_schedule_numpy(ids, X, k=6, iters=4, seed=42)
+    assert set(got) == set(range(6))
+    for j in range(6):
+        assert got[j][0] == [round(float(x), 6) for x in C[j]], j
+        assert got[j][1] == int((assign == j).sum()), j
+    # assignment operator agrees row-for-row (argmin under the FINAL
+    # centroids — one step past the loop's last pre-update assignment)
+    final = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    arows = {r["id"]: r["cid"] for r in S.kmeans_assign(emb, cents).collect()}
+    for i, vid in enumerate(ids):
+        assert arows[vid] == int(final[i]), vid
