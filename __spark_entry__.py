@@ -337,6 +337,19 @@ def _q_emb_kmeans(spark, sf):
     return out.select("id", "cid", F.round("sqdist", 6).alias("sqdist"))
 
 
+def _q_doc_bm25(spark, sf):
+    # Okapi BM25 over the shared whitespace tokenizer; all float inputs
+    # (tf, df, dl, N, total tokens) are exact integers and the expression
+    # tree is mirrored operation-for-operation in the oracle, so scores
+    # agree to <= |q|-term sum order (6 dp)
+    out = X.bm25_scores(
+        _docs(spark, sf), ["join", "hash", "spark", "window"]
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_hit"
+    )
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -733,6 +746,17 @@ def _q_cc_full(spark, sf):
     return A.connected_components(lineitem_edges(spark, sf))
 
 
+def _q_edges_cc_incremental(spark, sf):
+    # incremental fold: label 3/4 of the edges, then merge the rest via
+    # the label-pair graph — the result is EXACTLY the full recompute's
+    # labels (min-member-id invariant), so the oracle IS cc_full's
+    # unrolled fixpoint over the whole table
+    e = lineitem_edges(spark, sf)
+    old = e.where((F.col("src") + F.col("dst")) % 4 != 0)
+    new = e.where((F.col("src") + F.col("dst")) % 4 == 0)
+    return A.incremental_cc(A.connected_components(old), new)
+
+
 def _q_lpa_full(spark, sf):
     return A.label_propagation(lineitem_edges(spark, sf), nbatches=4, max_iters=8)
 
@@ -886,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
+        "edges_cc_incremental": _q_edges_cc_incremental,
+        "doc_bm25": _q_doc_bm25,
         "transcript_linkpred": _q_transcript_linkpred,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
@@ -2130,6 +2156,9 @@ WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["ppr_full"] = _ppr_full_sql(iters=12, n_seeds=5)
     sql["cc_full"] = _cc_full_sql(rounds=12)
+    # incremental CC == full recompute exactly (label-pair merge graph
+    # preserves the min-member-id invariant), so it shares cc_full's oracle
+    sql["edges_cc_incremental"] = _cc_full_sql(rounds=12)
     sql["lpa_full"] = _lpa_full_sql(nbatches=4, max_iters=8)
     sql["k_core"] = _k_core_full_sql(iters=8)
     sql["louvain_full"] = _louvain_full_values_sql()
@@ -2460,6 +2489,40 @@ SELECT documents.doc_id,
        length(COALESCE(r.clean_text, ''))::BIGINT AS n_chars_clean,
        md5(COALESCE(r.clean_text, '')) AS clean_md5
 FROM documents LEFT JOIN rebuilt r USING (doc_id)"""
+
+    # Okapi BM25: same tokenizer rendering as corpus_vocab, exact-integer
+    # term stats, expression tree mirrored op-for-op (k1=1.2, b=0.75)
+    sql["doc_bm25"] = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
+  FROM documents
+  WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+),
+dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT SUM(dl) FROM dl) AS tt
+),
+q(token) AS (VALUES ('hash'), ('join'), ('spark'), ('window')),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks JOIN q USING (token)
+  GROUP BY doc_id, token
+),
+dfq AS MATERIALIZED (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+per AS MATERIALIZED (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n FROM stats) - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+              / ((SELECT tt FROM stats)::DOUBLE / (SELECT n FROM stats)))) AS s
+  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+),
+agg AS MATERIALIZED (
+  SELECT doc_id, SUM(s) AS score, COUNT(*)::BIGINT AS n_hit FROM per GROUP BY doc_id
+)
+SELECT documents.doc_id, ROUND(COALESCE(agg.score, 0.0), 6) AS score,
+       COALESCE(agg.n_hit, 0)::BIGINT AS n_hit
+FROM documents LEFT JOIN agg USING (doc_id)"""
 
     # Sampled-source Brandes betweenness: forward level-synchronous BFS
     # with integer-exact sigma path counts (doubles < 2^53 — engine- and

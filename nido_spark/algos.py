@@ -845,6 +845,60 @@ def landmark_closeness(distances: DataFrame) -> DataFrame:
     )
 
 
+def incremental_cc(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iters: int = 100,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, comm) — connected-components labels UPDATED with a batch of new
+    edges, without touching the old edge set: the incremental path for
+    the streaming accumulator (streaming.IncrementalEdgeStore folds edge
+    increments; a scheduled job re-labels). Components only ever MERGE
+    under edge insertion, so the update reduces to connected components
+    over the LABEL-PAIR graph — one node per existing component id that a
+    new edge touches, one edge per distinct (label(src), label(dst))
+    pair. That graph is bounded by the NEW batch's distinct label pairs
+    (typically orders of magnitude smaller than V), so the fixpoint loop
+    runs over a tiny graph and the final remap is one broadcast join over
+    the old labels. Endpoints unseen before label themselves first.
+
+    Exactness: with min-member-id labels in (connected_components
+    output), the merged label = min over merged components' ids = the
+    global min member id — identical to a full recompute over old+new
+    edges (test-pinned against exactly that)."""
+    nv = (
+        _all_vertices(new_edges)
+        .join(labels.select("v"), "v", "left_anti")
+        .select("v", F.col("v").alias("comm"))
+    )
+    all_labels = truncate_lineage(labels.unionByName(nv))
+    lab_src = all_labels.select(F.col("v").alias("src"), F.col("comm").alias("ls"))
+    lab_dst = all_labels.select(F.col("v").alias("dst"), F.col("comm").alias("ld"))
+    pairs = (
+        new_edges.select("src", "dst")
+        .join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .where(F.col("ls") != F.col("ld"))
+        .select("ls", "ld")
+        .distinct()
+    )
+    if pairs.limit(1).count() == 0:
+        return all_labels
+    cg_edges = (
+        pairs.select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+        .unionByName(pairs.select(F.col("ld").alias("src"), F.col("ls").alias("dst")))
+        .withColumn("w", F.lit(1.0))
+    )
+    remap = connected_components(
+        cg_edges, max_iters=max_iters, broadcast_threshold=broadcast_threshold
+    ).select(F.col("v").alias("comm"), F.col("comm").alias("final"))
+    # the remap covers only labels that merged; everyone else keeps theirs
+    return all_labels.join(F.broadcast(remap), "comm", "left").select(
+        "v", F.coalesce("final", "comm").alias("comm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Label propagation (community detection)
 # ---------------------------------------------------------------------------

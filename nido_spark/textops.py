@@ -594,6 +594,70 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", *counts, clean.alias("clean_text"))
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, n_hit) — Okapi BM25 relevance of every document
+    against a bag of query terms (lowercased whitespace tokens, the
+    engine's shared tokenizer): score = sum over matched terms of
+    idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)), with the
+    Lucene idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive).
+    Docs matching no term score 0 with n_hit 0 — the corpus-ranking
+    primitive for retrieval-based decontamination and quality filtering.
+
+    Scale shape: one tokenize+explode scan; doc lengths and term
+    statistics are integer aggregations; the query-term join is a
+    broadcast (|q| rows); the final score needs only (doc_id, token, tf)
+    x |q| rows plus a V-row doc-length join. All inputs to the float
+    math are exact integers (tf, df, dl, N, total token count), so the
+    oracle reproduces scores to float-sum order over <= |q| terms."""
+    spark = docs.sparkSession
+    terms = sorted({str(t).lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_scores needs a non-empty query term list")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    total_toks = dl.agg(F.sum("dl").alias("s")).first()["s"] or 0
+    avgdl = float(total_toks) / n_docs if n_docs else 1.0
+    q = spark.createDataFrame([(t,) for t in terms], "token string")
+    tf = (
+        toks.join(F.broadcast(q), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq.select("token", idf.alias("idf"))), "token")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("s"),
+        )
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_hit")
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+
+
 def vocab_top_k(
     docs: DataFrame, n: int = 1000, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -642,3 +642,46 @@ def test_pagerank_warm_start_same_fixpoint_fewer_iters(karate):
         edges, max_iters=100, tol=1e-12, init_ranks=part).collect()}
     for v in c:
         assert abs(c[v] - warm2[v]) < 1e-8, v
+
+
+def test_incremental_cc_equals_full_recompute(spark, karate):
+    """Fold a batch of new edges into existing CC labels: the label-pair
+    merge graph must give EXACTLY the labels a full recompute over
+    old+new gives (min-member-id invariant), including brand-new
+    vertices and batches that bridge islands."""
+    from nido_spark.io import ba_random_edges
+
+    for edges in (karate[0], ba_random_edges(spark, 200, m0=2, seed=17)):
+        rows = edges.select("src", "dst", "w").collect()
+        old = spark.createDataFrame(
+            [r for r in rows if (r["src"] + r["dst"]) % 4 != 0],
+            "src long, dst long, w double",
+        )
+        new = spark.createDataFrame(
+            [r for r in rows if (r["src"] + r["dst"]) % 4 == 0],
+            "src long, dst long, w double",
+        )
+        labels = A.connected_components(old)
+        inc = {r["v"]: r["comm"]
+               for r in A.incremental_cc(labels, new).collect()}
+        full = {r["v"]: r["comm"]
+                for r in A.connected_components(edges).collect()}
+        assert inc == full
+
+    # brand-new vertices + island bridge in one batch
+    old = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (10, 11, 1.0), (11, 10, 1.0)],
+        "src long, dst long, w double",
+    )
+    labels = A.connected_components(old)
+    new = spark.createDataFrame(
+        [(1, 10, 1.0), (10, 1, 1.0), (20, 21, 1.0), (21, 20, 1.0)],
+        "src long, dst long, w double",
+    )
+    inc = {r["v"]: r["comm"] for r in A.incremental_cc(labels, new).collect()}
+    assert inc == {0: 0, 1: 0, 10: 0, 11: 0, 20: 20, 21: 20}
+    # empty merge batch: labels pass through (plus the new singleton pair)
+    noop = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, w double")
+    inc2 = {r["v"]: r["comm"]
+            for r in A.incremental_cc(labels, noop).collect()}
+    assert inc2 == {0: 0, 1: 0, 10: 10, 11: 10}

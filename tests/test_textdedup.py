@@ -689,3 +689,45 @@ def test_kmeans_fit_matches_numpy_schedule(emb):
     arows = {r["id"]: r["cid"] for r in S.kmeans_assign(emb, cents).collect()}
     for i, vid in enumerate(ids):
         assert arows[vid] == int(final[i]), vid
+
+
+def test_bm25_matches_hand_computation(spark):
+    """BM25 scores == a direct Python evaluation of the Okapi formula
+    (Lucene idf) on a tiny corpus; no-hit docs score 0/n_hit 0; ranking
+    favors the doc with the rarer term."""
+    import math
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian durian durian apple"),
+        (4, "elderberry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["score"], r["n_hit"])
+           for r in X.bm25_scores(docs, ["apple", "cherry"]).collect()}
+    corpus = {d: t.split() for d, t in rows}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(d, terms):
+        s, hits = 0.0, 0
+        for t in terms:
+            tf = corpus[d].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for dd in corpus.values() if t in dd)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(corpus[d]) / avgdl))
+            hits += 1
+        return s, hits
+
+    for d in corpus:
+        ws, wh = score(d, ["apple", "cherry"])
+        assert abs(got[d][0] - ws) < 1e-9, d
+        assert got[d][1] == wh, d
+    assert got[4] == (0.0, 0)
+    # cherry is rarer than apple: doc 2 (one cherry) outranks doc 1
+    # (two apples) despite lower tf
+    assert got[2][0] > got[1][0]
