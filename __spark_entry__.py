@@ -350,6 +350,19 @@ def _q_doc_bm25(spark, sf):
     )
 
 
+def _q_transcript_louvain_refined(spark, sf):
+    # Leiden-lite: louvain labels, then every community split into its
+    # connected components (refine_connected). The oracle replays the
+    # louvain labels as a VALUES literal (same disclosure as
+    # transcript_louvain) and runs an unrolled min-label CC over the
+    # intra-community subgraph — the refinement itself is independently
+    # re-derived in SQL.
+    tr = synth_transcripts(spark, 500, seed=42)
+    e = transcripts_to_edges(tr, strategy="dense")
+    res = L.louvain(e, nbatches=8)
+    return A.refine_connected(res.labels, e)
+
+
 def _q_transcript_jaccard(spark, sf):
     # edge-scoped Jaccard vertex similarity on the transcript actor graph
     tr = synth_transcripts(spark, 500, seed=42)
@@ -912,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,
         "edges_cc_incremental": _q_edges_cc_incremental,
         "doc_bm25": _q_doc_bm25,
+        "transcript_louvain_refined": _q_transcript_louvain_refined,
         "transcript_linkpred": _q_transcript_linkpred,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
@@ -1179,6 +1193,48 @@ FROM (SELECT src, dst, w FROM e1
       UNION ALL
       SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst)
 WHERE w > 0 GROUP BY 1, 2"""
+
+
+def _transcript_louvain_refined_sql(rounds: int = 14) -> str:
+    """Louvain labels as a VALUES literal (see _transcript_louvain_values_sql
+    for the independence disclosure) + an UNROLLED min-label connected-
+    components fixpoint over the intra-community subgraph — the
+    refine_connected semantics re-derived in pure SQL."""
+    import duckdb
+
+    from nido_spark.oracle import louvain_numpy
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT * FROM ({_transcript_edges_sql()}) ORDER BY src, dst"
+    ).df()
+    res = louvain_numpy(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
+        nbatches=8,
+    )
+    vals = ",".join(f"({int(v)},{int(c)})" for v, c in sorted(res.labels.items()))
+    ctes = [
+        f"lab(v, lcomm) AS (SELECT * FROM (VALUES {vals}) AS t(v, lcomm))",
+        """intra AS MATERIALIZED (
+  SELECT te.src, te.dst FROM te
+  JOIN lab l1 ON l1.v = te.src JOIN lab l2 ON l2.v = te.dst
+  WHERE l1.lcomm = l2.lcomm AND te.src != te.dst
+)""",
+        "c0 AS MATERIALIZED (SELECT v, v AS comm FROM lab)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT c.v, LEAST(c.comm, COALESCE(n.m, c.comm)) AS comm
+  FROM c{i-1} c LEFT JOIN (
+    SELECT intra.dst AS v, MIN(c2.comm) AS m
+    FROM intra JOIN c{i-1} c2 ON c2.v = intra.src GROUP BY intra.dst
+  ) n USING (v)
+)""")
+    return (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT v::BIGINT AS v, comm::BIGINT AS comm FROM c{rounds}"
+    )
 
 
 def _transcript_louvain_values_sql() -> str:
@@ -2166,6 +2222,7 @@ WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
     sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
+    sql["transcript_louvain_refined"] = _transcript_louvain_refined_sql()
     sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)
     sql["luby_coloring"] = _luby_coloring_sql(rounds=8, seed=42)
 

@@ -845,6 +845,53 @@ def landmark_closeness(distances: DataFrame) -> DataFrame:
     )
 
 
+def refine_connected(
+    labels: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 100,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, comm) — split every community into its CONNECTED components:
+    the Leiden guarantee (Traag et al. 2019) applied as a post-pass over
+    any labeling. Louvain's local-move phase can strand a community's
+    vertices with no internal path between them (its classic published
+    defect); splitting such a community along its components never
+    DECREASES modularity (the inter-part term it removes is zero by
+    definition of disconnection, test-pinned via an independent
+    modularity recomputation), so this is a strictly-safe cleanup after
+    ``louvain`` — the "Leiden-lite" chain.
+
+    Plan: keep only INTRA-community edges (one self-join of the labels
+    onto src and dst + equality filter — at-rest label broadcast below
+    the gate), run min-label CC over that subgraph, done: the component
+    labels ARE the refined labels (min member id per connected part,
+    consistent with connected_components). Vertices with no intra-
+    community edge become singletons of themselves."""
+    bc = (
+        F.broadcast
+        if labels.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+        else (lambda df: df)
+    )
+    lab_src = labels.select(F.col("v").alias("src"), F.col("comm").alias("ls"))
+    lab_dst = labels.select(F.col("v").alias("dst"), F.col("comm").alias("ld"))
+    intra = (
+        edges.join(bc(lab_src), "src")
+        .join(bc(lab_dst), "dst")
+        .where(F.col("ls") == F.col("ld"))
+        .select("src", "dst", "w")
+    )
+    comps = connected_components(
+        intra, max_iters=max_iters, broadcast_threshold=broadcast_threshold
+    )
+    # vertices whose every edge leaves their community have no intra edge:
+    # they exit as singletons labeled by their own id
+    return (
+        labels.select("v")
+        .join(comps, "v", "left")
+        .select("v", F.coalesce("comm", F.col("v")).alias("comm"))
+    )
+
+
 def incremental_cc(
     labels: DataFrame,
     new_edges: DataFrame,

@@ -685,3 +685,42 @@ def test_incremental_cc_equals_full_recompute(spark, karate):
     inc2 = {r["v"]: r["comm"]
             for r in A.incremental_cc(labels, noop).collect()}
     assert inc2 == {0: 0, 1: 0, 10: 10, 11: 10}
+
+
+def test_refine_connected_splits_and_preserves_modularity(spark, karate):
+    """A community with two disconnected halves splits into its
+    components; modularity never decreases (independent recomputation);
+    already-connected labelings are a fixpoint; stranded vertices
+    become singletons."""
+    from nido_spark import graph as G
+    from nido_spark import louvain as L
+
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (20, 30)]
+    sym = [(a, b, 1.0) for a, b in tri] + [(b, a, 1.0) for a, b in tri]
+    edges = spark.createDataFrame(sym, "src long, dst long, w double")
+    # both triangles + stranded 20 labeled comm 0 (disconnected!), 30 alone
+    bad = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 0), (11, 0), (12, 0), (20, 0), (30, 1)],
+        "v long, comm long",
+    )
+    ref = {r["v"]: r["comm"] for r in A.refine_connected(bad, edges).collect()}
+    assert ref[0] == ref[1] == ref[2] == 0
+    assert ref[10] == ref[11] == ref[12] == 10
+    assert ref[20] == 20 and ref[30] == 30  # stranded -> singletons
+    m = G.mass(edges)
+    verts = G.vertices(edges)
+    q_bad = L.modularity(edges, bad, m, verts)
+    refined = spark.createDataFrame(
+        [(v, c) for v, c in ref.items()], "v long, comm long"
+    )
+    q_ref = L.modularity(edges, refined, m, verts)
+    assert q_ref >= q_bad - 1e-12
+
+    # fixpoint on a real louvain result (karate communities are connected)
+    res = L.louvain(karate[0], nbatches=8)
+    lab = {r["v"]: r["comm"] for r in res.labels.collect()}
+    ref2 = {r["v"]: r["comm"]
+            for r in A.refine_connected(res.labels, karate[0]).collect()}
+    # same PARTITION (components of connected communities = the communities)
+    from tests.conftest import labels_equivalent
+    assert labels_equivalent(lab, ref2)
