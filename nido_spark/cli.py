@@ -96,6 +96,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", type=int, default=None, help="local[N] cores")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--json", action="store_true", help="emit one JSON line of metrics")
+    p.add_argument(
+        "-a", "--algo", default="louvain",
+        choices=["louvain", "louvain-refined", "pagerank", "cc", "lpa",
+                 "triangles", "k-core", "sssp", "hits", "betweenness"],
+        help="algorithm to run (default: the reference's Louvain; "
+             "louvain-refined chains the Leiden-style connected split)",
+    )
+    p.add_argument("--source", type=int, default=None,
+                   help="source vertex (sssp; betweenness uses it as the "
+                        "single sampled source when given)")
     args = p.parse_args(argv)
 
     from nido_spark import algos as A
@@ -135,21 +145,75 @@ def main(argv: list[str] | None = None) -> int:
         print(f"coloring: {ncolors} colors [{metrics['coloring']['sec']}s]")
 
     t2 = time.time()
-    res = L.louvain(
-        edges, nbatches=args.nbatches, tol=args.tau,
-        max_loops=args.max_loops, tol_phase=args.tau,
-    )
-    metrics["louvain"] = {
-        "modularity": res.modularity,
-        "phases": res.n_phases,
-        "sweeps": res.total_sweeps,
-        "sec": round(time.time() - t2, 2),
-    }
-    print(f"louvain: Q={res.modularity:.6f} phases={res.n_phases} "
-          f"sweeps={res.total_sweeps} [{metrics['louvain']['sec']}s]")
+    out_df = None
+    if args.algo in ("louvain", "louvain-refined"):
+        res = L.louvain(
+            edges, nbatches=args.nbatches, tol=args.tau,
+            max_loops=args.max_loops, tol_phase=args.tau,
+        )
+        metrics["louvain"] = {
+            "modularity": res.modularity,
+            "phases": res.n_phases,
+            "sweeps": res.total_sweeps,
+            "sec": round(time.time() - t2, 2),
+        }
+        print(f"louvain: Q={res.modularity:.6f} phases={res.n_phases} "
+              f"sweeps={res.total_sweeps} [{metrics['louvain']['sec']}s]")
+        out_df = res.labels
+        if args.algo == "louvain-refined":
+            out_df = A.refine_connected(res.labels, edges)
+            n_before = res.labels.select("comm").distinct().count()
+            n_after = out_df.select("comm").distinct().count()
+            metrics["refine"] = {"n_comms_before": n_before, "n_comms_after": n_after}
+            print(f"refine: {n_before} -> {n_after} communities (connected split)")
+    elif args.algo == "pagerank":
+        out_df = A.pagerank(edges, max_iters=args.max_loops if args.max_loops < 500 else 20,
+                            tol=args.tau)
+        metrics["pagerank"] = {"sec": round(time.time() - t2, 2)}
+        print(f"pagerank: done [{metrics['pagerank']['sec']}s]")
+    elif args.algo == "cc":
+        out_df = A.connected_components(edges)
+        n = out_df.select("comm").distinct().count()
+        metrics["cc"] = {"n_components": n, "sec": round(time.time() - t2, 2)}
+        print(f"cc: {n} components [{metrics['cc']['sec']}s]")
+    elif args.algo == "lpa":
+        out_df = A.label_propagation(edges, nbatches=args.nbatches)
+        metrics["lpa"] = {"sec": round(time.time() - t2, 2)}
+        print(f"lpa: done [{metrics['lpa']['sec']}s]")
+    elif args.algo == "triangles":
+        n = A.triangle_count(edges)
+        metrics["triangles"] = {"n": n, "sec": round(time.time() - t2, 2)}
+        print(f"triangles: {n} [{metrics['triangles']['sec']}s]")
+    elif args.algo == "k-core":
+        out_df = A.k_core(edges)
+        metrics["k_core"] = {"sec": round(time.time() - t2, 2)}
+        print(f"k-core: done [{metrics['k_core']['sec']}s]")
+    elif args.algo == "sssp":
+        if args.source is None:
+            raise SystemExit("sssp needs --source <vertex id>")
+        out_df = A.sssp(edges, source=args.source)
+        reached = out_df.where("dist is not null").count()
+        metrics["sssp"] = {"reached": reached, "sec": round(time.time() - t2, 2)}
+        print(f"sssp: {reached} reached from {args.source} "
+              f"[{metrics['sssp']['sec']}s]")
+    elif args.algo == "hits":
+        out_df = A.hits(edges)
+        metrics["hits"] = {"sec": round(time.time() - t2, 2)}
+        print(f"hits: done [{metrics['hits']['sec']}s]")
+    elif args.algo == "betweenness":
+        srcs = ([args.source] if args.source is not None
+                else [r["src"] for r in
+                      edges.select("src").distinct().orderBy("src").limit(16).collect()])
+        out_df = A.betweenness_sampled(edges, srcs)
+        metrics["betweenness"] = {"n_sources": len(srcs),
+                                  "sec": round(time.time() - t2, 2)}
+        print(f"betweenness: {len(srcs)} sources [{metrics['betweenness']['sec']}s]")
 
-    if args.output:
-        write_labels(res.labels, args.output, order_by_vertex=True)
+    if args.output and out_df is not None:
+        if args.algo in ("louvain", "louvain-refined"):
+            write_labels(out_df, args.output, order_by_vertex=True)
+        else:
+            out_df.write.mode("overwrite").parquet(args.output)
         print(f"labels -> {args.output}")
     if args.json:
         print(json.dumps(metrics))

@@ -29,3 +29,35 @@ def test_cli_rejects_unknown_schema(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         main(["-f", bad])
+
+
+def test_cli_algo_dispatch(tmp_path, capsys):
+    """--algo runs companion algorithms end-to-end: pagerank writes a
+    (v, r) parquet; sssp honors --source and its loud missing-source
+    contract; louvain-refined reports the connected split."""
+    import pytest
+
+    from nido_spark.cli import main
+
+    out = str(tmp_path / "pr")
+    assert main(["--random", "300 3", "-a", "pagerank", "-o", out,
+                 "--cores", "4", "-i", "10"]) == 0
+    from nido_spark.session import get_spark
+
+    spark = get_spark("cli_check", cores=4)
+    pr = spark.read.parquet(out)
+    assert set(pr.columns) == {"v", "r"} and pr.count() == 300
+    assert abs(pr.agg({"r": "sum"}).first()[0] - 1.0) < 1e-6
+
+    out2 = str(tmp_path / "dist")
+    assert main(["--random", "300 3", "-a", "sssp", "--source", "0",
+                 "-o", out2, "--cores", "4"]) == 0
+    d = spark.read.parquet(out2)
+    assert set(d.columns) == {"v", "dist"} and d.count() == 300
+
+    with pytest.raises(SystemExit, match="--source"):
+        main(["--random", "60 3", "-a", "sssp", "--cores", "4"])
+
+    assert main(["--random", "200 3", "-a", "louvain-refined",
+                 "--cores", "4", "-b", "4"]) == 0
+    assert "refine:" in capsys.readouterr().out
