@@ -282,6 +282,48 @@ def _q_edges_assortativity(spark, sf):
     return out.select("n_edges", F.round("assortativity", 9).alias("assortativity"))
 
 
+def _q_edges_avg_nbr_degree(spark, sf):
+    # per-vertex average neighbor degree on the lineitem graph — the mean
+    # is ONE double division of two exact integer sums (HUGEINT in the
+    # oracle), so values are bit-identical; 9 dp belt-and-braces
+    out = G.avg_neighbor_degree(lineitem_edges(spark, sf))
+    return out.select(
+        "v", "deg", F.round("avg_nbr_deg", 9).alias("avg_nbr_deg")
+    )
+
+
+def _q_transcript_tool_cooccurrence(spark, sf):
+    # bipartite projection of the transcript corpus: (conv, tool)
+    # membership -> weighted tool-tool co-usage edges (a < b, n_keys =
+    # conversations using both). max_items_per_key=4 EXERCISES the hub
+    # cap — convs invoking >4 distinct tools are excluded on both sides,
+    # so the capped fan-out path itself is value-checked, not just the
+    # happy path. All-integer output: exact across engines.
+    tr = synth_transcripts(spark, 500, seed=42)
+    pairs = tr.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("key"), F.col("tool").alias("item")
+    )
+    return G.project_bipartite(pairs, max_items_per_key=4).select(
+        "a", "b", "n_keys"
+    )
+
+
+def _q_transcript_diameter(spark, sf):
+    # double-sweep diameter lower bound on the transcript actor graph:
+    # sweep 1 from vertex 0 (the min id), deterministic farthest pivot
+    # (max dist, tie -> min v), sweep 2 from the pivot. The oracle
+    # replays BOTH unrolled Bellman-Ford sweeps with the pivot selected
+    # in SQL — every scalar in the one-row result is value-checked.
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.diameter_double_sweep(transcripts_to_edges(tr, strategy="dense"))
+    return out.select(
+        "start_v",
+        "pivot_v",
+        F.round("ecc_start", 9).alias("ecc_start"),
+        F.round("diameter_lb", 9).alias("diameter_lb"),
+    )
+
+
 def _q_transcript_linkpred(spark, sf):
     # Adamic-Adar / resource-allocation / preferential-attachment link
     # prediction for distance-2 non-adjacent pairs with >= 2 common
@@ -920,6 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_closeness": _q_transcript_closeness,
         "transcript_betweenness": _q_transcript_betweenness,
         "edges_assortativity": _q_edges_assortativity,
+        "edges_avg_nbr_degree": _q_edges_avg_nbr_degree,
+        "transcript_tool_cooccurrence": _q_transcript_tool_cooccurrence,
+        "transcript_diameter": _q_transcript_diameter,
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
@@ -2437,6 +2482,73 @@ SELECT n::BIGINT AS n_edges,
               / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
          ELSE 0.0 END, 9) AS assortativity
 FROM s"""
+
+    # average neighbor degree: same exact-integer-sum recipe as the
+    # assortativity oracle — HUGEINT neighbor-degree sum, ONE double
+    # division per vertex
+    sql["edges_avg_nbr_degree"] = f"""{_E},
+half AS (SELECT src, dst FROM e WHERE src != dst),
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM half GROUP BY src),
+j AS (SELECT half.src AS v, d2.deg AS nd FROM half JOIN deg d2 ON d2.v = half.dst)
+SELECT v, COUNT(*)::BIGINT AS deg,
+       ROUND(SUM(nd::HUGEINT)::DOUBLE / COUNT(*)::DOUBLE, 9) AS avg_nbr_deg
+FROM j GROUP BY v"""
+
+    # bipartite tool co-occurrence: distinct (conv, tool) membership,
+    # hub-capped at 4 distinct tools per conv (replaying project_bipartite's
+    # exclusion semantics), then the canonical a < b self-join pair count —
+    # all-integer, exact
+    sql["transcript_tool_cooccurrence"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+p AS (SELECT DISTINCT conv_id AS k, tool AS item FROM tr WHERE tool IS NOT NULL),
+keep AS (SELECT k FROM p GROUP BY k HAVING COUNT(*) <= 4),
+pf AS (SELECT p.k, p.item FROM p JOIN keep USING (k))
+SELECT l.item AS a, r.item AS b, COUNT(*)::BIGINT AS n_keys
+FROM pf l JOIN pf r ON l.k = r.k AND l.item < r.item
+GROUP BY 1, 2"""
+
+    # double-sweep diameter lower bound: BOTH Bellman-Ford sweeps unrolled
+    # (20 rounds each — fixpoint is ~10 on this fixture; converged rounds
+    # are exact no-ops), the pivot selected in SQL with the same
+    # deterministic (dist DESC, v ASC) tie-break as the Spark scalar
+    # reduction, so every field of the one-row result is value-checked
+    _dia_ctes = [
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+        "s0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN 0.0 END AS dist FROM verts)",
+    ]
+    for _i in range(1, 21):
+        _dia_ctes.append(f"""s{_i} AS MATERIALIZED (
+  SELECT s{_i-1}.v, LEAST(s{_i-1}.dist, c.nd) AS dist
+  FROM s{_i-1} LEFT JOIN (
+    SELECT te.dst AS v, MIN(s{_i-1}.dist + te.w) AS nd
+    FROM te JOIN s{_i-1} ON s{_i-1}.v = te.src
+    WHERE s{_i-1}.dist IS NOT NULL GROUP BY te.dst
+  ) c USING (v)
+)""")
+    _dia_ctes.append(
+        "pvsel AS MATERIALIZED (SELECT v AS pv, dist AS ecc FROM s20 "
+        "WHERE dist IS NOT NULL ORDER BY dist DESC, v ASC LIMIT 1)"
+    )
+    _dia_ctes.append(
+        "t0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT pv FROM pvsel) "
+        "THEN 0.0 END AS dist FROM verts)"
+    )
+    for _i in range(1, 21):
+        _dia_ctes.append(f"""t{_i} AS MATERIALIZED (
+  SELECT t{_i-1}.v, LEAST(t{_i-1}.dist, c.nd) AS dist
+  FROM t{_i-1} LEFT JOIN (
+    SELECT te.dst AS v, MIN(t{_i-1}.dist + te.w) AS nd
+    FROM te JOIN t{_i-1} ON t{_i-1}.v = te.src
+    WHERE t{_i-1}.dist IS NOT NULL GROUP BY te.dst
+  ) c USING (v)
+)""")
+    sql["transcript_diameter"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_dia_ctes)
+        + "\nSELECT 0::BIGINT AS start_v, (SELECT pv FROM pvsel)::BIGINT AS pivot_v,"
+          "\n       ROUND((SELECT ecc FROM pvsel), 9) AS ecc_start,"
+          "\n       ROUND((SELECT MAX(dist) FROM t20), 9) AS diameter_lb"
+    )
 
     # Adamic-Adar link prediction: wedge enumeration through every shared
     # neighbor, scored per non-adjacent canonical pair (a < b); ln/deg

@@ -294,6 +294,41 @@ def _span_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     return n / dt
 
 
+def _lines_probe(sf_dir: str, cpus: int, replicate: int = 300) -> float:
+    """C4 line-dedup scaling probe over a ``replicate``-times id-offset
+    copy of the documents table — copies keep their text, so EVERY line
+    is duplicated cross-copy: the probe exercises the worst case where
+    the drop set is nearly the whole corpus (maximal drop-array build +
+    rewrite work). Prints docs/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import textops as X
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_lines_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+    X.line_dedup(big).agg(F.sum(F.length("clean_text"))).first()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        X.line_dedup(big).agg(F.sum(F.length("clean_text"))).first()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
+
+
 def _sssp_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     """Multi-source shortest-path scaling probe (the round-5 BFS-family
     shape): 4-landmark Bellman-Ford over the replicated graph — the
@@ -397,6 +432,11 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-sssp":
         _sssp_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-lines":
+        rep = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+        _lines_probe(sf_dir, int(sys.argv[2]), replicate=rep)
         return
 
     t0 = time.time()

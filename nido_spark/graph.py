@@ -309,3 +309,86 @@ def neighbor_sample(
         .select("src", "dst", "w")
     )
 
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(v, deg, avg_nbr_deg) — each vertex's degree and the MEAN degree of
+    its neighbors, the per-vertex companion to ``degree_assortativity``
+    (networkx ``average_neighbor_degree`` semantics on the undirected
+    graph; self-loops excluded from both sides, matching the
+    assortativity pair list). Expects the canonical symmetric edge table
+    (``normalize_edges``) — on a one-directional input run
+    ``mirror_edges`` first.
+
+    Bit-stability recipe as everywhere in this repo: the mean is ONE
+    double division of two exact integer sums (count of neighbors, sum of
+    their integer degrees), never an incremental AVG kernel — so the
+    DuckDB oracle is value-exact. Plan: one degree aggregation + one join
+    on dst (broadcastable when V fits the gate) + one groupBy src; at
+    10^12 edges this is the same two-exchange shape as the degree scan
+    itself, and hub vertices cost one fat-but-spillable reduce key each
+    (AQE skew split handles the rest)."""
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    deg = half.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    nbr = half.join(
+        deg.select(F.col("v").alias("dst"), F.col("deg").alias("nbr_deg")), "dst"
+    )
+    out = nbr.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sum(F.col("nbr_deg").cast("decimal(38,0)")).alias("s"),
+    )
+    return out.select(
+        "v",
+        F.col("deg").cast("long").alias("deg"),
+        (F.col("s").cast("double") / F.col("deg").cast("double")).alias(
+            "avg_nbr_deg"
+        ),
+    )
+
+
+def project_bipartite(
+    pairs: DataFrame,
+    key_col: str = "key",
+    item_col: str = "item",
+    max_items_per_key: int = 256,
+) -> DataFrame:
+    """Bipartite co-occurrence projection: from distinct (key, item)
+    membership pairs (e.g. conv_id -> tool invocations from the
+    transcript table), build the weighted item-item graph
+    ``(a, b, n_keys)`` with ``a < b`` — two tools are linked by the
+    number of conversations that used BOTH. This is the standard
+    one-mode projection that turns the transcript corpus into an
+    analyzable link graph (tool co-usage, doc-term co-occurrence,
+    user-session overlap all share this shape).
+
+    Scale contract: a key with k items emits k*(k-1)/2 pairs, so hub
+    keys explode quadratically — a conversation invoking 10^4 tools
+    would emit 5*10^7 pairs on its own. Keys above ``max_items_per_key``
+    are EXCLUDED (the standard practice: hub keys carry almost no
+    co-occurrence signal while dominating the pair volume; Zipf-skewed
+    tool usage makes them common at 10^12 turns). The cap bounds the
+    self-join fan-out at O(cap * |pairs|) and every stage is a plain
+    hash shuffle — no driver-side state. Pass ``max_items_per_key=0``
+    to disable the cap (small graphs / tests only).
+
+    Rendered as: distinct -> per-key size -> size-filtered self-join on
+    key with a < b -> groupBy pair count. The size table joins back
+    broadcastable (one row per key)."""
+    p = pairs.select(
+        F.col(key_col).alias("k"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_items_per_key:
+        sizes = p.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
+        p = p.join(
+            sizes.where(F.col("sz") <= max_items_per_key).select("k"),
+            "k",
+            "left_semi",
+        )
+    left = p.select("k", F.col("item").alias("a"))
+    right = p.select("k", F.col("item").alias("b"))
+    return (
+        left.join(right, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

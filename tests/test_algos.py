@@ -724,3 +724,28 @@ def test_refine_connected_splits_and_preserves_modularity(spark, karate):
     # same PARTITION (components of connected communities = the communities)
     from tests.conftest import labels_equivalent
     assert labels_equivalent(lab, ref2)
+
+
+def test_diameter_double_sweep_matches_networkx(spark, karate):
+    """Replay the double sweep exactly with networkx: sweep 1 from the min
+    vertex id, deterministic (max dist, tie -> min v) pivot, sweep 2 =
+    pivot eccentricity; the bound is sandwiched by radius <= lb <= diameter."""
+    import networkx as nx
+
+    from nido_spark.algos import diameter_double_sweep
+
+    edges, (src, dst, _) = karate
+    g = nx.Graph()
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    row = diameter_double_sweep(edges).first()
+
+    d1 = nx.single_source_dijkstra_path_length(g, 0)
+    pivot = min(d1, key=lambda v: (-d1[v], v))
+    d2 = nx.single_source_dijkstra_path_length(g, pivot)
+    assert row["start_v"] == 0
+    assert row["pivot_v"] == pivot
+    assert abs(row["ecc_start"] - max(d1.values())) < 1e-12
+    assert abs(row["diameter_lb"] - max(d2.values())) < 1e-12
+    true_diameter = nx.diameter(g)
+    assert max(d2.values()) <= true_diameter
+    assert max(d2.values()) >= true_diameter / 2

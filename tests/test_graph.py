@@ -299,3 +299,49 @@ def test_random_walks_dead_end_stops(spark):
     )
     rows = random_walks(edges, [0], length=5, seed=1).collect()
     assert {(r["step"], r["v"]) for r in rows} == {(0, 0), (1, 1), (2, 2)}
+
+
+def test_avg_neighbor_degree_matches_networkx(spark, karate):
+    """Per-vertex mean neighbor degree vs networkx average_neighbor_degree
+    on karate (unit weights, symmetric table)."""
+    import networkx as nx
+
+    from nido_spark.graph import avg_neighbor_degree
+
+    edges, (src, dst, _) = karate
+    g = nx.Graph()
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.average_neighbor_degree(g)
+    got = {r["v"]: (r["deg"], r["avg_nbr_deg"]) for r in avg_neighbor_degree(edges).collect()}
+    assert set(got) == set(want)
+    for v, (deg, and_) in got.items():
+        assert deg == g.degree(v), v
+        assert abs(and_ - want[v]) < 1e-12, v
+
+
+def test_project_bipartite_counts_and_cap(spark):
+    """Hand-checked co-occurrence counts; hub keys above the cap are
+    excluded entirely; cap=0 disables the exclusion."""
+    from nido_spark.graph import project_bipartite
+
+    pairs = spark.createDataFrame(
+        # k1: {a,b,c}; k2: {a,b}; k3 (hub): {a,b,c,d,e}; k4: {c} (no pairs)
+        [("k1", "a"), ("k1", "b"), ("k1", "c"), ("k1", "c"),  # dup row -> distinct
+         ("k2", "a"), ("k2", "b"),
+         ("k3", "a"), ("k3", "b"), ("k3", "c"), ("k3", "d"), ("k3", "e"),
+         ("k4", "c")],
+        "key string, item string",
+    )
+    capped = {
+        (r["a"], r["b"]): r["n_keys"]
+        for r in project_bipartite(pairs, max_items_per_key=4).collect()
+    }
+    assert capped == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    full = {
+        (r["a"], r["b"]): r["n_keys"]
+        for r in project_bipartite(pairs, max_items_per_key=0).collect()
+    }
+    # k3 contributes all 10 pairs of {a..e}
+    assert full[("a", "b")] == 3 and full[("d", "e")] == 1
+    assert len(full) == 10
