@@ -43,6 +43,7 @@ from nido_spark.io import (
     events_edges,
     lineitem_edges,
     synth_transcripts,
+    transcripts_to_directed_edges,
     transcripts_to_edges,
 )
 
@@ -322,6 +323,61 @@ def _q_transcript_diameter(spark, sf):
         F.round("ecc_start", 9).alias("ecc_start"),
         F.round("diameter_lb", 9).alias("diameter_lb"),
     )
+
+
+def _q_lineitem_community_stats(spark, sf):
+    # per-community partition diagnostics (size, volume, internal, cut,
+    # conductance) under the deterministic pmod-10 labeling — the same
+    # replayable labels modularity_mod10 uses, so every ratio is
+    # value-checked against a pure-SQL recomputation
+    edges = lineitem_edges(spark, sf)
+    labels = _mod10_labels(edges)
+    out = L.community_stats(edges, labels)
+    return out.select(
+        "comm",
+        "n_vertices",
+        F.round("volume", 9).alias("volume"),
+        F.round("internal_w", 9).alias("internal_w"),
+        F.round("cut_w", 9).alias("cut_w"),
+        F.round("conductance", 9).alias("conductance"),
+    )
+
+
+def _q_transcript_reciprocity(spark, sf):
+    # turn-taking reciprocity of the DIRECTED conversation-flow graph:
+    # fraction of distinct non-self directed edges whose reverse exists.
+    # Counts are exact integers; the ratio is one double division.
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = G.reciprocity(transcripts_to_directed_edges(tr, strategy="dense"))
+    return out.select(
+        "n_directed",
+        "n_reciprocal",
+        F.round("reciprocity", 9).alias("reciprocity"),
+    )
+
+
+def _q_transcript_inout_degree(spark, sf):
+    # per-vertex in/out degree + weight over the directed transcript
+    # graph — sink-only and source-only vertices coalesce to 0 on the
+    # missing side (the full-outer path is exercised: conv: nodes have
+    # no in-edges, leaf tools no out-edges)
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = G.in_out_degree(transcripts_to_directed_edges(tr, strategy="dense"))
+    return out.select(
+        "v",
+        "out_deg",
+        F.round("out_w", 9).alias("out_w"),
+        "in_deg",
+        F.round("in_w", 9).alias("in_w"),
+    )
+
+
+def _q_transcript_khop(spark, sf):
+    # 3-hop ego neighborhood of vertex 0 with min hop counts — the GNN
+    # receptive-field expansion, value-checked against an unrolled
+    # min-hop BFS in SQL
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.khop_subgraph(transcripts_to_edges(tr, strategy="dense"), [0], 3)
 
 
 def _q_transcript_linkpred(spark, sf):
@@ -965,6 +1021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_avg_nbr_degree": _q_edges_avg_nbr_degree,
         "transcript_tool_cooccurrence": _q_transcript_tool_cooccurrence,
         "transcript_diameter": _q_transcript_diameter,
+        "lineitem_community_stats": _q_lineitem_community_stats,
+        "transcript_reciprocity": _q_transcript_reciprocity,
+        "transcript_inout_degree": _q_transcript_inout_degree,
+        "transcript_khop": _q_transcript_khop,
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
@@ -1238,6 +1298,43 @@ FROM (SELECT src, dst, w FROM e1
       UNION ALL
       SELECT dst AS src, src AS dst, w FROM e1 WHERE src <> dst)
 WHERE w > 0 GROUP BY 1, 2"""
+
+
+def _transcript_directed_edges_sql() -> str:
+    """Directed replay of the transcript edge derivation (dense strategy):
+    identical to _transcript_edges_sql minus the LEAST/GREATEST
+    canonicalization and the symmetrizing union — conversation-flow
+    direction and directed self-loops (consecutive same-actor turns) are
+    kept, exactly the transcripts_to_directed_edges semantics. The vmap
+    is the same name-sorted dense assignment, so vertex ids agree with
+    the symmetric oracle's."""
+    return f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+actor AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN role = 'tool' THEN 'tool:' || tool
+              ELSE conv_id || ':' || role END AS a
+  FROM tr
+),
+adj0 AS (
+  SELECT a, lead(a) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b FROM actor
+),
+adj AS (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM adj0 WHERE b IS NOT NULL GROUP BY 1, 2
+),
+ct AS (
+  SELECT 'conv:' || conv_id AS a, 'tool:' || tool AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM tr WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+se AS (
+  SELECT a, b, SUM(w) AS w
+  FROM (SELECT * FROM adj UNION ALL SELECT * FROM ct) GROUP BY 1, 2
+),
+names AS (SELECT DISTINCT name FROM (SELECT a AS name FROM se UNION SELECT b AS name FROM se)),
+vmap AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS v FROM names)
+SELECT va.v AS src, vb.v AS dst, se.w
+FROM se JOIN vmap va ON se.a = va.name JOIN vmap vb ON se.b = vb.name"""
 
 
 def _transcript_louvain_refined_sql(rounds: int = 14) -> str:
@@ -2548,6 +2645,88 @@ GROUP BY 1, 2"""
         + "\nSELECT 0::BIGINT AS start_v, (SELECT pv FROM pvsel)::BIGINT AS pivot_v,"
           "\n       ROUND((SELECT ecc FROM pvsel), 9) AS ecc_start,"
           "\n       ROUND((SELECT MAX(dist) FROM t20), 9) AS diameter_lb"
+    )
+
+    # per-community partition diagnostics under the replayable pmod-10
+    # labels: volume / internal / cut / conductance recomputed from the
+    # edge table in pure SQL (same symmetric-table conventions as the
+    # Spark operator — non-self internal rows halved, self-loops once,
+    # conductance = cut / min(vol, total - vol), NULL when the
+    # denominator is 0)
+    sql["lineitem_community_stats"] = f"""{_E},
+lab AS (SELECT v, v % 10 AS comm FROM (SELECT DISTINCT src AS v FROM e)),
+j AS (
+  SELECT e.src, e.dst, e.w, ls.comm AS c_src, ld.comm AS c_dst
+  FROM e JOIN lab ls ON ls.v = e.src JOIN lab ld ON ld.v = e.dst
+),
+tot AS (SELECT SUM(w) AS tv FROM e),
+per AS (
+  SELECT c_src AS comm,
+         SUM(w) AS volume,
+         SUM(CASE WHEN c_src = c_dst AND src <> dst THEN w ELSE 0 END) AS same_w,
+         SUM(CASE WHEN c_src = c_dst AND src = dst THEN w ELSE 0 END) AS self_w,
+         SUM(CASE WHEN c_src <> c_dst THEN w ELSE 0 END) AS cut_w
+  FROM j GROUP BY 1
+),
+sz AS (SELECT comm, COUNT(*) AS n_vertices FROM lab GROUP BY 1)
+SELECT sz.comm, sz.n_vertices::BIGINT AS n_vertices,
+       ROUND(COALESCE(volume, 0), 9) AS volume,
+       ROUND(COALESCE(same_w, 0) / 2 + COALESCE(self_w, 0), 9) AS internal_w,
+       ROUND(COALESCE(cut_w, 0), 9) AS cut_w,
+       ROUND(CASE WHEN LEAST(volume, (SELECT tv FROM tot) - volume) > 0
+                  THEN cut_w / LEAST(volume, (SELECT tv FROM tot) - volume)
+             END, 9) AS conductance
+FROM sz LEFT JOIN per USING (comm)"""
+
+    # directed reciprocity: distinct non-self directed pairs, reverse
+    # membership via LEFT JOIN flag, both counts from ONE aggregation —
+    # the ratio is one double division of exact integer counts
+    sql["transcript_reciprocity"] = f"""
+WITH de AS MATERIALIZED ({_transcript_directed_edges_sql()}),
+p AS (SELECT DISTINCT src, dst FROM de WHERE src <> dst),
+j AS (
+  SELECT p.src, p.dst, r.has_rev
+  FROM p LEFT JOIN (SELECT dst AS src, src AS dst, 1 AS has_rev FROM p) r
+  USING (src, dst)
+)
+SELECT COUNT(*)::BIGINT AS n_directed,
+       COALESCE(SUM(has_rev), 0)::BIGINT AS n_reciprocal,
+       ROUND(CASE WHEN COUNT(*) > 0
+                  THEN COALESCE(SUM(has_rev), 0)::DOUBLE / COUNT(*)::DOUBLE
+                  ELSE 0.0 END, 9) AS reciprocity
+FROM j"""
+
+    # directed in/out degree: two grouped aggregations full-outer-joined,
+    # missing sides coalesced to 0 (conv: vertices are pure sources, leaf
+    # tools pure sinks — both coalesce paths are exercised)
+    sql["transcript_inout_degree"] = f"""
+WITH de AS MATERIALIZED ({_transcript_directed_edges_sql()}),
+o AS (SELECT src AS v, COUNT(*) AS out_deg, SUM(w) AS out_w FROM de GROUP BY 1),
+i AS (SELECT dst AS v, COUNT(*) AS in_deg, SUM(w) AS in_w FROM de GROUP BY 1)
+SELECT COALESCE(o.v, i.v) AS v,
+       COALESCE(out_deg, 0)::BIGINT AS out_deg,
+       ROUND(COALESCE(out_w, 0), 9) AS out_w,
+       COALESCE(in_deg, 0)::BIGINT AS in_deg,
+       ROUND(COALESCE(in_w, 0), 9) AS in_w
+FROM o FULL OUTER JOIN i ON o.v = i.v"""
+
+    # 3-hop min-hop BFS from vertex 0, unrolled: each round expands every
+    # reached vertex by one edge and takes MIN(hop) — after k rounds this
+    # is exactly the <=k-hop neighborhood with BFS distances
+    _khop_ctes = ["h0 AS MATERIALIZED (SELECT 0::BIGINT AS v, 0 AS hop)"]
+    for _i in range(1, 4):
+        _khop_ctes.append(f"""h{_i} AS MATERIALIZED (
+  SELECT v, MIN(hop) AS hop FROM (
+    SELECT v, hop FROM h{_i-1}
+    UNION ALL
+    SELECT te.dst AS v, h.hop + 1 AS hop
+    FROM te JOIN h{_i-1} h ON h.v = te.src
+  ) GROUP BY v
+)""")
+    sql["transcript_khop"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_khop_ctes)
+        + "\nSELECT v, hop FROM h3"
     )
 
     # Adamic-Adar link prediction: wedge enumeration through every shared

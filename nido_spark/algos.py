@@ -716,6 +716,72 @@ def diameter_double_sweep(
     )
 
 
+def khop_subgraph(
+    edges: DataFrame,
+    seeds,
+    k: int,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, hop) — every vertex within ``k`` hops (unweighted) of the seed
+    set, with its minimal hop count; the neighborhood-expansion step of
+    GNN mini-batch pipelines (ego networks, k-hop receptive fields) and
+    of investigative queries ("everything two steps from this actor").
+    Seeds themselves are hop 0. Compose with ``induced_subgraph`` for the
+    edge set. Expects the canonical symmetric table for undirected
+    semantics; on a directed table hops follow edge direction.
+
+    Plan: the frontier-expansion loop moves ONLY the frontier (new
+    vertices this round) against the dst-pinned edge table — k bounded
+    rounds, each one E-row join + distinct + anti join, with the V-row
+    side broadcast below the gate; the reached set grows monotonically so
+    the loop also stops early when a round adds nothing. No driver state
+    beyond the per-round empty-check scalar."""
+    spark = edges.sparkSession
+    if k < 0:
+        raise ValueError("khop_subgraph: k must be >= 0")
+    seeds = [int(s) for s in seeds]
+    if not seeds:
+        raise ValueError("khop_subgraph: empty seed set")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(nparts, "src").persist()
+    nv = _all_vertices(e).count()
+    bc = F.broadcast if nv <= broadcast_threshold else (lambda df: df)
+    reach = spark.createDataFrame(
+        [(s, 0) for s in sorted(set(seeds))], "v long, hop int"
+    )
+    frontier = reach
+    for hop in range(1, k + 1):
+        nxt = (
+            e.join(bc(frontier.select(F.col("v").alias("src"))), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        new = truncate_lineage(
+            nxt.join(bc(reach.select("v")), "v", "left_anti").select(
+                "v", F.lit(hop).alias("hop")
+            )
+        )
+        if new.limit(1).count() == 0:
+            break
+        reach = truncate_lineage(reach.unionByName(new))
+        frontier = new
+    e.unpersist()
+    return reach
+
+
+def induced_subgraph(edges: DataFrame, verts: DataFrame) -> DataFrame:
+    """Edges of the subgraph induced by ``verts`` (a (v, ...) DataFrame):
+    rows whose BOTH endpoints are in the vertex set — two semi joins, the
+    V-row side broadcastable. Composes with ``khop_subgraph`` for ego
+    networks."""
+    vs = verts.select("v").distinct()
+    return edges.join(
+        vs.withColumnRenamed("v", "src"), "src", "left_semi"
+    ).join(vs.withColumnRenamed("v", "dst"), "dst", "left_semi").select(
+        "src", "dst", "w"
+    )
+
+
 def betweenness_sampled(
     edges: DataFrame,
     sources,

@@ -346,6 +346,65 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def reciprocity(directed_edges: DataFrame) -> DataFrame:
+    """One-row ``(n_directed, n_reciprocal, reciprocity)`` over a DIRECTED
+    edge table (``io.transcripts_to_directed_edges`` shape): the fraction of
+    distinct non-self directed edges (u,v) whose reverse (v,u) is also
+    present — networkx ``overall_reciprocity`` semantics. On conversation
+    graphs this measures turn-taking: a high value means actors alternate
+    (user<->assistant), a low value means one-way flows (conv->tool fanout).
+
+    Plan: distinct non-self pairs, one self-join against the swapped
+    projection (left join + flag, so BOTH counts come from one aggregation
+    over one joined relation — no second job), one scalar-free one-row
+    aggregate. Both sides of the join are the same distinct pair set hash-
+    partitioned on (src, dst) vs (dst, src) — a plain shuffle join at any
+    scale, no driver state. The ratio is ONE double division of two exact
+    integer counts (bit-stable cross-engine, the repo-wide recipe)."""
+    e = (
+        directed_edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("has_rev")
+    )
+    j = e.join(rev, ["src", "dst"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_directed"),
+        F.coalesce(F.sum("has_rev"), F.lit(0)).cast("long").alias("n_reciprocal"),
+    ).select(
+        "n_directed",
+        "n_reciprocal",
+        F.when(
+            F.col("n_directed") > 0,
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_directed").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("reciprocity"),
+    )
+
+
+def in_out_degree(directed_edges: DataFrame) -> DataFrame:
+    """(v, out_deg, out_w, in_deg, in_w) per vertex of a DIRECTED edge table —
+    the directed companion of ``vertices``. Self-loops count on both sides
+    (standard directed-degree convention). Missing sides coalesce to 0 via a
+    full outer join of the two single-shuffle aggregations; counts are exact
+    longs, weight sums doubles."""
+    out_d = directed_edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_w")
+    )
+    in_d = directed_edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).alias("in_deg"), F.sum("w").alias("in_w")
+    )
+    return out_d.join(in_d, "v", "full").select(
+        "v",
+        F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+        F.coalesce("out_w", F.lit(0.0)).alias("out_w"),
+        F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        F.coalesce("in_w", F.lit(0.0)).alias("in_w"),
+    )
+
+
 def project_bipartite(
     pairs: DataFrame,
     key_col: str = "key",

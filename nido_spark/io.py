@@ -179,7 +179,9 @@ def read_transcripts(
     return reader.format(source_format).load(path)
 
 
-def transcript_string_edges(transcripts: DataFrame) -> DataFrame:
+def transcript_string_edges(
+    transcripts: DataFrame, directed: bool = False
+) -> DataFrame:
     """String-endpoint edge list (a, b, w) from transcripts — one direction,
     canonicalized a<=b; weights = adjacency/invocation counts.
 
@@ -188,19 +190,30 @@ def transcript_string_edges(transcripts: DataFrame) -> DataFrame:
     edges are a plain groupBy. Reference analogue: the CSR loader's edge
     canonicalization (graph.cpp:63-74) — here dedup happens via groupBy, no
     sort needed.
+
+    ``directed=True`` keeps conversation-flow direction instead of
+    canonicalizing: a role-adjacency edge points from the EARLIER turn's
+    actor to the later one's, and conv->tool edges point conv -> tool —
+    the input of the directed-graph metrics (``graph.reciprocity``,
+    ``graph.in_out_degree``). Consecutive turns by the same actor yield
+    directed self-loops; they are kept (callers filter).
     """
     t = transcripts.select("conv_id", "turn_idx", "role", "tool")
     actor = F.when(
         F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool"))
     ).otherwise(F.concat(F.col("conv_id"), F.lit(":"), F.col("role")))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    adj = (
+    pair = (
         t.withColumn("a", actor)
         .withColumn("b", F.lead("a").over(w))
         .where(F.col("b").isNotNull())
-        .select(
+    )
+    if not directed:
+        pair = pair.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
+    adj = (
+        pair.select("a", "b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
@@ -268,6 +281,27 @@ def transcripts_to_edges(transcripts: DataFrame, strategy: str = "hash") -> Data
 
     one_dir, _ = assign_vertex_ids(transcript_string_edges(transcripts), strategy)
     return normalize_edges(one_dir)
+
+
+def transcripts_to_directed_edges(
+    transcripts: DataFrame, strategy: str = "hash"
+) -> DataFrame:
+    """transcripts -> DIRECTED edge DataFrame (src, dst, w): conversation-flow
+    role-adjacency (earlier turn's actor -> later turn's actor) plus
+    conv -> tool invocation edges, weights = counts. NOT symmetrized and NOT
+    canonicalized — (u,v) and (v,u) are distinct rows; directed self-loops
+    (consecutive same-actor turns) are kept. This is the input shape of the
+    directed metrics (``graph.reciprocity``, ``graph.in_out_degree``);
+    ``normalize_edges`` of this table equals ``transcripts_to_edges`` of the
+    same transcripts (pytest-pinned invariant)."""
+    one_dir, _ = assign_vertex_ids(
+        transcript_string_edges(transcripts, directed=True), strategy
+    )
+    return one_dir.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("w").cast("double"),
+    )
 
 
 # ---------------------------------------------------------------------------

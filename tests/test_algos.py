@@ -749,3 +749,50 @@ def test_diameter_double_sweep_matches_networkx(spark, karate):
     true_diameter = nx.diameter(g)
     assert max(d2.values()) <= true_diameter
     assert max(d2.values()) >= true_diameter / 2
+
+
+def test_khop_subgraph_matches_networkx(spark, karate):
+    """Min-hop parity with networkx single_source_shortest_path_length
+    (cutoff=k) from a 2-seed set, plus induced_subgraph edge membership."""
+    import networkx as nx
+
+    from nido_spark.algos import induced_subgraph, khop_subgraph
+
+    edges, (src, dst, _) = karate
+    g = nx.Graph()
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    k = 2
+    seeds = [0, 33]
+    got = {r["v"]: r["hop"] for r in khop_subgraph(edges, seeds, k).collect()}
+    want = {}
+    for s in seeds:
+        for v, h in nx.single_source_shortest_path_length(g, s, cutoff=k).items():
+            want[v] = min(want.get(v, k + 1), h)
+    assert got == want
+
+    verts = khop_subgraph(edges, [0], 1)
+    sub = induced_subgraph(edges, verts).collect()
+    keep = {r["v"] for r in verts.collect()}
+    assert keep == {0} | set(g.neighbors(0))
+    # induced edge rows: both endpoints kept, and every symmetric row
+    # of the induced karate subgraph is present
+    want_rows = {
+        (u, v) for u in keep for v in g.neighbors(u) if v in keep
+    }
+    assert {(r["src"], r["dst"]) for r in sub} == want_rows
+
+
+def test_khop_zero_and_early_stop(spark):
+    """k=0 returns just the seeds; a frontier that dries up stops early
+    (path graph, k far beyond the diameter)."""
+    from nido_spark.algos import khop_subgraph
+    from nido_spark.graph import normalize_edges
+
+    edges = normalize_edges(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, w double"
+        )
+    )
+    assert {(r["v"], r["hop"]) for r in khop_subgraph(edges, [1], 0).collect()} == {(1, 0)}
+    got = {(r["v"], r["hop"]) for r in khop_subgraph(edges, [0], 50).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2)}

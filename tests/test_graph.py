@@ -345,3 +345,78 @@ def test_project_bipartite_counts_and_cap(spark):
     # k3 contributes all 10 pairs of {a..e}
     assert full[("a", "b")] == 3 and full[("d", "e")] == 1
     assert len(full) == 10
+
+
+def test_reciprocity_hand_fixture(spark):
+    """Directed fixture: 0->1 & 1->0 reciprocal; 0->2 one-way; 2->2
+    self-loop excluded; duplicate-weight rows collapse to distinct pairs."""
+    from nido_spark.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 2.0), (0, 2, 1.0), (2, 2, 5.0), (0, 1, 3.0)],
+        "src long, dst long, w double",
+    )
+    row = reciprocity(edges).first()
+    assert row["n_directed"] == 3
+    assert row["n_reciprocal"] == 2
+    assert abs(row["reciprocity"] - 2 / 3) < 1e-15
+
+
+def test_reciprocity_matches_networkx(spark):
+    """overall_reciprocity parity on a seeded random digraph (self-loops
+    stripped on both sides — networkx counts them, we exclude)."""
+    import networkx as nx
+
+    from nido_spark.graph import reciprocity
+
+    g = nx.gnp_random_graph(30, 0.15, seed=7, directed=True)
+    g.remove_edges_from(nx.selfloop_edges(g))
+    edges = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in g.edges()],
+        "src long, dst long, w double",
+    )
+    row = reciprocity(edges).first()
+    assert abs(row["reciprocity"] - nx.overall_reciprocity(g)) < 1e-12
+
+
+def test_in_out_degree(spark):
+    """Hand-checked in/out degrees incl. a sink-only vertex and a
+    self-loop counting on both sides."""
+    from nido_spark.graph import in_out_degree
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 2.0), (1, 2, 4.0), (2, 2, 8.0), (3, 0, 0.5)],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["v"]: (r["out_deg"], r["out_w"], r["in_deg"], r["in_w"])
+        for r in in_out_degree(edges).collect()
+    }
+    assert got[0] == (2, 3.0, 1, 0.5)
+    assert got[1] == (1, 4.0, 1, 1.0)
+    assert got[2] == (1, 8.0, 3, 14.0)
+    assert got[3] == (1, 0.5, 0, 0.0)
+
+
+def test_directed_transcript_edges_symmetrize_invariant(spark):
+    """normalize_edges(directed transcript edges) == transcripts_to_edges:
+    the directed derivation loses nothing but orientation."""
+    from nido_spark.graph import normalize_edges
+    from nido_spark.io import (
+        synth_transcripts,
+        transcripts_to_directed_edges,
+        transcripts_to_edges,
+    )
+
+    tr = synth_transcripts(spark, 120, seed=11)
+    sym = {
+        (r["src"], r["dst"]): r["w"]
+        for r in transcripts_to_edges(tr, strategy="dense").collect()
+    }
+    via_directed = {
+        (r["src"], r["dst"]): r["w"]
+        for r in normalize_edges(
+            transcripts_to_directed_edges(tr, strategy="dense")
+        ).collect()
+    }
+    assert via_directed == sym

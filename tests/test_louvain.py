@@ -313,3 +313,56 @@ def test_transcript_louvain_modularity_recomputed_in_sql(spark):
     """).fetchone()[0]
     assert abs(q_sql - r.modularity) < 1e-9
     assert q_sql > 0.6  # strong community structure on the fixture
+
+
+def test_community_stats_matches_pure_python(spark, karate):
+    """community_stats vs a direct edge-walk recomputation on karate with
+    pmod-4 labels, plus the volume/cut/internal identities and the
+    conductance range."""
+    edges, (src, dst, w) = karate
+    labels = L.singleton_labels(edges).select(
+        "v", F.pmod("v", F.lit(4)).alias("comm")
+    )
+    m = G.mass(edges)
+    got = {r["comm"]: r for r in L.community_stats(edges, labels, m).collect()}
+
+    # pure-Python recomputation over the undirected edge list (each pair once)
+    import collections
+
+    und = set()
+    for s, d, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        und.add((min(s, d), max(s, d), ww))
+    comm = lambda v: v % 4
+    vol = collections.defaultdict(float)
+    internal = collections.defaultdict(float)
+    cut = collections.defaultdict(float)
+    nvert = collections.Counter(comm(v) for v in {x for s, d, _ in und for x in (s, d)})
+    for s, d, ww in und:
+        if s == d:
+            vol[comm(s)] += ww
+            internal[comm(s)] += ww
+            continue
+        vol[comm(s)] += ww
+        vol[comm(d)] += ww
+        if comm(s) == comm(d):
+            internal[comm(s)] += ww
+        else:
+            cut[comm(s)] += ww
+            cut[comm(d)] += ww
+    assert set(got) == set(nvert)
+    for c, r in got.items():
+        assert r["n_vertices"] == nvert[c]
+        assert abs(r["volume"] - vol[c]) < 1e-9
+        assert abs(r["internal_w"] - internal[c]) < 1e-9
+        assert abs(r["cut_w"] - cut[c]) < 1e-9
+        want_den = min(vol[c], 2 * m - vol[c])
+        if want_den > 0:
+            assert abs(r["conductance"] - cut[c] / want_den) < 1e-9
+            assert 0.0 <= r["conductance"] <= 1.0
+        else:
+            assert r["conductance"] is None
+    # global identity: volumes sum to 2m; per-community identity below
+    assert abs(sum(r["volume"] for r in got.values()) - 2 * m) < 1e-9
+    for c, r in got.items():
+        self_w = sum(ww for s, d, ww in und if s == d and comm(s) == c)
+        assert abs(r["volume"] - (2 * r["internal_w"] - self_w + r["cut_w"])) < 1e-9
