@@ -192,6 +192,18 @@ def _q_karate_k_truss(spark, sf):
     return A.k_truss(_karate_edges(spark), k=4)
 
 
+def _q_karate_msf(spark, sf):
+    # Boruvka minimum spanning forest on karate with DISTINCT weights
+    # (w = 100*src + dst on the canonical pair) — distinctness makes the
+    # MST unique, so the networkx-derived frozen literal (KARATE_MSF) is
+    # a fully algorithm-independent oracle
+    rows = [
+        (a, b, float(100 * a + b)) for a, b in KARATE_PAIRS
+    ] + [(b, a, float(100 * a + b)) for a, b in KARATE_PAIRS]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    return A.boruvka_msf(e)
+
+
 def _q_transcript_katz(spark, sf):
     # fixed-8-iteration Katz — no per-round normalization, so the unrolled
     # oracle is a plain linear recurrence (9 dp rounding for sum order)
@@ -1025,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
         "transcript_khop": _q_transcript_khop,
+        "karate_msf": _q_karate_msf,
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
@@ -1417,6 +1430,23 @@ def _transcript_louvain_values_sql() -> str:
 # down all 72 oracle entries). tests/test_algos.py re-derives this set
 # from networkx live and pins the engine against it.
 KARATE_4TRUSS = [(0, 1), (0, 2), (0, 3), (0, 7), (0, 13), (1, 2), (1, 3), (1, 7), (1, 13), (2, 3), (2, 7), (2, 13), (3, 7), (3, 13), (8, 30), (8, 32), (8, 33), (23, 29), (23, 32), (23, 33), (29, 32), (29, 33), (30, 32), (30, 33), (32, 33)]
+
+# networkx minimum_spanning_edges over KARATE_PAIRS with the DISTINCT
+# weights w = 100*a + b — distinct weights make the MST unique, so this
+# literal is algorithm-independent (same frozen-literal rationale as
+# KARATE_4TRUSS above). tests/test_algos.py re-derives the MST from
+# networkx live and additionally pins the tie-break semantics against a
+# pure-Python Kruskal on tied-weight inputs.
+KARATE_MSF = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8), (0, 10), (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21), (0, 31), (1, 30), (2, 9), (2, 27), (2, 28), (2, 32), (5, 16), (8, 33), (14, 32), (15, 32), (18, 32), (20, 32), (22, 32), (23, 25), (23, 27), (23, 29), (24, 25), (26, 29)]
+
+
+def _karate_msf_values_sql() -> str:
+    """MSF edges as a VALUES literal (provenance note on KARATE_MSF)."""
+    vals = ",".join(f"({a},{b},{100 * a + b})" for a, b in KARATE_MSF)
+    return (
+        f"SELECT src::BIGINT AS src, dst::BIGINT AS dst, w::DOUBLE AS w "
+        f"FROM (VALUES {vals}) AS t(src, dst, w)"
+    )
 
 
 def _karate_k_truss_values_sql(k: int = 4) -> str:
@@ -2366,6 +2396,8 @@ WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
     sql["transcript_louvain_refined"] = _transcript_louvain_refined_sql()
     sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)
+
+    sql["karate_msf"] = _karate_msf_values_sql()
     sql["luby_coloring"] = _luby_coloring_sql(rounds=8, seed=42)
 
     # PII scrub: same patterns, same order, counts on the original text;

@@ -782,6 +782,145 @@ def induced_subgraph(edges: DataFrame, verts: DataFrame) -> DataFrame:
     )
 
 
+def _pointer_double_to_roots(par: DataFrame, max_iters: int = 64) -> DataFrame:
+    """Resolve a parent-pointer table (c, p) to roots by pointer doubling:
+    p <- parent(parent(c)) until fixpoint (<= ceil(log2 depth) rounds).
+    Expects an in-forest (acyclic up to self-loops at roots) — the caller
+    breaks Boruvka's 2-cycles first. Tables are component-count-sized."""
+    for _ in range(max_iters):
+        grand = par.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+        nxt = truncate_lineage(
+            par.join(grand, "p").select("c", F.col("pp").alias("p"))
+        )
+        changed = (
+            nxt.join(par.withColumnRenamed("p", "old"), "c")
+            .where(F.col("p") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        par = nxt
+        if changed == 0:
+            return par
+    raise RuntimeError(
+        f"_pointer_double_to_roots: no fixpoint after {max_iters} doubling "
+        f"rounds — the parent table contains a cycle longer than 2, which "
+        f"the strict edge total order is supposed to exclude"
+    )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(src, dst, w) — the minimum spanning forest by Boruvka's algorithm,
+    canonical src < dst rows, one tree per connected component. Edges are
+    ordered by the STRICT total order (w, src, dst) (src/dst canonical),
+    which makes the forest UNIQUE and engine-replayable even with
+    duplicate weights: it equals Kruskal's forest under the same order
+    (pytest pins exactly that). Self-loops never qualify. This is the
+    remaining classic iterative-graph companion (alongside
+    PageRank/CC/LPA/SSSP) that Boruvka makes embarrassingly parallel —
+    the reference ships only Louvain (cugraph-scripts/cug_louvain_mm.py:35).
+
+    Per round (<= ceil(log2 V) + 1 rounds total, components at least
+    halve): label E rows with both endpoint components (V-row side
+    broadcast below the gate), keep cross-component rows, ONE grouped
+    min-struct per component — the only E-row shuffle of the round —
+    then hook each component to its selection and resolve the merge
+    forest by pointer doubling over component-count-sized tables.
+    Under a strict total order every hooking cycle is a mutual 2-cycle
+    (the shared min edge), broken toward the smaller component id, so
+    pointer doubling terminates in log rounds. The forest accumulator
+    only ever receives distinct selected edges; an edge can never be
+    re-selected after its endpoints merge."""
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            "w",
+            F.least("src", "dst").alias("s"),
+            F.greatest("src", "dst").alias("d"),
+        )
+        .repartition(nparts, "src")
+        .persist()
+    )
+    comp = truncate_lineage(
+        _all_vertices(e).select("v", F.col("v").alias("comp"))
+    )
+    nv = comp.count()
+    bc = F.broadcast if nv <= broadcast_threshold else (lambda df: df)
+    forest = spark.createDataFrame([], "s long, d long, w double")
+    for _ in range(max_rounds):
+        lab = (
+            e.join(
+                bc(comp.select(F.col("v").alias("src"), F.col("comp").alias("c_src"))),
+                "src",
+            )
+            .join(
+                bc(comp.select(F.col("v").alias("dst"), F.col("comp").alias("c_dst"))),
+                "dst",
+            )
+            .where(F.col("c_src") != F.col("c_dst"))
+        )
+        sel = truncate_lineage(
+            lab.groupBy("c_src")
+            .agg(F.min(F.struct("w", "s", "d", "c_dst")).alias("m"))
+            .select(
+                F.col("c_src").alias("c"),
+                F.col("m.w").alias("w"),
+                F.col("m.s").alias("s"),
+                F.col("m.d").alias("d"),
+                F.col("m.c_dst").alias("p"),
+            )
+        )
+        if sel.limit(1).count() == 0:
+            break
+        forest = truncate_lineage(
+            forest.unionByName(sel.select("s", "d", "w").distinct())
+        )
+        # full parent table: unselected (finished) components self-root
+        par = (
+            comp.select("comp").distinct()
+            .withColumnRenamed("comp", "c")
+            .join(sel.select("c", "p"), "c", "left")
+            .select("c", F.coalesce("p", F.col("c")).alias("p"))
+        )
+        # break mutual 2-cycles toward the smaller id
+        grand = par.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+        par = truncate_lineage(
+            par.join(grand, "p")
+            .select(
+                "c",
+                F.when(
+                    (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
+                    F.col("c"),
+                ).otherwise(F.col("p")).alias("p"),
+            )
+        )
+        roots = _pointer_double_to_roots(par)
+        comp = truncate_lineage(
+            comp.join(
+                bc(roots.select(F.col("c").alias("comp"), F.col("p").alias("root"))),
+                "comp",
+            ).select("v", F.col("root").alias("comp"))
+        )
+    else:
+        e.unpersist()
+        raise RuntimeError(
+            f"boruvka_msf: max_rounds={max_rounds} exhausted — components "
+            f"must at least halve per round, so this graph would need more "
+            f"than 2^{max_rounds} vertices; raise max_rounds"
+        )
+    e.unpersist()
+    return forest.select(
+        F.col("s").alias("src"), F.col("d").alias("dst"), "w"
+    )
+
+
 def betweenness_sampled(
     edges: DataFrame,
     sources,

@@ -45,6 +45,7 @@ import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _load_edges(spark: SparkSession, path: str) -> DataFrame:
@@ -99,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "-a", "--algo", default="louvain",
         choices=["louvain", "louvain-refined", "pagerank", "cc", "lpa",
-                 "triangles", "k-core", "sssp", "hits", "betweenness"],
+                 "triangles", "k-core", "sssp", "hits", "betweenness", "msf"],
         help="algorithm to run (default: the reference's Louvain; "
              "louvain-refined chains the Leiden-style connected split)",
     )
@@ -200,6 +201,17 @@ def main(argv: list[str] | None = None) -> int:
         out_df = A.hits(edges)
         metrics["hits"] = {"sec": round(time.time() - t2, 2)}
         print(f"hits: done [{metrics['hits']['sec']}s]")
+    elif args.algo == "msf":
+        out_df = A.boruvka_msf(edges)
+        agg = out_df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("tw")
+        ).first()
+        metrics["msf"] = {"n_edges": int(agg["n"]),
+                          "total_weight": float(agg["tw"] or 0.0),
+                          "sec": round(time.time() - t2, 2)}
+        print(f"msf: {metrics['msf']['n_edges']} edges "
+              f"total_w={metrics['msf']['total_weight']:.3f} "
+              f"[{metrics['msf']['sec']}s]")
     elif args.algo == "betweenness":
         srcs = ([args.source] if args.source is not None
                 else [r["src"] for r in

@@ -796,3 +796,107 @@ def test_khop_zero_and_early_stop(spark):
     assert {(r["v"], r["hop"]) for r in khop_subgraph(edges, [1], 0).collect()} == {(1, 0)}
     got = {(r["v"], r["hop"]) for r in khop_subgraph(edges, [0], 50).collect()}
     assert got == {(0, 0), (1, 1), (2, 2)}
+
+
+def _kruskal_total_order(und_edges):
+    """Pure-Python Kruskal under the strict (w, s, d) total order — the
+    independent replay boruvka_msf is pinned against."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    keep = []
+    for w, s, d in sorted((w, s, d) for s, d, w in und_edges):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+            keep.append((s, d, w))
+    return keep
+
+
+def test_boruvka_msf_unique_weights_matches_networkx(spark, karate):
+    """Distinct weights (w = 100*s + d) make the MST unique, so the edge
+    set must equal networkx's minimum_spanning_edges exactly."""
+    import networkx as nx
+
+    from nido_spark.algos import boruvka_msf
+
+    edges, (src, dst, _) = karate
+    pairs = {(min(s, d), max(s, d)) for s, d in zip(src.tolist(), dst.tolist())}
+    rows = []
+    for s, d in pairs:
+        w = float(100 * s + d)
+        rows.append((s, d, w))
+        rows.append((d, s, w))
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {(r["src"], r["dst"], r["w"]) for r in boruvka_msf(e).collect()}
+
+    g = nx.Graph()
+    for s, d in pairs:
+        g.add_edge(s, d, weight=float(100 * s + d))
+    want = {
+        (min(u, v), max(u, v), dd["weight"])
+        for u, v, dd in nx.minimum_spanning_edges(g, data=True)
+    }
+    assert got == want
+    assert len(got) == g.number_of_nodes() - 1
+
+
+def test_boruvka_msf_ties_match_kruskal_total_order(spark):
+    """Heavily tied weights (transcript adjacency counts): the forest must
+    equal Kruskal's under the same (w, src, dst) strict order — tie-break
+    determinism, not just total weight."""
+    from nido_spark.algos import boruvka_msf
+    from nido_spark.io import synth_transcripts, transcripts_to_edges
+
+    e = transcripts_to_edges(synth_transcripts(spark, 120, seed=5), strategy="dense")
+    und = [
+        (r["src"], r["dst"], r["w"])
+        for r in e.where(F.col("src") < F.col("dst")).collect()
+    ]
+    want = set(_kruskal_total_order(und))
+    got = {(r["src"], r["dst"], r["w"]) for r in boruvka_msf(e).collect()}
+    assert got == want
+    # total weight also equals networkx's (algorithm-independent invariant)
+    import networkx as nx
+
+    g = nx.Graph()
+    for s, d, w in und:
+        g.add_edge(s, d, weight=w)
+    nx_total = sum(
+        dd["weight"] for _, _, dd in nx.minimum_spanning_edges(g, data=True)
+    )
+    assert abs(sum(w for _, _, w in got) - nx_total) < 1e-9
+
+
+def test_boruvka_msf_forest_on_disconnected_graph(spark):
+    """Two components -> two trees: n_edges = nv - ncomp, and the forest
+    spans (same CC partition as the input graph)."""
+    from nido_spark.algos import boruvka_msf, connected_components
+    from nido_spark.graph import normalize_edges
+
+    e = normalize_edges(
+        spark.createDataFrame(
+            [(0, 1, 3.0), (1, 2, 1.0), (0, 2, 2.0),  # triangle: drop (0,1)
+             (10, 11, 1.0), (11, 12, 1.0), (10, 12, 5.0)],  # drop (10,12)
+            "src long, dst long, w double",
+        )
+    )
+    got = {(r["src"], r["dst"], r["w"]) for r in boruvka_msf(e).collect()}
+    assert got == {(1, 2, 1.0), (0, 2, 2.0), (10, 11, 1.0), (11, 12, 1.0)}
+    # spanning: CC labels of the forest == CC labels of the graph
+    forest_sym = normalize_edges(
+        spark.createDataFrame(
+            [(int(s), int(d), float(w)) for s, d, w in got],
+            "src long, dst long, w double",
+        )
+    )
+    cc_graph = {(r["v"], r["comm"]) for r in connected_components(e).collect()}
+    cc_forest = {(r["v"], r["comm"]) for r in connected_components(forest_sym).collect()}
+    assert cc_graph == cc_forest
