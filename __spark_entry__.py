@@ -384,6 +384,18 @@ def _q_transcript_inout_degree(spark, sf):
     )
 
 
+def _q_transcript_scc(spark, sf):
+    # strongly connected components of the DIRECTED conversation-flow
+    # graph (user/assistant turn-taking creates real cycles; conv: and
+    # leaf-tool nodes are trivial SCCs). Labels = min member id, so the
+    # recursive-CTE transitive-closure oracle (fully algorithm-
+    # independent) matches exactly.
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.strongly_connected_components(
+        transcripts_to_directed_edges(tr, strategy="dense")
+    )
+
+
 def _q_transcript_khop(spark, sf):
     # 3-hop ego neighborhood of vertex 0 with min hop counts — the GNN
     # receptive-field expansion, value-checked against an unrolled
@@ -1037,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
         "transcript_khop": _q_transcript_khop,
+        "transcript_scc": _q_transcript_scc,
         "karate_msf": _q_karate_msf,
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
@@ -2741,6 +2754,26 @@ SELECT COALESCE(o.v, i.v) AS v,
        COALESCE(in_deg, 0)::BIGINT AS in_deg,
        ROUND(COALESCE(in_w, 0), 9) AS in_w
 FROM o FULL OUTER JOIN i ON o.v = i.v"""
+
+    # strongly connected components: FULLY algorithm-independent oracle —
+    # a recursive-CTE transitive closure (reach), mutual-reachability
+    # pairs, and the min-member label; no step of the Spark FW-BW-Trim
+    # schedule is replayed, only the SCC definition itself
+    sql["transcript_scc"] = f"""
+WITH RECURSIVE te AS MATERIALIZED ({_transcript_directed_edges_sql()}),
+de AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM te UNION SELECT dst AS v FROM te)),
+reach(s, v) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.s, d.dst FROM reach r JOIN de d ON r.v = d.src
+),
+mutual AS (
+  SELECT a.s AS v, a.v AS u FROM reach a JOIN reach b ON a.s = b.v AND a.v = b.s
+)
+SELECT verts.v, LEAST(verts.v, COALESCE(MIN(m.u), verts.v)) AS comm
+FROM verts LEFT JOIN mutual m ON m.v = verts.v
+GROUP BY verts.v"""
 
     # 3-hop min-hop BFS from vertex 0, unrolled: each round expands every
     # reached vertex by one edge and takes MIN(hop) — after k rounds this

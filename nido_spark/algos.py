@@ -1193,6 +1193,183 @@ def incremental_cc(
     )
 
 
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    max_iters: int = 200,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, comm) — strongly connected components of the DIRECTED edge
+    table; comm = the min member id, so labels are canonical (exact up to
+    nothing) and match any engine's SCC output after min-member mapping.
+    The directed companion to ``connected_components`` for conversation-
+    flow graphs (``io.transcripts_to_directed_edges``), where user/
+    assistant turn-taking creates real cycles; the reference ships only
+    undirected Louvain (cugraph-scripts/cug_louvain_mm.py:35), SCC is the
+    classic directed family alongside it.
+
+    Trim + forward-backward coloring (Orzan '04 / Slota-Rajamanickam-
+    Madduri FW-BW-Trim), all set-at-a-time:
+
+    per outer round over the REMAINING subgraph
+      1. TRIM to fixpoint: a vertex with no in-edge or no out-edge
+         (within the remaining subgraph) is its own SCC — emitted and
+         removed. Peels DAG-like regions in diameter-of-chain rounds of
+         pure V-row set algebra (two distinct projections + two semi
+         joins per round; the E-row table is scanned, never shuffled).
+      2. COLOR: forward min-label fixpoint — ``cc_step`` on the directed
+         edge table, so color(v) = min remaining id that reaches v.
+         Constant on every SCC, and a root (color(r)=r) is the min member
+         of its SCC: r reaches all of S and r ∈ S, so r = min(S).
+      3. MARK: backward frontier reachability from the roots restricted
+         to same-color vertices — the marked set of root r is EXACTLY the
+         SCC of r (forward-reachable from r by color minimality + can
+         reach r by the backward walk), labeled r = min member.
+      4. Remove marked vertices; repeat. Every round removes at least
+         the SCC of the global min remaining id, and trims whole DAG
+         layers besides — conversation graphs finish in a handful.
+
+    Plan shape: the remaining edge set is re-pinned (repartition on dst +
+    persist) once per OUTER round; every inner fixpoint round is one
+    E-scan joined against V-row state that is statically broadcast below
+    ``broadcast_threshold`` — zero E-row exchanges per inner round below
+    the gate, the cc/sssp discipline. All V-row state crosses rounds
+    through truncate_lineage. Loud RuntimeError on max_rounds/max_iters
+    exhaustion (the cc/sssp contract); self-loops are ignored (they never
+    change SCC membership), duplicate edges are collapsed once up front.
+    """
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    universe = truncate_lineage(_all_vertices(edges))
+    bcast = universe.count() <= broadcast_threshold
+    bc = F.broadcast if bcast else (lambda df: df)
+    e_prev = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    e_prev.count()
+    remaining = universe
+    parts: list[DataFrame] = []
+
+    def _emit(lab: DataFrame) -> None:
+        parts.append(lab)
+        # fold periodically so the final union plan stays shallow
+        if len(parts) >= 32:
+            folded = parts[0]
+            for p in parts[1:]:
+                folded = folded.unionByName(p)
+            parts[:] = [truncate_lineage(folded)]
+
+    for _ in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        live = truncate_lineage(
+            e_prev.join(bc(remaining.withColumnRenamed("v", "src")), "src", "semi")
+            .join(bc(remaining.withColumnRenamed("v", "dst")), "dst", "semi")
+            .select("src", "dst")
+        ).repartition(nparts, "dst").persist()
+        live.count()
+        e_prev.unpersist()
+        e_prev = live
+        # ---- 1. trim singleton SCCs to fixpoint -------------------------
+        for it in range(max_iters):
+            live_e = live.join(
+                bc(remaining.withColumnRenamed("v", "src")), "src", "semi"
+            ).join(bc(remaining.withColumnRenamed("v", "dst")), "dst", "semi")
+            keep = truncate_lineage(
+                remaining.join(
+                    live_e.select(F.col("dst").alias("v")).distinct(), "v", "semi"
+                ).join(
+                    live_e.select(F.col("src").alias("v")).distinct(), "v", "semi"
+                )
+            )
+            trimmed = remaining.join(keep, "v", "left_anti")
+            if trimmed.limit(1).count() == 0:
+                break
+            _emit(truncate_lineage(trimmed.select("v", F.col("v").alias("comm"))))
+            remaining = keep
+        else:
+            raise RuntimeError(
+                f"strongly_connected_components: trim did not reach a fixpoint "
+                f"in max_iters={max_iters} rounds — raise max_iters (chain-like "
+                f"DAG regions trim one layer per round)"
+            )
+        if remaining.limit(1).count() == 0:
+            continue
+        core = truncate_lineage(
+            live.join(bc(remaining.withColumnRenamed("v", "src")), "src", "semi")
+            .join(bc(remaining.withColumnRenamed("v", "dst")), "dst", "semi")
+            .select("src", "dst")
+        )
+        # ---- 2. forward min-color fixpoint ------------------------------
+        colors = truncate_lineage(remaining.select("v", F.col("v").alias("comm")))
+        for it in range(max_iters):
+            nxt = truncate_lineage(cc_step(core, colors, broadcast_labels=bcast))
+            changed = (
+                nxt.join(colors.withColumnRenamed("comm", "old"), "v")
+                .where(F.col("comm") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            colors = nxt
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"strongly_connected_components: forward coloring did not "
+                f"converge in max_iters={max_iters} rounds — raise max_iters "
+                f"(bound is the remaining subgraph's directed diameter)"
+            )
+        # ---- 3. backward mark within each color class -------------------
+        marked = truncate_lineage(
+            colors.where(F.col("v") == F.col("comm")).select("v", "comm")
+        )
+        frontier = marked
+        for it in range(max_iters):
+            cand = (
+                core.join(
+                    bc(frontier.select(F.col("v").alias("dst"), "comm")), "dst"
+                )
+                .select(F.col("src").alias("v"), "comm")
+                .distinct()
+                .join(bc(colors.withColumnRenamed("comm", "c")), "v")
+                .where(F.col("c") == F.col("comm"))
+                .select("v", "comm")
+            )
+            new = truncate_lineage(cand.join(marked, "v", "left_anti"))
+            if new.limit(1).count() == 0:
+                break
+            marked = truncate_lineage(marked.unionByName(new))
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"strongly_connected_components: backward mark did not "
+                f"converge in max_iters={max_iters} rounds — raise max_iters"
+            )
+        _emit(marked)
+        remaining = truncate_lineage(
+            remaining.join(marked.select("v"), "v", "left_anti")
+        )
+    else:
+        e_prev.unpersist()
+        raise RuntimeError(
+            f"strongly_connected_components: max_rounds={max_rounds} outer "
+            f"rounds exhausted with vertices still unassigned — every round "
+            f"removes at least one whole SCC, so this graph has more SCC "
+            f"'waves' than max_rounds; raise max_rounds"
+        )
+    e_prev.unpersist()
+    if not parts:
+        return universe.select("v", F.col("v").alias("comm")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Label propagation (community detection)
 # ---------------------------------------------------------------------------

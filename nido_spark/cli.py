@@ -100,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "-a", "--algo", default="louvain",
         choices=["louvain", "louvain-refined", "pagerank", "cc", "lpa",
-                 "triangles", "k-core", "sssp", "hits", "betweenness", "msf"],
+                 "triangles", "k-core", "sssp", "hits", "betweenness", "msf",
+                 "scc"],
         help="algorithm to run (default: the reference's Louvain; "
              "louvain-refined chains the Leiden-style connected split)",
     )
@@ -177,6 +178,12 @@ def main(argv: list[str] | None = None) -> int:
         n = out_df.select("comm").distinct().count()
         metrics["cc"] = {"n_components": n, "sec": round(time.time() - t2, 2)}
         print(f"cc: {n} components [{metrics['cc']['sec']}s]")
+    elif args.algo == "scc":
+        # directed SCC; on a symmetric edge table this equals cc
+        out_df = A.strongly_connected_components(edges)
+        n = out_df.select("comm").distinct().count()
+        metrics["scc"] = {"n_components": n, "sec": round(time.time() - t2, 2)}
+        print(f"scc: {n} components [{metrics['scc']['sec']}s]")
     elif args.algo == "lpa":
         out_df = A.label_propagation(edges, nbatches=args.nbatches)
         metrics["lpa"] = {"sec": round(time.time() - t2, 2)}
