@@ -459,6 +459,55 @@ def _q_emb_kmeans(spark, sf):
     return out.select("id", "cid", F.round("sqdist", 6).alias("sqdist"))
 
 
+def _q_emb_neighbor_mean(spark, sf):
+    # GraphSAGE-mean aggregate over a deterministic ring+chord graph on
+    # the embedding ids (dst of id -> (id+1) % n and (7*id+3) % n,
+    # duplicates collapsed, self-loops dropped): per-vertex elementwise
+    # mean of in-neighbor embedding vectors, posexploded to (v, n_nbrs,
+    # i, x) long format so every component is value-hashed. ids are
+    # non-negative so % == pmod on both engines.
+    emb = _emb(spark, sf).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("feat")
+    )
+    n = emb.count()
+    src = F.col("id").alias("src")
+    e = (
+        emb.select(src, F.pmod(F.col("id") + 1, F.lit(n)).alias("dst"))
+        .unionByName(
+            emb.select(src, F.pmod(F.col("id") * 7 + 3, F.lit(n)).alias("dst"))
+        )
+        .distinct()
+    )
+    out = G.neighbor_feature_mean(e, emb, dim=64, id_col="id", feat_col="feat")
+    return out.select(
+        "v", "n_nbrs", F.posexplode("nbr_feat").alias("i", "x")
+    ).select(
+        "v",
+        "n_nbrs",
+        F.col("i").cast("long").alias("i"),
+        F.round("x", 9).alias("x"),
+    )
+
+
+def _q_doc_unigram_logloss(spark, sf):
+    # per-doc cross-entropy (bits/token) under the corpus's own add-0.5
+    # smoothed unigram LM — the CCNet-style perplexity quality signal;
+    # the oracle recomputes the identical model from the same whitespace
+    # tokenizer rendering (9 dp absorbs libm/sum-order ULPs)
+    out = X.unigram_logloss(_docs(spark, sf))
+    return out.select(
+        "doc_id", "n_tokens", F.round("xent_bits", 9).alias("xent_bits")
+    )
+
+
+def _q_edges_powerlaw_alpha(spark, sf):
+    # Clauset-Shalizi-Newman continuous-MLE power-law exponent of the
+    # lineitem-graph degree tail (deg >= 2) — the one-number heavy-tail
+    # diagnostic; n_tail is exact, alpha is one division over a log sum
+    out = G.degree_powerlaw_alpha(lineitem_edges(spark, sf), dmin=2)
+    return out.select("dmin", "n_tail", F.round("alpha", 9).alias("alpha"))
+
+
 def _q_doc_bm25(spark, sf):
     # Okapi BM25 over the shared whitespace tokenizer; all float inputs
     # (tf, df, dl, N, total tokens) are exact integers and the expression
@@ -1054,6 +1103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_neighbor_mean": _q_emb_neighbor_mean,
+        "doc_unigram_logloss": _q_doc_unigram_logloss,
+        "edges_powerlaw_alpha": _q_edges_powerlaw_alpha,
         "edges_cc_incremental": _q_edges_cc_incremental,
         "doc_bm25": _q_doc_bm25,
         "transcript_louvain_refined": _q_transcript_louvain_refined,
@@ -2624,6 +2676,57 @@ SELECT n::BIGINT AS n_edges,
               / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
          ELSE 0.0 END, 9) AS assortativity
 FROM s"""
+
+    # CSN continuous-MLE power-law exponent over the deg >= 2 tail:
+    # same degree derivation as the assortativity oracle, one log sum
+    sql["edges_powerlaw_alpha"] = f"""{_E},
+half AS (SELECT src, dst FROM e WHERE src != dst),
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM half GROUP BY src),
+tail AS (SELECT deg FROM deg WHERE deg >= 2)
+SELECT 2::BIGINT AS dmin, COUNT(*)::BIGINT AS n_tail,
+       ROUND(CASE WHEN COUNT(*) >= 2
+                  THEN 1.0 + COUNT(*)::DOUBLE / SUM(ln(deg::DOUBLE / 1.5))
+             END, 9) AS alpha
+FROM tail"""
+
+    # GraphSAGE-mean aggregate: the ring+chord fixture graph and the
+    # per-component mean re-derived with 1-based array indexing over a
+    # 64-row range — no step of the Spark plan is replayed, only the
+    # elementwise-mean definition
+    sql["emb_neighbor_mean"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+e0 AS (
+  SELECT vec_id AS src, (vec_id + 1) % (SELECT n FROM nn) AS dst FROM embeddings
+  UNION ALL
+  SELECT vec_id, (vec_id * 7 + 3) % (SELECT n FROM nn) FROM embeddings
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+x AS (
+  SELECT e.dst AS v, r.i, em.embedding[r.i + 1]::DOUBLE AS x
+  FROM e JOIN embeddings em ON em.vec_id = e.src
+  CROSS JOIN (SELECT range AS i FROM range(0, 64)) r
+)
+SELECT v, COUNT(*)::BIGINT AS n_nbrs, i::BIGINT AS i, ROUND(AVG(x), 9) AS x
+FROM x GROUP BY v, i"""
+
+    # corpus-trained add-0.5 unigram LM cross-entropy: identical
+    # whitespace-tokenizer rendering as doc_token_count, model stats
+    # (N, V) recomputed in SQL, per-token log2 terms summed per doc
+    sql["doc_unigram_logloss"] = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(tt, '\s+')) AS tok
+  FROM t0 WHERE tt <> ''
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT (SUM(c)::DOUBLE + 0.5 * COUNT(*)::DOUBLE) AS denom FROM counts)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(-SUM(log2((c::DOUBLE + 0.5) / (SELECT denom FROM tot)))
+             / COUNT(*), 9) AS xent_bits
+FROM toks JOIN counts USING (tok)
+GROUP BY doc_id"""
 
     # average neighbor degree: same exact-integer-sum recipe as the
     # assortativity oracle — HUGEINT neighbor-degree sum, ONE double

@@ -346,6 +346,78 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def neighbor_feature_mean(
+    edges: DataFrame,
+    features: DataFrame,
+    dim: int,
+    id_col: str = "id",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """(v, n_nbrs, nbr_feat) — the elementwise MEAN of each vertex's
+    in-neighbor feature vectors: the GraphSAGE-mean AGGREGATE step
+    (Hamilton et al. 2017) that follows ``neighbor_sample`` in a GNN
+    minibatch pipeline (sample the fanout, then aggregate the sampled
+    neighborhood's features; the downstream CONCAT(self, agg) needs no
+    graph op). Aggregates over IN-neighbors (edge u->v contributes
+    feat(u) to v), which equals "neighbors" on the canonical symmetric
+    table; self-loops are excluded. Only vertices with >=1 in-neighbor
+    appear. ``dim`` is explicit — no inference scan (the lsh/ivf
+    ``.first()`` nit never enters).
+
+    Pure Catalyst, NO explode and NO collect_list: the vector mean is
+    decomposed into ``dim`` scalar AVG aggregates inside ONE grouped
+    aggregation. Partial map-side combine means the shuffle moves one
+    (dst, dim partial sums + count) row per (map partition, dst) pair —
+    not E x dim element rows and not per-hub collected arrays, so a
+    10^12-edge graph with celebrity vertices shuffles bounded state and
+    each hub is one spillable reduce key."""
+    f = features.select(
+        F.col(id_col).alias("src"), F.col(feat_col).alias("_f")
+    )
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    aggs = [F.count(F.lit(1)).alias("n_nbrs")] + [
+        F.avg(F.col("_f")[i].cast("double")).alias(f"_m{i}")
+        for i in range(dim)
+    ]
+    out = e.join(f, "src").groupBy(F.col("dst").alias("v")).agg(*aggs)
+    return out.select(
+        "v",
+        "n_nbrs",
+        F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("nbr_feat"),
+    )
+
+
+def degree_powerlaw_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """One-row ``(dmin, n_tail, alpha)`` — the continuous maximum-likelihood
+    power-law exponent of the degree distribution over vertices with
+    deg >= dmin: alpha = 1 + n / SUM(ln(d / (dmin - 0.5))) (Clauset-
+    Shalizi-Newman 2009, eq. 3.7 discrete approximation). The standard
+    one-number heavy-tail diagnostic for a web-scale link graph — decides
+    salting/skew strategy before running anything iterative (BA-shaped
+    transcript graphs sit near alpha ~ 2-3). Expects the canonical
+    symmetric edge table; self-loops excluded.
+
+    alpha is NULL when fewer than 2 tail vertices qualify (the MLE is
+    undefined). One degree aggregation + one filtered scalar reduce; the
+    log-sum is the only float, so the oracle replays it term-for-term
+    (9 dp absorbs engine libm/sum-order ULPs)."""
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    deg = half.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tail = deg.where(F.col("deg") >= dmin)
+    return tail.agg(
+        F.lit(dmin).cast("long").alias("dmin"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.when(
+            F.count(F.lit(1)) >= 2,
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg").cast("double") / F.lit(dmin - 0.5))),
+        ).alias("alpha"),
+    )
+
+
 def reciprocity(directed_edges: DataFrame) -> DataFrame:
     """One-row ``(n_directed, n_reciprocal, reciprocity)`` over a DIRECTED
     edge table (``io.transcripts_to_directed_edges`` shape): the fraction of

@@ -698,3 +698,50 @@ def vocab_top_k(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "token", "cnt", "rank"
     )
+
+
+def unigram_logloss(
+    docs: DataFrame, text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """(doc_id, n_tokens, xent_bits) — per-document cross-entropy in
+    bits/token under the corpus's OWN add-k-smoothed unigram language
+    model: p(t) = (c_t + k) / (N + k*V) over corpus token counts (N
+    total tokens, V distinct). The classic cheap LM-quality signal
+    (CCNet-style perplexity bucketing, Wenzek et al. 2020) with no
+    external model — repetitive/boilerplate docs score LOW bits/token,
+    lexically odd docs score HIGH; filter both tails. perplexity =
+    2^xent_bits. Documents with zero tokens are dropped (entropy
+    undefined). Tokens are the shared whitespace ``tokens()`` (same
+    counts as token_count, oracle-replayable).
+
+    100 TB shape: one explode + map-side-combined token count (the
+    vocab_top_k scan), two scalar reductions (N, V — driver scalars by
+    the house rule), then token-keyed join back and a per-doc grouped
+    sum. Both shuffles key on token/doc_id with partial aggregation;
+    hot tokens ('the') are single spillable reduce keys at the count
+    and broadcast-or-AQE-handled at the join."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_corpus, vocab = int(tot["n"] or 0), int(tot["v"] or 0)
+    if n_corpus == 0:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("xent_bits"),
+        ).limit(0)
+    denom = float(n_corpus) + k * float(vocab)
+    scored = toks.join(counts, "tok").select(
+        "doc_id",
+        F.log2((F.col("c").cast("double") + F.lit(k)) / F.lit(denom)).alias(
+            "lp"
+        ),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("lp") / F.count(F.lit(1))).alias("xent_bits"),
+    )

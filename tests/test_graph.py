@@ -420,3 +420,83 @@ def test_directed_transcript_edges_symmetrize_invariant(spark):
         ).collect()
     }
     assert via_directed == sym
+
+
+def test_neighbor_feature_mean_hand_and_numpy(spark):
+    """Exact hand fixture (dim 2), then NumPy parity on a random feature
+    table — elementwise in-neighbor mean, self-loops dropped, vertices
+    with no in-neighbor absent."""
+    import numpy as np
+
+    from nido_spark.graph import neighbor_feature_mean
+
+    feats = spark.createDataFrame(
+        [(0, [1.0, 10.0]), (1, [2.0, 20.0]), (2, [4.0, 40.0])],
+        "id long, feat array<double>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 0), (2, 2)], "src long, dst long"
+    )
+    got = {
+        r["v"]: (r["n_nbrs"], tuple(r["nbr_feat"]))
+        for r in neighbor_feature_mean(edges, feats, dim=2).collect()
+    }
+    assert got == {2: (2, (1.5, 15.0)), 0: (1, (4.0, 40.0))}
+
+    rng = np.random.RandomState(3)
+    nv, dim = 40, 5
+    fm = rng.rand(nv, dim)
+    e = [(int(a), int(b)) for a, b in rng.randint(0, nv, size=(150, 2)) if a != b]
+    fdf = spark.createDataFrame(
+        [(i, [float(x) for x in fm[i]]) for i in range(nv)],
+        "id long, feat array<double>",
+    )
+    edf = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["v"]: (r["n_nbrs"], np.array(r["nbr_feat"]))
+        for r in neighbor_feature_mean(edf, fdf, dim=dim).collect()
+    }
+    from collections import defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in e:
+        nbrs[b].append(a)
+    assert set(got) == set(nbrs)
+    for v, us in nbrs.items():
+        # duplicate edges both count (multigraph mean) — matches the op
+        assert got[v][0] == len(us)
+        assert np.allclose(got[v][1], fm[us].mean(axis=0), atol=1e-12)
+
+
+def test_degree_powerlaw_alpha_formula_and_heavy_tail(spark, karate):
+    """Pure-Python CSN formula parity on karate, and a BA-shaped random
+    graph lands in the documented heavy-tail band."""
+    import math
+
+    from nido_spark.graph import degree_powerlaw_alpha
+    from nido_spark.io import ba_random_edges
+
+    edges, _ = karate
+    row = degree_powerlaw_alpha(edges, dmin=2).first()
+    degs = {}
+    for r in edges.where(F.col("src") != F.col("dst")).collect():
+        degs[r["src"]] = degs.get(r["src"], 0) + 1
+    tail = [d for d in degs.values() if d >= 2]
+    want = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert row["n_tail"] == len(tail)
+    assert abs(row["alpha"] - want) < 1e-12
+
+    ba = ba_random_edges(spark, 400, m0=3, seed=11)
+    a = degree_powerlaw_alpha(ba, dmin=3).first()["alpha"]
+    assert 1.5 < a < 4.5  # BA attachment: heavy tail, alpha ~ 2-3.5
+
+
+def test_degree_powerlaw_alpha_undefined_tail(spark):
+    """Fewer than 2 qualifying vertices -> alpha NULL, n_tail exact."""
+    from nido_spark.graph import degree_powerlaw_alpha
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0)], "src long, dst long"
+    ).withColumn("w", F.lit(1.0))
+    row = degree_powerlaw_alpha(e, dmin=2).first()
+    assert row["n_tail"] == 0 and row["alpha"] is None

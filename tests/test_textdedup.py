@@ -731,3 +731,35 @@ def test_bm25_matches_hand_computation(spark):
     # cherry is rarer than apple: doc 2 (one cherry) outranks doc 1
     # (two apples) despite lower tf
     assert got[2][0] > got[1][0]
+
+
+def test_unigram_logloss_hand_computed(spark):
+    """Tiny corpus, model recomputed by hand: p(t) = (c+0.5)/(N+0.5V);
+    xent = -(1/n) sum log2 p. Repetitive docs score strictly lower."""
+    import math
+
+    from nido_spark.textops import unigram_logloss
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "   "), (4, "b b a")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logloss(docs).collect()}
+    # corpus tokens: a x6, b x3, c x1, d x1 -> N=11, V=4, denom=13
+    p = {t: (c + 0.5) / 13.0 for t, c in {"a": 6, "b": 3, "c": 1, "d": 1}.items()}
+    want1 = -sum(math.log2(p["a"]) for _ in range(4)) / 4
+    want2 = -(math.log2(p["a"]) + math.log2(p["b"]) + math.log2(p["c"]) + math.log2(p["d"])) / 4
+    want4 = -(2 * math.log2(p["b"]) + math.log2(p["a"])) / 3
+    assert 3 not in rows  # blank doc dropped
+    assert rows[1]["n_tokens"] == 4 and abs(rows[1]["xent_bits"] - want1) < 1e-9
+    assert rows[2]["n_tokens"] == 4 and abs(rows[2]["xent_bits"] - want2) < 1e-9
+    assert rows[4]["n_tokens"] == 3 and abs(rows[4]["xent_bits"] - want4) < 1e-9
+    # the all-common-token doc is "easier" than the diverse one
+    assert rows[1]["xent_bits"] < rows[2]["xent_bits"]
+
+
+def test_unigram_logloss_empty_corpus(spark):
+    from nido_spark.textops import unigram_logloss
+
+    docs = spark.createDataFrame([(1, "  "), (2, "")], "doc_id long, text string")
+    assert unigram_logloss(docs).count() == 0
