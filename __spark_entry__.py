@@ -396,6 +396,34 @@ def _q_transcript_scc(spark, sf):
     )
 
 
+def _q_transcript_tool_pmi(spark, sf):
+    # (normalized) PMI of tool co-usage over conversations: joint,
+    # marginals, and the key total all come from ONE capped membership
+    # set, so the probabilities are coherent; row selection is
+    # integer-only (min_cooc=2), the two log scores round at 9 dp
+    tr = synth_transcripts(spark, 500, seed=42)
+    pairs = tr.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("key"), F.col("tool").alias("item")
+    )
+    out = G.cooccurrence_pmi(pairs, min_cooc=2)
+    return out.select(
+        "a", "b", "n_ab", "n_a", "n_b",
+        F.round("pmi", 9).alias("pmi"),
+        F.round("npmi", 9).alias("npmi"),
+    )
+
+
+def _q_transcript_condensation_layers(spark, sf):
+    # SCC condensation of the directed conversation-flow graph (always a
+    # DAG), then Kahn/longest-path layer numbers — the dependency-wave
+    # view; all-integer output, oracle = recursive closure SCC + a
+    # recursive longest-path CTE over the condensed edges
+    tr = synth_transcripts(spark, 500, seed=42)
+    de = transcripts_to_directed_edges(tr, strategy="dense")
+    labels = A.strongly_connected_components(de)
+    return A.topo_layers(A.condense(de, labels=labels))
+
+
 def _q_transcript_khop(spark, sf):
     # 3-hop ego neighborhood of vertex 0 with min hop counts — the GNN
     # receptive-field expansion, value-checked against an unrolled
@@ -487,6 +515,14 @@ def _q_emb_neighbor_mean(spark, sf):
         F.col("i").cast("long").alias("i"),
         F.round("x", 9).alias("x"),
     )
+
+
+def _q_doc_tfidf_keywords(spark, sf):
+    # top-5 tf-idf keywords per document; scores are ROUNDED TO 9 DP
+    # BEFORE ranking in both engines, so exact-real score ties (e.g.
+    # 2*ln(N/4) = ln(N/16)) can't let a 1-ulp libm divergence change
+    # the selected rows; token ASC breaks rounded ties
+    return X.tfidf_keywords(_docs(spark, sf), top_k=5)
 
 
 def _q_doc_unigram_logloss(spark, sf):
@@ -1099,6 +1135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_inout_degree": _q_transcript_inout_degree,
         "transcript_khop": _q_transcript_khop,
         "transcript_scc": _q_transcript_scc,
+        "transcript_tool_pmi": _q_transcript_tool_pmi,
+        "transcript_condensation_layers": _q_transcript_condensation_layers,
+        "doc_tfidf_keywords": _q_doc_tfidf_keywords,
         "karate_msf": _q_karate_msf,
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
@@ -2877,6 +2916,89 @@ mutual AS (
 SELECT verts.v, LEAST(verts.v, COALESCE(MIN(m.u), verts.v)) AS comm
 FROM verts LEFT JOIN mutual m ON m.v = verts.v
 GROUP BY verts.v"""
+
+    # condensation + Kahn layers: the SCC oracle above extended with the
+    # contracted DAG and a SECOND recursive CTE enumerating (v, depth)
+    # pairs — MAX(depth) per vertex IS the longest-path layer (vertex
+    # universe = condensed-edge endpoints, the topo_layers contract)
+    sql["transcript_condensation_layers"] = f"""
+WITH RECURSIVE te AS MATERIALIZED ({_transcript_directed_edges_sql()}),
+de AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM te UNION SELECT dst AS v FROM te)),
+reach(s, v) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.s, d.dst FROM reach r JOIN de d ON r.v = d.src
+),
+mutual AS (
+  SELECT a.s AS v, a.v AS u FROM reach a JOIN reach b ON a.s = b.v AND a.v = b.s
+),
+lab AS (
+  SELECT verts.v, LEAST(verts.v, COALESCE(MIN(m.u), verts.v)) AS comm
+  FROM verts LEFT JOIN mutual m ON m.v = verts.v GROUP BY verts.v
+),
+ce AS (
+  SELECT DISTINCT ls.comm AS src, ld.comm AS dst
+  FROM de JOIN lab ls ON ls.v = de.src JOIN lab ld ON ld.v = de.dst
+  WHERE ls.comm <> ld.comm
+),
+cverts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ce UNION SELECT dst AS v FROM ce)),
+r(v, d) AS (
+  SELECT v, 0 FROM cverts
+  UNION
+  SELECT ce.dst, r.d + 1 FROM r JOIN ce ON ce.src = r.v
+)
+SELECT v, MAX(d)::BIGINT AS layer FROM r GROUP BY v"""
+
+    # tool co-usage PMI: joint/marginal/total counts re-derived from the
+    # same capped membership; score expressions mirrored op-for-op
+    # ((n_ab * n_keys) / (n_a * n_b) grouping), 9 dp absorbs libm ULPs
+    sql["transcript_tool_pmi"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {{TRV}}),
+p0 AS (SELECT DISTINCT conv_id AS k, tool AS item FROM tr WHERE tool IS NOT NULL),
+keep AS (SELECT k FROM (SELECT k, COUNT(*) AS c FROM p0 GROUP BY k) WHERE c <= 256),
+pc AS (SELECT p0.* FROM p0 JOIN keep USING (k)),
+nk AS (SELECT COUNT(DISTINCT k) AS n FROM pc),
+marg AS (SELECT item, COUNT(*) AS n FROM pc GROUP BY item),
+co AS (
+  SELECT l.item AS a, r.item AS b, COUNT(*) AS n_ab
+  FROM pc l JOIN pc r ON l.k = r.k AND l.item < r.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT a, b, n_ab::BIGINT AS n_ab, ma.n::BIGINT AS n_a, mb.n::BIGINT AS n_b,
+  ROUND(ln(n_ab::DOUBLE * (SELECT n FROM nk)::DOUBLE
+           / (ma.n::DOUBLE * mb.n::DOUBLE)), 9) AS pmi,
+  ROUND(CASE WHEN n_ab = (SELECT n FROM nk) THEN 1.0
+        ELSE ln(n_ab::DOUBLE * (SELECT n FROM nk)::DOUBLE
+                / (ma.n::DOUBLE * mb.n::DOUBLE))
+             / ln((SELECT n FROM nk)::DOUBLE / n_ab::DOUBLE) END, 9) AS npmi
+FROM co JOIN marg ma ON ma.item = co.a JOIN marg mb ON mb.item = co.b""".replace(
+        "{TRV}", _transcript_values_sql()
+    )
+
+    # top-5 tf-idf keywords: same tokenizer rendering as corpus_vocab,
+    # scores rounded to 9 dp BEFORE the rank window in BOTH engines (the
+    # tie-stability contract in textops.tfidf_keywords)
+    sql["doc_tfidf_keywords"] = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS tt
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(tt, '\s+')) AS token
+  FROM t0 WHERE tt <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, token, tf, df,
+         ROUND(tf::DOUBLE * ln((SELECT n FROM nd)::DOUBLE / df::DOUBLE), 9) AS score
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, tf::BIGINT AS tf, df::BIGINT AS df, score,
+       (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC))::BIGINT AS rank
+FROM s QUALIFY rank <= 5"""
 
     # 3-hop min-hop BFS from vertex 0, unrolled: each round expands every
     # reached vertex by one edge and takes MIN(hop) — after k rounds this

@@ -1370,6 +1370,90 @@ def strongly_connected_components(
     return out
 
 
+def condense(
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    **scc_kwargs,
+) -> DataFrame:
+    """(src, dst) — the CONDENSATION of a directed graph: one vertex per
+    SCC (its min-member label), one distinct edge per ordered pair of
+    distinct SCCs with at least one cross edge. Always a DAG (contracting
+    every cycle is what SCCs are). Pass precomputed ``labels`` (v, comm)
+    to reuse a ``strongly_connected_components`` run; otherwise it is
+    computed here. Two label joins + one distinct — the ``coarsen``
+    rendering (louvain.py) on the directed table."""
+    if labels is None:
+        labels = strongly_connected_components(edges, **scc_kwargs)
+    ls = labels.select(F.col("v").alias("src"), F.col("comm").alias("cs"))
+    ld = labels.select(F.col("v").alias("dst"), F.col("comm").alias("cd"))
+    return (
+        edges.select("src", "dst")
+        .join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .distinct()
+    )
+
+
+def topo_layers(
+    dag_edges: DataFrame,
+    max_iters: int = 200,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, layer) — longest-path-from-a-source layering of a DAG: sources
+    are layer 0, and layer(v) = 1 + max(layer(u)) over in-edges u->v.
+    This is Kahn topological ordering with the canonical layer numbers
+    (every edge goes strictly layer-upward — the parallel-schedule /
+    dependency-wave view of the condensation). Input MUST be a DAG
+    (e.g. ``condense`` output); a cycle can never converge, and the
+    loud max_iters contract reports exactly that. Converges in
+    depth(DAG) rounds; plan shape is the cc/sssp template — dst-pinned
+    edges persisted once, broadcast-gated V-row layer state, one E-row
+    aggregation per round, truncate_lineage at every boundary."""
+    spark = dag_edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        dag_edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    e.count()
+    verts = truncate_lineage(_all_vertices(e))
+    bc = F.broadcast if verts.count() <= broadcast_threshold else (lambda df: df)
+    layers = truncate_lineage(verts.select("v", F.lit(0).cast("long").alias("layer")))
+    for _ in range(max_iters):
+        from_in = (
+            e.join(bc(layers.select(F.col("v").alias("src"), "layer")), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg((F.max("layer") + F.lit(1)).alias("nl"))
+        )
+        nxt = truncate_lineage(
+            layers.join(bc(from_in), "v", "left").select(
+                "v",
+                F.greatest("layer", F.coalesce("nl", F.col("layer"))).alias("layer"),
+            )
+        )
+        changed = (
+            nxt.join(layers.withColumnRenamed("layer", "old"), "v")
+            .where(F.col("layer") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        layers = nxt
+        if changed == 0:
+            e.unpersist()
+            return layers
+    e.unpersist()
+    raise RuntimeError(
+        f"topo_layers: no fixpoint after max_iters={max_iters} rounds — the "
+        f"input contains a cycle (layers grow forever on one) or its depth "
+        f"exceeds max_iters; condense() the graph first or raise max_iters"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Label propagation (community detection)
 # ---------------------------------------------------------------------------

@@ -505,6 +505,24 @@ def project_bipartite(
     Rendered as: distinct -> per-key size -> size-filtered self-join on
     key with a < b -> groupBy pair count. The size table joins back
     broadcastable (one row per key)."""
+    p = _capped_membership(pairs, key_col, item_col, max_items_per_key)
+    left = p.select("k", F.col("item").alias("a"))
+    right = p.select("k", F.col("item").alias("b"))
+    return (
+        left.join(right, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def _capped_membership(
+    pairs: DataFrame, key_col: str, item_col: str, max_items_per_key: int
+) -> DataFrame:
+    """(k, item) — distinct membership pairs with hub keys above
+    ``max_items_per_key`` EXCLUDED (shared by project_bipartite and
+    cooccurrence_pmi so joints and marginals come from the SAME filtered
+    set). Cap=0 disables."""
     p = pairs.select(
         F.col(key_col).alias("k"), F.col(item_col).alias("item")
     ).distinct()
@@ -515,11 +533,57 @@ def project_bipartite(
             "k",
             "left_semi",
         )
+    return p
+
+
+def cooccurrence_pmi(
+    pairs: DataFrame,
+    key_col: str = "key",
+    item_col: str = "item",
+    max_items_per_key: int = 256,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """(a, b, n_ab, n_a, n_b, pmi, npmi) — (normalized) pointwise mutual
+    information of item co-occurrence over key-sets, a < b: the standard
+    association score on top of the bipartite projection (collocation
+    mining, tool-affinity, doc-term association). With p(x) = n_x /
+    n_keys counted over the SAME capped membership as the joint (one
+    ``_capped_membership`` rendering feeds marginals, joint, and the key
+    total), probabilities are coherent by construction:
+
+        pmi  = ln(p_ab / (p_a * p_b)) = ln(n_ab * n_keys / (n_a * n_b))
+        npmi = pmi / -ln(p_ab)  in [-1, 1]   (Bouma 2009); npmi := 1.0
+               when p_ab = 1 (the -0/0 perfect-co-occurrence corner).
+
+    Row SELECTION is integer-only (``min_cooc`` on the exact joint
+    count), so the output row set is engine-exact; the two log scores
+    are the only floats (9 dp absorbs libm ULPs in the oracle). Same
+    scale contract as project_bipartite: hub keys excluded, fan-out
+    bounded at O(cap x |pairs|), marginals join back broadcastable."""
+    p = _capped_membership(pairs, key_col, item_col, max_items_per_key)
+    n_keys = p.select("k").distinct().count()
+    marg = p.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     left = p.select("k", F.col("item").alias("a"))
     right = p.select("k", F.col("item").alias("b"))
-    return (
+    co = (
         left.join(right, "k")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_cooc)
+    )
+    j = (
+        co.join(marg.select(F.col("item").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(marg.select(F.col("item").alias("b"), F.col("n").alias("n_b")), "b")
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.lit(float(n_keys))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    npmi = F.when(F.col("n_ab") == F.lit(n_keys), F.lit(1.0)).otherwise(
+        pmi / F.log(F.lit(float(n_keys)) / F.col("n_ab").cast("double"))
+    )
+    return j.select(
+        "a", "b", "n_ab", "n_a", "n_b", pmi.alias("pmi"), npmi.alias("npmi")
     )

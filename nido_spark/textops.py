@@ -745,3 +745,57 @@ def unigram_logloss(
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.sum("lp") / F.count(F.lit(1))).alias("xent_bits"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc_id, token, tf, df, score, rank) — the top ``top_k`` keywords
+    per document by tf-idf: score = tf * ln(N / df) with N = corpus doc
+    count and df = documents containing the token (lowercased whitespace
+    tokens, the vocab_top_k convention). The standard cheap keyword /
+    topic-signal extractor for corpus exploration and tagging.
+
+    Rank order is (ROUND(score, 9) DESC, token ASC) — the 9 dp rounding
+    happens BEFORE ranking in both this plan and the oracle, so a 1-ulp
+    libm divergence between engines can never swap two near-equal scores
+    and change the selected row set (exact-real score ties like
+    2*ln(N/4) = ln(N/16) do occur in integer tf/df data). min_df prunes
+    hapax noise before ranking.
+
+    100 TB shape: explode + (doc, token) count + token-keyed df count,
+    then ONE window partitioned by doc_id — bounded by tokens-per-doc,
+    never corpus-wide; all shuffles are map-side-combined aggregations
+    on doc or token keys."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            9,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )

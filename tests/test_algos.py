@@ -997,3 +997,60 @@ def test_scc_loud_contracts(spark):
     # and with the default budget the same graph resolves exactly
     got = {(r["v"], r["comm"]) for r in scc(two_wave).collect()}
     assert got == {(0, 0), (1, 0), (2, 2), (3, 2)}
+
+
+def test_condense_and_topo_layers_match_networkx(spark):
+    """Condensation vertex/edge sets against nx.condensation (mapped to
+    min-member labels) and layers against the longest-path recurrence."""
+    import networkx as nx
+    import numpy as np
+
+    from nido_spark.algos import (
+        condense,
+        strongly_connected_components as scc,
+        topo_layers,
+    )
+
+    rng = np.random.RandomState(19)
+    edges = [
+        (int(a), int(b)) for a, b in rng.randint(0, 40, size=(140, 2)) if a != b
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = scc(e)
+    dag = condense(e, labels=labels)
+    got_edges = {(r["src"], r["dst"]) for r in dag.collect()}
+
+    g = nx.DiGraph()
+    g.add_edges_from(edges)
+    cond = nx.condensation(g)  # nodes = indices with 'members'
+    m2lab = {i: min(cond.nodes[i]["members"]) for i in cond.nodes}
+    want_edges = {(m2lab[u], m2lab[v]) for u, v in cond.edges}
+    assert got_edges == want_edges
+
+    got_layers = {(r["v"], r["layer"]) for r in topo_layers(dag).collect()}
+    # longest-path layering over the endpoint universe
+    want = {}
+    for i in nx.topological_sort(cond):
+        want[m2lab[i]] = max(
+            (want[m2lab[u]] + 1 for u, _ in cond.in_edges(i)), default=0
+        )
+    endpoints = {x for ed in want_edges for x in ed}
+    assert got_layers == {(v, l) for v, l in want.items() if v in endpoints}
+    # every condensed edge goes strictly layer-upward
+    lay = dict(got_layers)
+    assert all(lay[u] < lay[v] for u, v in got_edges)
+
+
+def test_topo_layers_cycle_raises(spark):
+    import pytest as _pytest
+
+    from nido_spark.algos import topo_layers
+
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="cycle"):
+        topo_layers(cyc, max_iters=10)
+    # and a plain path layers 0..3
+    path = spark.createDataFrame([(i, i + 1) for i in range(3)], "src long, dst long")
+    assert {(r["v"], r["layer"]) for r in topo_layers(path).collect()} == {
+        (0, 0), (1, 1), (2, 2), (3, 3),
+    }

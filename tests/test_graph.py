@@ -500,3 +500,37 @@ def test_degree_powerlaw_alpha_undefined_tail(spark):
     ).withColumn("w", F.lit(1.0))
     row = degree_powerlaw_alpha(e, dmin=2).first()
     assert row["n_tail"] == 0 and row["alpha"] is None
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    """Tiny membership fixture: joints, marginals, pmi = ln(n*c_ab/(c_a*c_b)),
+    npmi = pmi / ln(n/c_ab); min_cooc prunes; perfect co-occurrence -> 1.0."""
+    import math
+
+    from nido_spark.graph import cooccurrence_pmi
+
+    # keys 1..4; x in all, y in {1,2,3}, z in {1,2}, w only in 4
+    rows = [(k, "x") for k in (1, 2, 3, 4)] + [
+        (1, "y"), (2, "y"), (3, "y"), (1, "z"), (2, "z"), (4, "w"),
+    ]
+    pairs = spark.createDataFrame(rows, "key long, item string")
+    got = {
+        (r["a"], r["b"]): r for r in cooccurrence_pmi(pairs, min_cooc=2).collect()
+    }
+    # qualifying joints: (x,y)=3, (x,z)=2, (y,z)=2; (w,x)=1 pruned
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    n = 4.0
+    for (a, b), (ca, cb, cab) in {
+        ("x", "y"): (4, 3, 3), ("x", "z"): (4, 2, 2), ("y", "z"): (3, 2, 2),
+    }.items():
+        r = got[(a, b)]
+        assert (r["n_a"], r["n_b"], r["n_ab"]) == (ca, cb, cab)
+        pmi = math.log(cab * n / (ca * cb))
+        assert abs(r["pmi"] - pmi) < 1e-12
+        assert abs(r["npmi"] - pmi / math.log(n / cab)) < 1e-12
+    # perfect co-occurrence corner: both items in every key -> npmi 1.0
+    full = spark.createDataFrame(
+        [(k, i) for k in (1, 2) for i in ("p", "q")], "key long, item string"
+    )
+    r = cooccurrence_pmi(full, min_cooc=2).first()
+    assert r["npmi"] == 1.0 and abs(r["pmi"]) < 1e-12

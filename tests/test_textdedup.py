@@ -763,3 +763,36 @@ def test_unigram_logloss_empty_corpus(spark):
 
     docs = spark.createDataFrame([(1, "  "), (2, "")], "doc_id long, text string")
     assert unigram_logloss(docs).count() == 0
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """tf-idf with hand-checkable counts: df from doc-level presence,
+    score = tf*ln(N/df) rounded to 9 dp BEFORE ranking, token-asc ties."""
+    import math
+
+    from nido_spark.textops import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, top_k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    n = 3.0
+    # doc 1: apple tf2 df1 -> 2ln3; banana tf1 df2 -> ln1.5; common score 0
+    r = rows[(1, 1)]
+    assert r["token"] == "apple" and r["tf"] == 2 and r["df"] == 1
+    assert abs(r["score"] - round(2 * math.log(n / 1), 9)) < 1e-12
+    assert rows[(1, 2)]["token"] == "banana"
+    # doc 2: banana and cherry both tf1 df2 -> equal scores, token asc
+    assert rows[(2, 1)]["token"] == "banana"
+    assert rows[(2, 2)]["token"] == "cherry"
+    # doc 3: cherry tf2 df2 beats date tf1 df1 iff 2ln(1.5) < ln(3): it is
+    assert rows[(3, 1)]["token"] == "date"
+    assert rows[(3, 2)]["token"] == "cherry"
+    # ubiquitous token never ranks while distinctive ones exist
+    assert all(r["token"] != "common" for r in rows.values())
