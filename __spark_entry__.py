@@ -517,6 +517,21 @@ def _q_emb_neighbor_mean(spark, sf):
     )
 
 
+def _q_edges_rich_club(spark, sf):
+    # rich-club staircase of the lineitem graph: all counts exact
+    # integers, phi one double division (NULL when n_k < 2); knots are
+    # k=0 plus every distinct degree / min-endpoint degree
+    out = G.rich_club(lineitem_edges(spark, sf))
+    return out.select("k", "n_k", "e_k", F.round("phi", 9).alias("phi"))
+
+
+def _q_doc_chunks(spark, sf):
+    # fixed-token-window chunking with overlap (40-token chunks, 8
+    # overlap): token-exact text via the shared whitespace tokenizer;
+    # chunk_text value-hashed directly
+    return X.chunk_documents(_docs(spark, sf), chunk_tokens=40, overlap=8)
+
+
 def _q_doc_tfidf_keywords(spark, sf):
     # top-5 tf-idf keywords per document; scores are ROUNDED TO 9 DP
     # BEFORE ranking in both engines, so exact-real score ties (e.g.
@@ -1138,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_pmi": _q_transcript_tool_pmi,
         "transcript_condensation_layers": _q_transcript_condensation_layers,
         "doc_tfidf_keywords": _q_doc_tfidf_keywords,
+        "edges_rich_club": _q_edges_rich_club,
+        "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
         "transcript_walks": _q_transcript_walks,
         "doc_line_dedup": _q_doc_line_dedup,
@@ -2727,6 +2744,62 @@ SELECT 2::BIGINT AS dmin, COUNT(*)::BIGINT AS n_tail,
                   THEN 1.0 + COUNT(*)::DOUBLE / SUM(ln(deg::DOUBLE / 1.5))
              END, 9) AS alpha
 FROM tail"""
+
+    # rich-club staircase: histograms + strictly-greater suffix sums over
+    # the combined distinct-value axis, re-derived with window frames
+    sql["edges_rich_club"] = f"""{_E},
+half AS (SELECT src, dst FROM e WHERE src < dst),
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM e WHERE src != dst GROUP BY src),
+dh AS (SELECT deg, COUNT(*) AS nv FROM deg GROUP BY deg),
+mdt AS (
+  SELECT LEAST(da.deg, db.deg) AS md
+  FROM half JOIN deg da ON da.v = half.src JOIN deg db ON db.v = half.dst
+),
+eh AS (SELECT md, COUNT(*) AS ne FROM mdt GROUP BY md),
+pts AS (
+  SELECT DISTINCT k FROM (
+    SELECT deg AS k FROM dh UNION SELECT md FROM eh UNION SELECT 0
+  )
+),
+t AS (
+  SELECT pts.k, COALESCE(nv, 0) AS nv, COALESCE(ne, 0) AS ne
+  FROM pts LEFT JOIN dh ON dh.deg = pts.k LEFT JOIN eh ON eh.md = pts.k
+),
+sfx AS (
+  SELECT k,
+    COALESCE(SUM(nv) OVER (ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_k,
+    COALESCE(SUM(ne) OVER (ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e_k
+  FROM t
+)
+SELECT k, n_k::BIGINT AS n_k, e_k::BIGINT AS e_k,
+       ROUND(CASE WHEN n_k >= 2
+                  THEN 2.0 * e_k::DOUBLE / (n_k::DOUBLE * (n_k - 1)::DOUBLE)
+             END, 9) AS phi
+FROM sfx"""
+
+    # token-window chunking: same tokenizer, 1-based inclusive list_slice
+    # mirrors Spark's slice(start, length) via LEAST(end, n); nchunks
+    # formula identical incl. the max(1, .) short-doc guard
+    sql["doc_chunks"] = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents
+),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS t,
+         len(regexp_split_to_array(tt, '\s+')) AS n
+  FROM t0 WHERE tt <> ''
+),
+ch AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, GREATEST(1, FLOOR((n - 8 - 1) / 32.0)::BIGINT + 1))) AS chunk_idx
+  FROM tk
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       len(list_slice(t, chunk_idx * 32 + 1, LEAST(chunk_idx * 32 + 40, n)))::BIGINT AS n_tokens,
+       array_to_string(list_slice(t, chunk_idx * 32 + 1, LEAST(chunk_idx * 32 + 40, n)), ' ') AS chunk_text
+FROM ch"""
 
     # GraphSAGE-mean aggregate: the ring+chord fixture graph and the
     # per-component mean re-derived with 1-based array indexing over a

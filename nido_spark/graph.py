@@ -587,3 +587,75 @@ def cooccurrence_pmi(
     return j.select(
         "a", "b", "n_ab", "n_a", "n_b", pmi.alias("pmi"), npmi.alias("npmi")
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """(k, n_k, e_k, phi) — the (unnormalized) rich-club coefficient
+    staircase: for each threshold k, n_k = vertices with degree > k,
+    e_k = undirected edges whose BOTH endpoints have degree > k, and
+    phi(k) = 2*e_k / (n_k*(n_k-1)) (Colizza et al. 2006; networkx
+    rich_club_coefficient semantics). Rows are emitted at the staircase
+    KNOTS — k = 0 plus every distinct observed degree / min-endpoint
+    degree — which determine phi at every other k (phi is constant
+    between knots); phi is NULL when n_k < 2. Expects the canonical
+    symmetric table; self-loops excluded.
+
+    Scale rendering: one degree aggregation (V rows), one min-endpoint-
+    degree pass (E rows, two broadcastable degree joins), two tiny
+    histograms, then ONE window over the combined DISTINCT-value axis —
+    O(distinct degrees) rows (~sqrt-ish of E in heavy-tail graphs),
+    never V or E rows, so the single-partition window is a few thousand
+    rows even at 10^12 edges. All counts exact integers; phi is one
+    double division."""
+    from pyspark.sql import Window
+
+    half = edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    deg = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nv"))
+    md = half.join(
+        deg.select(F.col("v").alias("src"), F.col("deg").alias("da")), "src"
+    ).join(
+        deg.select(F.col("v").alias("dst"), F.col("deg").alias("db")), "dst"
+    ).select(F.least("da", "db").alias("md"))
+    eh = md.groupBy("md").agg(F.count(F.lit(1)).alias("ne"))
+    spark = edges.sparkSession
+    pts = (
+        dh.select(F.col("deg").alias("k"))
+        .unionByName(eh.select(F.col("md").alias("k")))
+        .unionByName(spark.createDataFrame([(0,)], "k long"))
+        .distinct()
+    )
+    t = (
+        pts.join(dh.withColumnRenamed("deg", "k"), "k", "left")
+        .join(eh.withColumnRenamed("md", "k"), "k", "left")
+        .select(
+            "k",
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+        )
+    )
+    # strictly-greater suffix sums: rows with larger k under a desc order
+    w = (
+        Window.orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.select(
+        "k",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).alias("n_k"),
+        F.coalesce(F.sum("ne").over(w), F.lit(0)).alias("e_k"),
+    )
+    return t.select(
+        "k",
+        "n_k",
+        "e_k",
+        F.when(
+            F.col("n_k") >= 2,
+            F.lit(2.0)
+            * F.col("e_k").cast("double")
+            / (F.col("n_k").cast("double") * (F.col("n_k") - F.lit(1)).cast("double")),
+        ).alias("phi"),
+    )

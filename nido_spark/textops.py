@@ -799,3 +799,55 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_k)
         .select("doc_id", "token", "tf", "df", "score", "rank")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text) — fixed-size token-window
+    document chunking with overlap: the pretraining-sequence / RAG-passage
+    splitter. stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens); the final chunk keeps the short
+    tail; zero-token docs emit nothing. chunk_text rejoins tokens with a
+    single space — TOKEN-exact, not byte-exact (intra-doc whitespace runs
+    are normalized; the whitespace ``tokens()`` convention). Requires
+    0 <= overlap < chunk_tokens.
+
+    Pure Catalyst and map-only: tokens -> sequence(0, nchunks-1) explode
+    -> slice + array_join; no shuffle at all, so it scales as a straight
+    scan. nchunks = max(1, floor((n - overlap - 1)/stride) + 1) — exactly
+    the count of windows needed to cover every token once (the max(1,·)
+    guards n <= overlap, where the float floor goes negative — and
+    Spark's sequence(0, -1) would DESCEND, not return empty)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap ({overlap}) < "
+            f"chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    t = docs.select("doc_id", tokens(F.col(text_col)).alias("_t"))
+    t = t.withColumn("_n", F.size("_t")).where(F.col("_n") > 0)
+    t = t.withColumn(
+        "_nc",
+        F.greatest(
+            F.lit(1),
+            (F.floor((F.col("_n") - F.lit(overlap) - 1) / F.lit(stride)) + 1),
+        ).cast("long"),
+    )
+    ch = t.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0), (F.col("_nc") - 1))).alias("chunk_idx"),
+    )
+    sl = F.slice(
+        F.col("_t"), F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

@@ -534,3 +534,33 @@ def test_cooccurrence_pmi_hand_computed(spark):
     )
     r = cooccurrence_pmi(full, min_cooc=2).first()
     assert r["npmi"] == 1.0 and abs(r["pmi"]) < 1e-12
+
+
+def test_rich_club_matches_networkx(spark, karate):
+    """phi at every emitted knot equals nx.rich_club_coefficient
+    (normalized=False) at the same k; counts verified by hand recompute."""
+    import networkx as nx
+
+    from nido_spark.graph import rich_club
+
+    edges, (src, dst, _) = karate
+    rows = {r["k"]: r for r in rich_club(edges).collect()}
+    g = nx.Graph()
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.rich_club_coefficient(g, normalized=False)
+    deg = dict(g.degree())
+    for k, r in rows.items():
+        n_k = sum(1 for d in deg.values() if d > k)
+        e_k = sum(1 for u, v in g.edges if deg[u] > k and deg[v] > k)
+        assert (r["n_k"], r["e_k"]) == (n_k, e_k)
+        if k in want:  # nx emits k in 0..max_deg-1
+            assert abs(r["phi"] - want[k]) < 1e-12
+        elif n_k < 2:
+            assert r["phi"] is None
+    assert 0 in rows  # k=0 knot always present
+    # monotone thinning: n_k and e_k non-increasing along k
+    ks = sorted(rows)
+    assert all(
+        rows[a]["n_k"] >= rows[b]["n_k"] and rows[a]["e_k"] >= rows[b]["e_k"]
+        for a, b in zip(ks, ks[1:])
+    )

@@ -796,3 +796,39 @@ def test_tfidf_keywords_hand_computed(spark):
     assert rows[(3, 2)]["token"] == "cherry"
     # ubiquitous token never ranks while distinctive ones exist
     assert all(r["token"] != "common" for r in rows.values())
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Coverage + overlap semantics: stride windows, short tail kept,
+    one chunk for docs shorter than chunk_tokens (even <= overlap),
+    blank docs dropped, chunks reassemble the token stream."""
+    import pytest as _pytest
+
+    from nido_spark.textops import chunk_documents
+
+    toks = [f"t{i}" for i in range(11)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "x"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=5, overlap=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 11 tokens, stride 3 -> nchunks = floor((11-2-1)/3)+1 = 3
+    assert {i for d, i in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3 t4"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6 t7"
+    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9 t10"
+    assert rows[(1, 2)]["n_tokens"] == 5
+    # doc 2 (2 tokens <= overlap): exactly ONE chunk, the whole doc
+    assert {i for d, i in rows if d == 2} == {0}
+    assert rows[(2, 0)]["chunk_text"] == "a b" and rows[(2, 0)]["n_tokens"] == 2
+    assert rows[(3, 0)]["chunk_text"] == "x"
+    assert all(d != 4 for d, _ in rows)  # blank dropped
+    # no-overlap path reassembles the exact token stream
+    out0 = chunk_documents(docs.where(F.col("doc_id") == 1), chunk_tokens=4)
+    parts = sorted(
+        ((r["chunk_idx"], r["chunk_text"]) for r in out0.collect())
+    )
+    assert " ".join(p for _, p in parts) == " ".join(toks)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
