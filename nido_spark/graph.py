@@ -605,23 +605,29 @@ def rich_club(edges: DataFrame) -> DataFrame:
     histograms, then ONE window over the combined DISTINCT-value axis —
     O(distinct degrees) rows (~sqrt-ish of E in heavy-tail graphs),
     never V or E rows, so the single-partition window is a few thousand
-    rows even at 10^12 edges. All counts exact integers; phi is one
-    double division."""
+    rows even at 10^12 edges. The V-row degree table and both histograms
+    are lineage-truncated because the staircase algebra references them
+    repeatedly — without the cut the plan re-runs the E-row degree scan
+    per reference (measured: 22 HashAggregates, 0 reused exchanges);
+    with it the whole operator is exactly TWO E-row passes. All counts
+    exact integers; phi is one double division."""
     from pyspark.sql import Window
 
+    from nido_spark.plans import truncate_lineage
+
     half = edges.where(F.col("src") < F.col("dst")).select("src", "dst")
-    deg = (
+    deg = truncate_lineage(
         edges.where(F.col("src") != F.col("dst"))
         .groupBy(F.col("src").alias("v"))
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    dh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nv"))
+    dh = truncate_lineage(deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nv")))
     md = half.join(
         deg.select(F.col("v").alias("src"), F.col("deg").alias("da")), "src"
     ).join(
         deg.select(F.col("v").alias("dst"), F.col("deg").alias("db")), "dst"
     ).select(F.least("da", "db").alias("md"))
-    eh = md.groupBy("md").agg(F.count(F.lit(1)).alias("ne"))
+    eh = truncate_lineage(md.groupBy("md").agg(F.count(F.lit(1)).alias("ne")))
     spark = edges.sparkSession
     pts = (
         dh.select(F.col("deg").alias("k"))
