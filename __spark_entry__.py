@@ -448,6 +448,20 @@ def _q_transcript_linkpred(spark, sf):
     )
 
 
+def _q_transcript_node2vec(spark, sf):
+    # node2vec (p=2, q=0.5) second-order biased walks from actors 0-15:
+    # the exponential race u=(mix+1)/2^31, key=round(-ln(u)/alpha, 9) is
+    # replayed term-for-term in the oracle (HUGEINT mix, CASE alpha from
+    # the same edge relation, (key, dst) argmin) — the 9 dp pre-round
+    # makes the winner libm-ULP-proof
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = G.node2vec_walks(
+        transcripts_to_edges(tr, strategy="dense"), starts=list(range(16)),
+        length=3, p=2.0, q=0.5, seed=42,
+    )
+    return out.select("start", "step", "v")
+
+
 def _q_transcript_walks(spark, sf):
     # deterministic DeepWalk-style corpus: 5-step walks from actors 0-15;
     # the oracle replays the shared affine mix in HUGEINT with the same
@@ -1157,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
         "transcript_walks": _q_transcript_walks,
+        "transcript_node2vec": _q_transcript_node2vec,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_neighbor_mean": _q_emb_neighbor_mean,
@@ -3119,6 +3134,52 @@ nonadj AS MATERIALIZED (
 SELECT n.a, n.b, n.common, ROUND(n.aa, 6) AS aa, ROUND(n.ra, 6) AS ra,
        (da.deg::BIGINT * db.deg)::BIGINT AS pa
 FROM nonadj n JOIN deg da ON da.u = n.a JOIN deg db ON db.u = n.b"""
+    )
+
+    # node2vec: the same HUGEINT mix as transcript_walks feeding the
+    # exponential race — u = (mix+1)/2^31, key = ROUND(-ln(u)/alpha, 9),
+    # alpha by CASE over (return / adjacent-to-prev / explore) from the
+    # same edge relation; argmin by (key, dst). The 9 dp pre-round is the
+    # cross-engine winner-stability contract (libm ln ULPs can't flip).
+    def _n2v_mix(seed: int) -> str:
+        m = 1048576
+        fold = (
+            f"(((((w.start) % {m} + {m}) % {m}) * {m} "
+            f"+ (((w.v) % {m} + {m}) % {m})) * {m}::HUGEINT "
+            f"+ (((te2.dst) % {m} + {m}) % {m}))"
+        )
+        return (
+            f"((48271 * (((1103515245::HUGEINT * ({fold} + {seed}) + 12345) "
+            f"% 2305843009213693951) % 1073741824) + 11213) % 2147483647)"
+        )
+
+    _n2v_ctes = [
+        "te2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM te)",
+        "adj AS MATERIALIZED (SELECT DISTINCT src AS pv, dst AS x FROM te2)",
+        "n0 AS MATERIALIZED (SELECT t.range AS start, CAST(NULL AS BIGINT)"
+        " AS prev, t.range AS v FROM range(0,16) t WHERE EXISTS"
+        " (SELECT 1 FROM te2 WHERE te2.src = t.range OR te2.dst = t.range))",
+    ]
+    for _i in range(1, 4):
+        _n2v_ctes.append(f"""n{_i} AS MATERIALIZED (
+  SELECT r.start, r.v AS prev, r.dst AS v FROM (
+    SELECT w.start, w.v, te2.dst,
+      ROW_NUMBER() OVER (PARTITION BY w.start ORDER BY
+        ROUND(-ln(({_n2v_mix(42 + 1_000_003 * _i)} + 1) / 2147483648.0) /
+          (CASE WHEN te2.dst = w.prev THEN 0.5
+                WHEN a.x IS NOT NULL THEN 1.0
+                ELSE 2.0 END), 9) ASC, te2.dst ASC) AS rn
+    FROM n{_i - 1} w JOIN te2 ON te2.src = w.v
+    LEFT JOIN adj a ON a.pv = w.prev AND a.x = te2.dst
+  ) r WHERE r.rn = 1
+)""")
+    sql["transcript_node2vec"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_n2v_ctes)
+        + "\n"
+        + " UNION ALL ".join(
+            f"SELECT start, {_i} AS step, v FROM n{_i}" for _i in range(4)
+        )
     )
 
     # Random walks: HUGEINT replay of the shared affine mix over the

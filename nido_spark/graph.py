@@ -665,3 +665,108 @@ def rich_club(edges: DataFrame) -> DataFrame:
             / (F.col("n_k").cast("double") * (F.col("n_k") - F.lit(1)).cast("double")),
         ).alias("phi"),
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts,
+    length: int,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 42,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(start, step, v) — deterministic node2vec walks (Grover & Leskovec
+    2016): second-order biased walks where a step from cur (having come
+    from prev) weights candidate x by alpha = 1/p if x == prev (return),
+    1 if x is adjacent to prev (BFS-ish), else 1/q (DFS-ish); the
+    unweighted-graph variant (edge weights ignored). Complements
+    ``random_walks`` (first-order) as the embedding-corpus generator
+    whose p/q trade local vs global structure.
+
+    Sampling proportional to alpha with NO rand(): the exponential race
+    — u_x = (mix+1)/2^31 from the shared seeded affine mix of the
+    (start, cur, dst) fold, key_x = -ln(u_x)/alpha_x, pick the minimum —
+    draws exactly the alpha-categorical distribution, is reproducible
+    across engines/partitionings/retries, and the DuckDB oracle replays
+    it term-for-term. Keys are ROUNDED TO 9 DP BEFORE the argmin in both
+    engines (the tfidf tie-stability contract: a 1-ulp ln() divergence
+    can never flip a winner), ties break on dst asc. The first step has
+    no prev, so every alpha falls through to 1/q — a constant positive
+    scaling, under which the race is exactly uniform (matching the
+    node2vec convention for step 1).
+
+    Scale shape = random_walks plus ONE extra join per step: candidates
+    (sum of walker degrees) left-join the edge set on (prev, dst) for
+    the adjacency flag — the canonical node2vec cost, rendered as a
+    plain composite-key hash join instead of the usual per-vertex
+    neighbor-set broadcast (which cannot hold 10^12 edges). Walker state
+    stays V-row-bounded and broadcast below the gate; dead-end walkers
+    stop early."""
+    from nido_spark.pipeline import _SAMPLE_P2, _bucket_col
+    from nido_spark.plans import truncate_lineage
+
+    spark = edges.sparkSession
+    if isinstance(starts, DataFrame):
+        st = starts.select(
+            F.col(starts.columns[0]).cast("long").alias("start")
+        ).distinct()
+    else:
+        ids = sorted({int(v) for v in starts})
+        if not ids:
+            raise ValueError("node2vec_walks needs a non-empty start set")
+        st = spark.createDataFrame([(v,) for v in ids], "start long")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").distinct().repartition(nparts, "src").persist()
+    e.count()
+    st = st.join(e.select(F.col("src").alias("start")).distinct(), "start", "left_semi")
+    cur = truncate_lineage(
+        st.select(
+            "start",
+            F.lit(None).cast("long").alias("prev"),
+            F.col("start").alias("v"),
+        )
+    )
+    bc = F.broadcast if st.count() <= broadcast_threshold else (lambda df: df)
+    adj = e.select(F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(1).alias("_adj"))
+    out = [cur.select("start", F.lit(0).alias("step"), "v")]
+    M20 = 1 << 20
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    for step in range(1, length + 1):
+        cand = e.join(
+            bc(cur.select("start", "prev", F.col("v").alias("src"))), "src"
+        ).join(adj, ["prev", "dst"], "left")
+        fold = (
+            (
+                F.pmod(F.col("start"), F.lit(M20)) * M20
+                + F.pmod(F.col("src"), F.lit(M20))
+            )
+            * M20
+            + F.pmod(F.col("dst"), F.lit(M20))
+        )
+        u = (_bucket_col(fold, seed + 1_000_003 * step) + F.lit(1)) / F.lit(
+            float(_SAMPLE_P2 + 1)
+        )
+        alpha = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(inv_p))
+            .when(F.col("_adj").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(inv_q))
+        )
+        key = F.round(-F.log(u) / alpha, 9)
+        nxt = (
+            cand.groupBy("start")
+            .agg(F.min(F.struct(key.alias("_k"), F.col("dst"), F.col("src"))).alias("m"))
+            .select(
+                "start",
+                F.col("m.src").alias("prev"),
+                F.col("m.dst").alias("v"),
+            )
+        )
+        cur = truncate_lineage(nxt)
+        if cur.limit(1).count() == 0:
+            break
+        out.append(cur.select("start", F.lit(step).alias("step"), "v"))
+    e.unpersist()
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), out)

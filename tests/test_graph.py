@@ -564,3 +564,82 @@ def test_rich_club_matches_networkx(spark, karate):
         rows[a]["n_k"] >= rows[b]["n_k"] and rows[a]["e_k"] >= rows[b]["e_k"]
         for a, b in zip(ks, ks[1:])
     )
+
+
+def test_node2vec_walks_exact_python_replay(spark, karate):
+    """node2vec second-order walks EXACTLY replayed by a pure-Python
+    exponential race over the same mix: u = (mix+1)/2^31, key =
+    round(-ln(u)/alpha, 9), alpha from the (prev, cand) relation; plus
+    partition invariance and p/q sensitivity."""
+    import math
+
+    from nido_spark.graph import node2vec_walks
+
+    edges = karate[0]
+    starts = [0, 5, 11, 33]
+    p_, q_ = 2.0, 0.5
+    walks = node2vec_walks(edges, starts, length=5, p=p_, q=q_, seed=9).collect()
+    got = {}
+    for r in walks:
+        got.setdefault(r["start"], {})[r["step"]] = r["v"]
+    adj = {}
+    for r in edges.select("src", "dst").collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    M20 = 1 << 20
+    for s in starts:
+        path = [got[s][i] for i in range(6)]
+        assert path[0] == s
+        prev, cur = None, s
+        for step in range(1, 6):
+            def race(d):
+                m = _bucket_py(
+                    ((s % M20) * M20 + (cur % M20)) * M20 + (d % M20),
+                    9 + 1_000_003 * step,
+                )
+                u = (m + 1) / 2147483648.0
+                if prev is not None and d == prev:
+                    a = 1.0 / p_
+                elif prev is not None and d in adj.get(prev, ()):
+                    a = 1.0
+                else:
+                    a = 1.0 / q_
+                return (round(-math.log(u) / a, 9), d)
+
+            want = min(adj[cur], key=race)
+            assert path[step] == want, (s, step)
+            prev, cur = cur, path[step]
+
+    reparted = node2vec_walks(
+        edges.repartition(13), starts, length=5, p=p_, q=q_, seed=9
+    ).collect()
+    assert sorted(map(tuple, walks)) == sorted(map(tuple, reparted))
+    other = node2vec_walks(edges, starts, length=5, p=0.25, q=4.0, seed=9).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, walks))
+
+
+def test_node2vec_walks_dead_end_and_bias_direction(spark):
+    """Dead ends stop the walk; extreme p (never return) vs tiny p
+    (always return) steer step 2 on a star-with-tail fixture."""
+    from nido_spark.graph import node2vec_walks
+
+    # path 0 -> 1 -> (dead end), directed
+    de = spark.createDataFrame([(0, 1)], "src long, dst long")
+    rows = {(r["start"], r["step"]): r["v"] for r in node2vec_walks(de, [0], 4).collect()}
+    assert rows == {(0, 0): 0, (0, 1): 1}
+    # star: 1 connected to {0, 2}; from 0 step1 -> 1, step2 must RETURN to 0
+    # when 1/p dominates (p tiny) and must NOT when 1/p ~ 0 (p huge, q big
+    # too so the non-adjacent candidate 2 wins... 2 is non-adjacent to 0 ->
+    # alpha(2) = 1/q; make q small so 2 dominates)
+    star = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    back = {
+        (r["start"], r["step"]): r["v"]
+        for r in node2vec_walks(star, [0], 2, p=1e-9, q=1e9).collect()
+    }
+    assert back[(0, 2)] == 0  # return edge overwhelmingly weighted
+    away = {
+        (r["start"], r["step"]): r["v"]
+        for r in node2vec_walks(star, [0], 2, p=1e9, q=1e-9).collect()
+    }
+    assert away[(0, 2)] == 2  # exploration overwhelmingly weighted
