@@ -565,6 +565,17 @@ def _q_doc_unigram_logloss(spark, sf):
     )
 
 
+def _q_doc_bigram_logloss(spark, sf):
+    # per-doc cross-entropy (bits/bigram) under the corpus's own add-0.5
+    # smoothed bigram LM — the order-sensitive fluency signal; the oracle
+    # rebuilds the identical model from the same whitespace tokenizer
+    # (generate_series bigram unnest); 9 dp absorbs libm/sum-order ULPs
+    out = X.bigram_logloss(_docs(spark, sf))
+    return out.select(
+        "doc_id", "n_bigrams", F.round("xent_bits", 9).alias("xent_bits")
+    )
+
+
 def _q_edges_powerlaw_alpha(spark, sf):
     # Clauset-Shalizi-Newman continuous-MLE power-law exponent of the
     # lineitem-graph degree tail (deg >= 2) — the one-number heavy-tail
@@ -1176,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,
         "emb_neighbor_mean": _q_emb_neighbor_mean,
         "doc_unigram_logloss": _q_doc_unigram_logloss,
+        "doc_bigram_logloss": _q_doc_bigram_logloss,
         "edges_powerlaw_alpha": _q_edges_powerlaw_alpha,
         "edges_cc_incremental": _q_edges_cc_incremental,
         "doc_bm25": _q_doc_bm25,
@@ -2854,6 +2866,38 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
              / COUNT(*), 9) AS xent_bits
 FROM toks JOIN counts USING (tok)
 GROUP BY doc_id"""
+
+    # bigram LM: identical whitespace rendering, bigrams via a
+    # generate_series unnest over the token array, p(w2|w1) =
+    # (c2+0.5)/(c1(w1)+0.5*V) with V the distinct-unigram count —
+    # occurrences pre-reduced per (doc,w1,w2) exactly like the engine
+    sql["doc_bigram_logloss"] = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents
+),
+arr AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS a FROM t0 WHERE tt <> ''
+),
+uni AS (
+  SELECT tok, COUNT(*) AS cu
+  FROM (SELECT unnest(a) AS tok FROM arr) GROUP BY tok
+),
+vv AS (SELECT COUNT(*)::DOUBLE AS v FROM uni),
+idx AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+  FROM arr WHERE len(a) >= 2
+),
+occ AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, COUNT(*) AS m
+  FROM idx GROUP BY 1, 2, 3
+),
+c2 AS (SELECT w1, w2, SUM(m) AS cb FROM occ GROUP BY w1, w2)
+SELECT occ.doc_id, SUM(occ.m)::BIGINT AS n_bigrams,
+       ROUND(-SUM(occ.m * log2((c2.cb::DOUBLE + 0.5)
+                   / (uni.cu::DOUBLE + 0.5 * (SELECT v FROM vv))))
+             / SUM(occ.m), 9) AS xent_bits
+FROM occ JOIN c2 USING (w1, w2) JOIN uni ON uni.tok = occ.w1
+GROUP BY occ.doc_id"""
 
     # average neighbor degree: same exact-integer-sum recipe as the
     # assortativity oracle — HUGEINT neighbor-degree sum, ONE double

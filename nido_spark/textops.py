@@ -747,6 +747,82 @@ def unigram_logloss(
     )
 
 
+def bigram_logloss(
+    docs: DataFrame, text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """(doc_id, n_bigrams, xent_bits) — per-document cross-entropy in
+    bits/bigram under the corpus's OWN add-k-smoothed bigram language
+    model: p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k*V), with c(.) corpus
+    counts and V the distinct-unigram vocabulary. The order-sensitive
+    upgrade of ``unigram_logloss``: a doc built from common words in
+    unusual ORDER (shuffled boilerplate, keyword stuffing, MT garbage)
+    scores high here while the unigram signal misses it; the
+    unigram/bigram xent GAP is the classic fluency feature. Documents
+    with fewer than two tokens are dropped (no bigrams). Same
+    whitespace ``tokens()`` rendering as token_count, so the model is
+    oracle-replayable token for token.
+
+    100 TB shape: one explode produces (doc, w1, w2) occurrence triples
+    which are immediately pre-reduced per (doc, w1, w2) — repeated
+    phrases inside a doc collapse map-side before anything shuffles.
+    Corpus bigram counts are a second groupBy of the SAME pre-reduced
+    table (no second scan of the text), the context denominator joins
+    the unigram count table on w1, and V is the one driver scalar (the
+    house rule). Hot contexts ('the', '-') are single reduce keys at
+    the count and AQE-skew-handled at the join; text itself never
+    shuffles — only token pairs do."""
+    t = tokens(F.col(text_col))
+    pairs = (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    # pre-reduce per (doc, w1, w2): the per-occurrence multiplicity m —
+    # every downstream join touches distinct doc-bigrams, not occurrences
+    occ = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    uni = docs.select(F.explode(t).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    vocab = uni.count()
+    if vocab == 0:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("xent_bits"),
+        ).limit(0)
+    scored = (
+        occ.join(c2, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .select(
+            "doc_id",
+            "m",
+            F.log2(
+                (F.col("cb").cast("double") + F.lit(k))
+                / (F.col("cu").cast("double") + F.lit(k * float(vocab)))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        (-F.sum(F.col("m") * F.col("lp")) / F.sum("m")).alias("xent_bits"),
+    )
+
+
 def tfidf_keywords(
     docs: DataFrame,
     top_k: int = 5,

@@ -832,3 +832,47 @@ def test_chunk_documents_windows_and_tail(spark):
     assert " ".join(p for _, p in parts) == " ".join(toks)
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_logloss_hand_computed(spark):
+    """Tiny corpus, bigram model recomputed by hand: p(w2|w1) =
+    (c2+0.5)/(c1(w1)+0.5V). Order sensitivity: a doc whose bigrams are
+    corpus-frequent scores lower than the same tokens reordered."""
+    import math
+
+    from nido_spark.textops import bigram_logloss
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a b a"), (3, "a"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logloss(docs).collect()}
+    # unigrams (doc 3's lone 'a' counts too): a x6, b x5, c x1 -> V=3
+    # bigrams:  (a,b) x4  [doc1 x2, doc2 x1, doc4 x1]
+    #           (b,a) x3  [doc1 x1, doc2 x2]
+    #           (b,c) x1  [doc4]
+    cu = {"a": 6, "b": 5, "c": 1}
+    cb = {("a", "b"): 4, ("b", "a"): 3, ("b", "c"): 1}
+
+    def lp(w1, w2):
+        return math.log2((cb[(w1, w2)] + 0.5) / (cu[w1] + 0.5 * 3))
+
+    want1 = -(2 * lp("a", "b") + lp("b", "a")) / 3
+    want2 = -(lp("b", "a") + lp("a", "b") + lp("b", "a")) / 3
+    want4 = -(lp("a", "b") + lp("b", "c")) / 2
+    assert 3 not in rows  # single-token doc has no bigrams
+    assert rows[1]["n_bigrams"] == 3 and abs(rows[1]["xent_bits"] - want1) < 1e-9
+    assert rows[2]["n_bigrams"] == 3 and abs(rows[2]["xent_bits"] - want2) < 1e-9
+    assert rows[4]["n_bigrams"] == 2 and abs(rows[4]["xent_bits"] - want4) < 1e-9
+    # (b,c) is the rare bigram: doc 4 is the hardest
+    assert rows[4]["xent_bits"] > rows[1]["xent_bits"]
+
+
+def test_bigram_logloss_empty_corpus(spark):
+    from nido_spark.textops import bigram_logloss
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "  ")], "doc_id long, text string"
+    )
+    # one-token and blank docs produce no bigrams; vocab nonzero path
+    assert bigram_logloss(docs).count() == 0
