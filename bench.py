@@ -373,6 +373,48 @@ def _sssp_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     return ne * len(srcs) / dt
 
 
+def _scc_probe(sf_dir: str, cpus: int, replicate: int = 64) -> float:
+    """Strongly-connected-components scaling probe (the round-5 directed
+    family): FW-BW-Trim over a ``replicate``-times disjoint-copy DIRECTED
+    transcript-flow graph. Copies are id-offset, so the SCC structure
+    replicates exactly (outer-round count invariant in ``replicate``) and
+    the measured scaling is the per-round set algebra — trim projections,
+    the cc_step coloring pass, and the backward-mark join. Prints
+    edges/sec over the full run."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import algos as A
+    from nido_spark.io import synth_transcripts, transcripts_to_directed_edges
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_scc_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    base = transcripts_to_directed_edges(
+        synth_transcripts(spark, 8000, seed=42), strategy="dense"
+    )
+    copies = spark.range(replicate).select((F.col("id") * 1_000_000_000).alias("off"))
+    edges = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("src") + F.col("off")).alias("src"),
+            (F.col("dst") + F.col("off")).alias("dst"),
+        )
+        .repartition(cpus * 2, "src")
+        .persist()
+    )
+    ne = edges.count()
+    A.strongly_connected_components(edges).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        A.strongly_connected_components(edges).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "edges_per_sec": ne / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_edges": ne}))
+    spark.stop()
+    return ne / dt
+
+
 def _map_probe(sf_dir: str, cpus: int, replicate: int = 600) -> float:
     """Map-only compute probe (no shuffle): quality scoring over a
     replicated documents table (3M docs at sf0.1) — enough per-task regex
@@ -432,6 +474,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-sssp":
         _sssp_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-scc":
+        _scc_probe(sf_dir, int(sys.argv[2]))
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-lines":
