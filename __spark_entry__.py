@@ -565,6 +565,15 @@ def _q_doc_unigram_logloss(spark, sf):
     )
 
 
+def _q_transcript_matching(spark, sf):
+    # greedy maximal matching by portable edge priority — 4 peel rounds
+    # measured on this fixture, the oracle unrolls 6 (converged rounds
+    # are exact no-ops); every field value-checked including the round
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.maximal_matching(transcripts_to_edges(tr, strategy="dense"))
+    return out.select("src", "dst", F.col("round").alias("rnd"))
+
+
 def _q_doc_bigram_logloss(spark, sf):
     # per-doc cross-entropy (bits/bigram) under the corpus's own add-0.5
     # smoothed bigram LM — the order-sensitive fluency signal; the oracle
@@ -1188,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neighbor_mean": _q_emb_neighbor_mean,
         "doc_unigram_logloss": _q_doc_unigram_logloss,
         "doc_bigram_logloss": _q_doc_bigram_logloss,
+        "transcript_matching": _q_transcript_matching,
         "edges_powerlaw_alpha": _q_edges_powerlaw_alpha,
         "edges_cc_incremental": _q_edges_cc_incremental,
         "doc_bm25": _q_doc_bm25,
@@ -1417,6 +1427,55 @@ live{r + 1} AS MATERIALIZED (
         )
     union = " UNION ALL ".join(f"SELECT * FROM col{r}" for r in range(rounds))
     parts.append(f"\nSELECT v, color FROM ({union})")
+    return "".join(parts)
+
+
+def _matching_sql(rounds: int = 6, seed: int = 42) -> str:
+    """Greedy maximal-matching peel unrolled over the transcript literal
+    graph: edge priority p = bucket(src, seed)*2^31 + bucket(dst, seed+1)
+    (the portable affine mix, HUGEINT replay of pipeline._bucket), per
+    round each vertex's best incident (p, src, dst) is the ROW_NUMBER
+    top-1 under (p DESC, src DESC, dst DESC) — the same lexicographic
+    order as Spark's max-struct — and an edge matches iff it is the best
+    at BOTH endpoints. Rounds past the empty fixpoint contribute
+    nothing."""
+    P = (1 << 61) - 1
+
+    def b31(col: str, s: int) -> str:
+        return (
+            f"((48271::HUGEINT * ((((1103515245::HUGEINT * (({col} % {P}) + {s}) "
+            f"+ 12345) % {P}) % 1073741824)) + 11213) % 2147483647)::BIGINT"
+        )
+
+    parts = [
+        f"""WITH te AS MATERIALIZED ({_transcript_edges_sql()}),
+m0 AS MATERIALIZED (
+  SELECT src, dst, {b31('src', seed)} * 2147483648 + {b31('dst', seed + 1)} AS p
+  FROM (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+        FROM te WHERE src <> dst))"""
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+inc{r} AS (SELECT src AS v, p, src, dst FROM m{r}
+           UNION ALL SELECT dst AS v, p, src, dst FROM m{r}),
+best{r} AS MATERIALIZED (
+  SELECT v, p, src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+              ORDER BY p DESC, src DESC, dst DESC) AS rn FROM inc{r})
+  WHERE rn = 1),
+mat{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, {r}::INT AS rnd FROM m{r} e
+  JOIN best{r} bs ON bs.v = e.src AND bs.p = e.p
+                 AND bs.src = e.src AND bs.dst = e.dst
+  JOIN best{r} bd ON bd.v = e.dst AND bd.p = e.p
+                 AND bd.src = e.src AND bd.dst = e.dst),
+mv{r} AS (SELECT src AS v FROM mat{r} UNION ALL SELECT dst FROM mat{r}),
+m{r + 1} AS MATERIALIZED (
+  SELECT * FROM m{r} WHERE src NOT IN (SELECT v FROM mv{r})
+                       AND dst NOT IN (SELECT v FROM mv{r}))"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM mat{r}" for r in range(rounds))
+    parts.append(f"\nSELECT src, dst, rnd FROM ({union})")
     return "".join(parts)
 
 
@@ -2547,6 +2606,7 @@ WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
 
     sql["karate_msf"] = _karate_msf_values_sql()
     sql["luby_coloring"] = _luby_coloring_sql(rounds=8, seed=42)
+    sql["transcript_matching"] = _matching_sql(rounds=6, seed=42)
 
     # PII scrub: same patterns, same order, counts on the original text;
     # DuckDB needs the 'g' flag (first-match-only by default)

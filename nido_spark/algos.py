@@ -2052,3 +2052,102 @@ def luby_mis_coloring(
         if i % 32 == 0:
             out = truncate_lineage(out)
     return out
+
+
+def maximal_matching(
+    edges: DataFrame, seed: int = 42, max_rounds: int = 10_000,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(src, dst, round) — greedy maximal matching by deterministic edge
+    priority: the parallel analogue of the sequential greedy matcher
+    (Israeli & Itai 1986 locally-max variant; the coarsening primitive of
+    multilevel partitioners like METIS). Each canonical undirected edge
+    gets ONE portable priority (affine mix of both endpoints,
+    pipeline._bucket — the same engine-replayable integer math as
+    luby_mis_coloring); in round r every surviving edge whose
+    (p, src, dst) beats every other surviving edge sharing either
+    endpoint is matched, and both endpoints leave the graph. The
+    globally-best surviving edge always matches, so progress is
+    guaranteed; expected rounds are O(log E). Output: one row per matched
+    edge with src < dst and the round it matched in (maximality: on
+    return no surviving edge has both endpoints unmatched — asserted in
+    tests against networkx's maximal-matching invariants).
+
+    100 TB shape: per round ONE E-row shuffle (the both-direction
+    incidence explode feeding a map-side-combined max-struct groupBy);
+    the V-row per-vertex best table broadcasts below the threshold, so
+    the matched-edge filter and the endpoint anti-joins move no E rows
+    across the cluster. Edges shrink geometrically (each round removes
+    every vertex the round matched), and lineage is truncated per round
+    — plan depth stays O(1) regardless of round count. ``max_rounds`` is
+    a safety valve (raises, never truncates)."""
+    from nido_spark.pipeline import _bucket_col
+
+    spark = edges.sparkSession
+    live = truncate_lineage(
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (
+                _bucket_col(F.col("src"), seed) * F.lit(1 << 31)
+                + _bucket_col(F.col("dst"), seed + 1)
+            ).alias("p"),
+        )
+    )
+    bc = (
+        F.broadcast
+        if live.count() <= broadcast_threshold
+        else (lambda df: df)
+    )
+    parts: list[DataFrame] = []
+    rnd = 0
+    while live.limit(1).count() > 0:
+        if rnd >= max_rounds:
+            raise RuntimeError(
+                f"maximal_matching: safety cap of {max_rounds} rounds hit "
+                f"with edges still live — raise max_rounds"
+            )
+        inc = live.select(F.col("src").alias("v"), "p", "src", "dst").unionByName(
+            live.select(F.col("dst").alias("v"), "p", "src", "dst")
+        )
+        best = inc.groupBy("v").agg(F.max(F.struct("p", "src", "dst")).alias("b"))
+        me = F.struct("p", "src", "dst")
+        matched = truncate_lineage(
+            live.join(
+                bc(best.select(F.col("v").alias("src"), F.col("b").alias("bs"))),
+                "src",
+            )
+            .join(
+                bc(best.select(F.col("v").alias("dst"), F.col("b").alias("bd"))),
+                "dst",
+            )
+            .where((me == F.col("bs")) & (me == F.col("bd")))
+            .select("src", "dst", F.lit(rnd).cast("int").alias("round"))
+        )
+        parts.append(matched)
+        mv = matched.select(F.col("src").alias("v")).unionByName(
+            matched.select(F.col("dst").alias("v"))
+        )
+        live = truncate_lineage(
+            live.join(bc(mv.withColumnRenamed("v", "src")), "src", "left_anti")
+            .join(bc(mv.withColumnRenamed("v", "dst")), "dst", "left_anti"),
+            eager=False,
+        )
+        rnd += 1
+        if len(parts) >= 32:
+            folded = parts[0]
+            for pp in parts[1:]:
+                folded = folded.unionByName(pp)
+            parts[:] = [truncate_lineage(folded)]
+    if not parts:
+        return spark.createDataFrame([], "src long, dst long, round int")
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out

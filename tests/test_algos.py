@@ -1054,3 +1054,40 @@ def test_topo_layers_cycle_raises(spark):
     assert {(r["v"], r["layer"]) for r in topo_layers(path).collect()} == {
         (0, 0), (1, 1), (2, 2), (3, 3),
     }
+
+
+def test_maximal_matching_valid_and_maximal(spark, karate):
+    """Greedy priority matching on karate: (1) a valid matching — no two
+    matched edges share an endpoint; (2) MAXIMAL — every karate edge has
+    at least one matched endpoint; (3) deterministic across runs."""
+    from nido_spark.algos import maximal_matching
+
+    kdf, _ = karate
+    m1 = maximal_matching(kdf).collect()
+    ends = [v for r in m1 for v in (r["src"], r["dst"])]
+    assert len(ends) == len(set(ends))  # validity
+    matched = set(ends)
+    for r in kdf.select("src", "dst").collect():  # maximality
+        assert r["src"] in matched or r["dst"] in matched
+    m2 = maximal_matching(kdf).collect()
+    assert sorted((r["src"], r["dst"], r["round"]) for r in m1) == sorted(
+        (r["src"], r["dst"], r["round"]) for r in m2
+    )
+
+
+def test_maximal_matching_path_graph(spark):
+    """3-vertex path a-b-c: exactly one edge can match (both share b)."""
+    from nido_spark.algos import maximal_matching
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    rows = maximal_matching(e).collect()
+    assert len(rows) == 1 and rows[0]["round"] == 0
+
+
+def test_maximal_matching_empty(spark):
+    from nido_spark.algos import maximal_matching
+
+    e = spark.createDataFrame([(5, 5)], "src long, dst long")  # self-loop only
+    assert maximal_matching(e).count() == 0
