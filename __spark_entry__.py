@@ -565,6 +565,20 @@ def _q_doc_unigram_logloss(spark, sf):
     )
 
 
+def _q_transcript_butterflies(spark, sf):
+    # per-tool bipartite butterfly (4-cycle) counts over the (conv, tool)
+    # membership — rides the SAME hub-capped projection as the
+    # co-occurrence query (cap=4 exercises the exclusion path); C(n,2)
+    # in exact long arithmetic, so the output is engine-exact
+    tr = synth_transcripts(spark, 500, seed=42)
+    pairs = tr.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("key"), F.col("tool").alias("item")
+    )
+    return G.butterfly_counts(pairs, max_items_per_key=4).select(
+        "item", "butterflies"
+    )
+
+
 def _q_transcript_matching(spark, sf):
     # greedy maximal matching by portable edge priority — 4 peel rounds
     # measured on this fixture, the oracle unrolls 6 (converged rounds
@@ -1198,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logloss": _q_doc_unigram_logloss,
         "doc_bigram_logloss": _q_doc_bigram_logloss,
         "transcript_matching": _q_transcript_matching,
+        "transcript_butterflies": _q_transcript_butterflies,
         "edges_powerlaw_alpha": _q_edges_powerlaw_alpha,
         "edges_cc_incremental": _q_edges_cc_incremental,
         "doc_bm25": _q_doc_bm25,
@@ -2982,6 +2997,20 @@ pf AS (SELECT p.k, p.item FROM p JOIN keep USING (k))
 SELECT l.item AS a, r.item AS b, COUNT(*)::BIGINT AS n_keys
 FROM pf l JOIN pf r ON l.k = r.k AND l.item < r.item
 GROUP BY 1, 2"""
+
+    # butterflies: same capped membership, pair counts -> C(n,2) per pair
+    # (integer // — exact), two-sided fold to per-item sums
+    sql["transcript_butterflies"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+p AS (SELECT DISTINCT conv_id AS k, tool AS item FROM tr WHERE tool IS NOT NULL),
+keep AS (SELECT k FROM p GROUP BY k HAVING COUNT(*) <= 4),
+pf AS (SELECT p.k, p.item FROM p JOIN keep USING (k)),
+pairs AS (SELECT l.item AS a, r.item AS b, COUNT(*)::BIGINT AS n
+          FROM pf l JOIN pf r ON l.k = r.k AND l.item < r.item GROUP BY 1, 2),
+bf AS (SELECT a, b, (n * (n - 1)) // 2 AS bf FROM pairs WHERE n >= 2)
+SELECT item, SUM(bf)::BIGINT AS butterflies
+FROM (SELECT a AS item, bf FROM bf UNION ALL SELECT b AS item, bf FROM bf)
+GROUP BY item"""
 
     # double-sweep diameter lower bound: BOTH Bellman-Ford sweeps unrolled
     # (20 rounds each — fixpoint is ~10 on this fixture; converged rounds

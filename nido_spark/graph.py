@@ -589,6 +589,39 @@ def cooccurrence_pmi(
     )
 
 
+def butterfly_counts(
+    pairs: DataFrame,
+    key_col: str = "key",
+    item_col: str = "item",
+    max_items_per_key: int = 256,
+) -> DataFrame:
+    """(item, butterflies) — per-item bipartite 4-cycle (butterfly)
+    counts: the bipartite analogue of per-vertex triangle counts
+    (Wang et al., "Butterfly Counting in Bipartite Networks", the motif
+    underlying bipartite clustering coefficients and spam/collusion
+    detection on user-item graphs). A butterfly is two keys sharing two
+    items; item i's count is sum over partners j of C(codeg(i,j), 2),
+    where codeg is the number of keys containing BOTH — so the whole
+    computation rides ``project_bipartite``'s pair-count table and
+    inherits its hub cap (keys above ``max_items_per_key`` excluded
+    BEFORE wedges are emitted, the same quadratic-fan-out guard).
+
+    100 TB shape: one capped self-join + pair groupBy (the projection),
+    then a two-sided explode of the PAIR table (already co-occurrence-
+    compressed, far smaller than the wedge stream) into a final
+    map-side-combined per-item sum. C(n,2) is exact long arithmetic
+    (shiftright, no doubles)."""
+    proj = project_bipartite(pairs, key_col, item_col, max_items_per_key)
+    n = F.col("n_keys").cast("long")
+    bf = proj.select(
+        "a", "b", F.shiftright(n * (n - F.lit(1)), 1).alias("bf")
+    ).where(F.col("bf") > 0)
+    per = bf.select(F.col("a").alias("item"), "bf").unionByName(
+        bf.select(F.col("b").alias("item"), "bf")
+    )
+    return per.groupBy("item").agg(F.sum("bf").alias("butterflies"))
+
+
 def rich_club(edges: DataFrame) -> DataFrame:
     """(k, n_k, e_k, phi) — the (unnormalized) rich-club coefficient
     staircase: for each threshold k, n_k = vertices with degree > k,

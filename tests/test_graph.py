@@ -643,3 +643,34 @@ def test_node2vec_walks_dead_end_and_bias_direction(spark):
         for r in node2vec_walks(star, [0], 2, p=1e9, q=1e-9).collect()
     }
     assert away[(0, 2)] == 2  # exploration overwhelmingly weighted
+
+
+def test_butterfly_counts_hand_computed(spark):
+    """Two keys sharing items {x,y} -> one butterfly; each of x,y counts
+    it once. A third key adds C(3,2)=3 total on the same pair."""
+    from nido_spark.graph import butterfly_counts
+
+    pairs = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y"), (3, "z")],
+        "key long, item string",
+    )
+    got = {r["item"]: r["butterflies"] for r in butterfly_counts(pairs).collect()}
+    # codeg(x,y)=3 -> C(3,2)=3 butterflies; codeg(x,z)=codeg(y,z)=1 -> 0
+    assert got == {"x": 3, "y": 3}
+
+
+def test_butterfly_counts_hub_cap(spark):
+    """A key above the cap is excluded before wedges are emitted."""
+    from nido_spark.graph import butterfly_counts
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    hub = [(9, it) for it in ("a", "b", "c", "d", "e")]
+    pairs = spark.createDataFrame(rows + hub, "key long, item string")
+    got = {r["item"]: r["butterflies"]
+           for r in butterfly_counts(pairs, max_items_per_key=4).collect()}
+    # hub key 9 excluded: codeg(a,b)=2 -> 1 butterfly each
+    assert got == {"a": 1, "b": 1}
+    got_nocap = {r["item"]: r["butterflies"]
+                 for r in butterfly_counts(pairs, max_items_per_key=0).collect()}
+    # with the hub in: codeg(a,b)=3 -> 3 each
+    assert got_nocap["a"] == 3 and got_nocap["b"] == 3
