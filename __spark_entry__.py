@@ -337,6 +337,20 @@ def _q_transcript_diameter(spark, sf):
     )
 
 
+def _q_transcript_anf(spark, sf):
+    # ANF/FM-sketch neighborhood function on the transcript actor graph.
+    # The gate checks the INTEGER sketch statistic sum_r (the full
+    # register trajectory is integer-exact and replayed bit-for-bit by
+    # the unrolled oracle); the float `est` column is derived from sum_r
+    # by a fixed formula and is deliberately left out of the hash to
+    # avoid cross-engine pow() last-ulp noise.
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.neighborhood_function(
+        transcripts_to_edges(tr, strategy="dense"), max_t=3, n_regs=4, seed=7
+    )
+    return out.select("v", "t", "sum_r")
+
+
 def _q_lineitem_community_stats(spark, sf):
     # per-community partition diagnostics (size, volume, internal, cut,
     # conductance) under the deterministic pmod-10 labeling — the same
@@ -1193,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_avg_nbr_degree": _q_edges_avg_nbr_degree,
         "transcript_tool_cooccurrence": _q_transcript_tool_cooccurrence,
         "transcript_diameter": _q_transcript_diameter,
+        "transcript_anf": _q_transcript_anf,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -3054,6 +3069,63 @@ GROUP BY item"""
           "\n       ROUND((SELECT ecc FROM pvsel), 9) AS ecc_start,"
           "\n       ROUND((SELECT MAX(dist) FROM t20), 9) AS diameter_lb"
     )
+
+    # ANF sketch trajectory replay: the per-register FM masks are pure
+    # integer state (portable _bucket_col hash -> trailing-zero bit ->
+    # bit_or union per round), so DuckDB reproduces every mask — and
+    # hence sum_r — exactly. HUGEINT carries the A1*x product (< 2^95);
+    # everything else is BIGINT bit math identical to the Spark columns.
+    def _anf_sql(max_t: int, n_regs: int, seed: int, rho_cap: int = 24) -> str:
+        from nido_spark.pipeline import (
+            _SAMPLE_A1 as A1, _SAMPLE_A2 as A2, _SAMPLE_B1 as B1,
+            _SAMPLE_B2 as B2, _SAMPLE_P as P, _SAMPLE_P2 as P2,
+        )
+
+        def init(j: int) -> str:
+            sj = seed + j * 2654435769
+            h = (
+                f"((({A2}::HUGEINT * ((({A1}::HUGEINT * ((v % {P}) + {sj}) "
+                f"+ {B1}) % {P}) % {1 << 30}) + {B2}) % {P2})::BIGINT)"
+            )
+            rho = (
+                f"CASE WHEN {h} = 0 THEN {rho_cap} "
+                f"ELSE LEAST(bit_count(({h} & -{h}) - 1), {rho_cap}) END"
+            )
+            return f"(1::BIGINT << ({rho})) AS m{j}"
+
+        regs = list(range(n_regs))
+        parts = [
+            f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),",
+            "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src <> dst),",
+            "s0 AS MATERIALIZED (SELECT v, "
+            + ", ".join(init(j) for j in regs)
+            + " FROM (SELECT DISTINCT src AS v FROM te)),",
+        ]
+        for t in range(1, max_t + 1):
+            gcols = ", ".join(f"bit_or(s{t-1}.m{j}) AS g{j}" for j in regs)
+            mcols = ", ".join(
+                f"(s{t-1}.m{j} | COALESCE(g{t}.g{j}, 0)) AS m{j}" for j in regs
+            )
+            parts.append(
+                f"g{t} AS MATERIALIZED (SELECT ed.dst AS v, {gcols} "
+                f"FROM ed JOIN s{t-1} ON ed.src = s{t-1}.v GROUP BY ed.dst),"
+            )
+            parts.append(
+                f"s{t} AS MATERIALIZED (SELECT s{t-1}.v, {mcols} "
+                f"FROM s{t-1} LEFT JOIN g{t} ON s{t-1}.v = g{t}.v),"
+            )
+        parts[-1] = parts[-1].rstrip(",")
+        sum_r = " + ".join(
+            f"bit_count(((m{j} + 1) & -(m{j} + 1)) - 1)" for j in regs
+        )
+        sels = [
+            f"SELECT v, {t} AS t, ({sum_r})::BIGINT AS sum_r FROM s{t}"
+            for t in range(1, max_t + 1)
+        ]
+        parts.append("\nUNION ALL\n".join(sels))
+        return "\n".join(parts)
+
+    sql["transcript_anf"] = _anf_sql(max_t=3, n_regs=4, seed=7)
 
     # per-community partition diagnostics under the replayable pmod-10
     # labels: volume / internal / cut / conductance recomputed from the

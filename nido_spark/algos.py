@@ -716,6 +716,130 @@ def diameter_double_sweep(
     )
 
 
+_ANF_PHI = 0.77351  # Flajolet-Martin bias correction constant
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_t: int = 3,
+    n_regs: int = 4,
+    seed: int = 7,
+    rho_cap: int = 24,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, t, sum_r, est) for t in 1..max_t — ANF/HyperANF-style
+    per-vertex neighborhood-size estimates via Flajolet-Martin bit
+    sketches (Palmer/Gibbons/Faloutsos ANF '02; Boldi/Rosa/Vigna
+    HyperANF '11): est ~= |{u : dist(v,u) <= t}| including v itself.
+    The exact counterpart is all-pairs BFS (V full traversals); sketches
+    make the whole neighborhood function ONE fixpoint-style loop — the
+    standard way to measure effective diameter / average distance on a
+    100 TB web graph. The reference ships only Louvain
+    (cugraph-scripts/cug_louvain_mm.py:35); this is a companion per the
+    north rule's link-graph family.
+
+    Each vertex carries ``n_regs`` FM registers as plain BIGINT bitmasks:
+    register j starts as ``1 << rho_j(v)`` where rho_j = trailing zeros
+    of the portable affine hash (pipeline._bucket_col, the engine's
+    single shared hash — seeds spread by a golden-ratio stride so
+    registers decorrelate), capped at ``rho_cap``. One round ORs each
+    register over the in-neighbors (gather join + ``bit_or`` aggregate)
+    and into the previous state, so after t rounds register j of v is
+    exactly the OR over the radius-t ball — set union without moving
+    sets, the whole point of sketching. ``sum_r`` = sum over registers
+    of the lowest-zero-bit position (the FM "R" statistic, computed with
+    pure integer ops: ``bit_count(((m+1) & -(m+1)) - 1)``), and
+    ``est = 2^(sum_r/n_regs) / 0.77351``. Everything up to ``sum_r`` is
+    integer-exact and engine-portable — the DuckDB oracle replays the
+    full sketch trajectory bit-for-bit; only ``est`` is float.
+
+    Plan shape is the eigenvector/katz discipline: edges pinned
+    hash-partitioned on dst once, V-row sketch state broadcast below the
+    gate, ONE E-row aggregation per round (n_regs ``bit_or`` columns in
+    a single groupBy), zero per-round scalar actions, V-row state
+    through truncate_lineage. At 100x the registers are still one BIGINT
+    per (vertex, j) — state is O(V * n_regs) longs, never O(V^2).
+
+    Invariants pinned by tests: monotone in t (masks only gain bits);
+    at t >= diameter every vertex of a connected component holds the
+    component-wide OR (identical masks ⇒ identical sum_r)."""
+    from nido_spark.pipeline import _bucket_col
+
+    if max_t < 1:
+        raise ValueError("neighborhood_function: max_t must be >= 1")
+    verts = truncate_lineage(_all_vertices(edges))
+    n = verts.count()
+    bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    e.count()
+
+    regs = [f"m{j}" for j in range(n_regs)]
+    # golden-ratio seed stride keeps every per-register seed < 2^34, inside
+    # _bucket_col's documented no-overflow envelope (x < 2^61 + 2^34)
+    init_cols = []
+    for j, m in enumerate(regs):
+        h = _bucket_col(F.col("v"), seed + j * 2654435769)
+        low = h.bitwiseAND(-h)
+        rho = F.when(h == 0, F.lit(rho_cap)).otherwise(
+            F.least(F.bit_count(low - F.lit(1)), F.lit(rho_cap))
+        )
+        # 2^rho as double is exact for rho <= 52 (far above rho_cap), so the
+        # cast back to long is a pure integer — shiftleft needs a literal
+        # bit count in PySpark, pow takes the column
+        init_cols.append(
+            F.pow(F.lit(2.0), rho.cast("double")).cast("long").alias(m)
+        )
+    state = truncate_lineage(verts.select("v", *init_cols))
+
+    def _sum_r(t: int) -> DataFrame:
+        r_terms = None
+        for m in regs:
+            mp = F.col(m) + F.lit(1)
+            r = F.bit_count(mp.bitwiseAND(-mp) - F.lit(1))
+            r_terms = r if r_terms is None else r_terms + r
+        return state.select(
+            "v",
+            F.lit(t).alias("t"),
+            r_terms.cast("long").alias("sum_r"),
+            (
+                F.pow(F.lit(2.0), r_terms.cast("double") / F.lit(float(n_regs)))
+                / F.lit(_ANF_PHI)
+            ).alias("est"),
+        )
+
+    parts: list[DataFrame] = []
+    for t in range(1, max_t + 1):
+        gathered = (
+            e.join(bc(state.select(F.col("v").alias("src"), *regs)), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(*[F.bit_or(m).alias(f"g{m}") for m in regs])
+        )
+        state = truncate_lineage(
+            state.join(bc(gathered), "v", "left").select(
+                "v",
+                *[
+                    F.col(m)
+                    .bitwiseOR(F.coalesce(F.col(f"g{m}"), F.lit(0)))
+                    .alias(m)
+                    for m in regs
+                ],
+            )
+        )
+        parts.append(_sum_r(t))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    e.unpersist()
+    return out
+
+
 def khop_subgraph(
     edges: DataFrame,
     seeds,

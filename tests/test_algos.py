@@ -1091,3 +1091,92 @@ def test_maximal_matching_empty(spark):
 
     e = spark.createDataFrame([(5, 5)], "src long, dst long")  # self-loop only
     assert maximal_matching(e).count() == 0
+
+
+def _anf_python_replay(edge_list, verts, max_t, n_regs=4, seed=7, cap=24):
+    """Exact Python replay of the FM-sketch trajectory (same portable
+    _bucket_col hash, same register/OR schedule) — the ground truth the
+    Spark columns must reproduce bit-for-bit."""
+    P, P2 = (1 << 61) - 1, (1 << 31) - 1
+    A1, B1, A2, B2 = 1_103_515_245, 12_345, 48_271, 11_213
+
+    def bucket(v, s):
+        r1 = (A1 * ((v % P) + s) + B1) % P
+        return (A2 * (r1 % (1 << 30)) + B2) % P2
+
+    def rho(h):
+        if h == 0:
+            return cap
+        c = 0
+        while h & 1 == 0:
+            h >>= 1
+            c += 1
+        return min(c, cap)
+
+    def lowzero(m):
+        c = 0
+        while m & 1:
+            m >>= 1
+            c += 1
+        return c
+
+    adj = {v: set() for v in verts}
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    masks = {
+        v: [1 << rho(bucket(v, seed + j * 2654435769)) for j in range(n_regs)]
+        for v in verts
+    }
+    out = {}
+    for t in range(1, max_t + 1):
+        new = {v: list(masks[v]) for v in verts}
+        for v in verts:
+            for u in adj[v]:
+                for j in range(n_regs):
+                    new[v][j] |= masks[u][j]
+        masks = new
+        for v in verts:
+            out[(v, t)] = sum(lowzero(m) for m in masks[v])
+    return out
+
+
+def test_neighborhood_function_exact_sketch_replay(spark):
+    """Path 0-1-2-3: every (v, t, sum_r) matches the pure-Python replay
+    of the identical hash/OR schedule — the sketch state is integer-exact
+    and engine-portable by construction."""
+    E = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in E] + [(b, a, 1.0) for a, b in E],
+        "src long, dst long, w double",
+    )
+    got = {
+        (r["v"], r["t"]): r["sum_r"]
+        for r in A.neighborhood_function(df, max_t=3, n_regs=4, seed=7).collect()
+    }
+    want = _anf_python_replay(E, [0, 1, 2, 3], max_t=3)
+    assert got == want
+
+
+def test_neighborhood_function_saturates_to_component_union(spark, karate):
+    """At t >= diameter (karate: 5) every vertex of the (single) connected
+    component holds the component-wide register OR, so sum_r is identical
+    across all 34 vertices; and sum_r is monotone in t for every vertex."""
+    edges, _ = karate
+    out = A.neighborhood_function(edges, max_t=6, n_regs=4, seed=7).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["t"], {})[r["v"]] = r["sum_r"]
+    sat = set(by_t[6].values())
+    assert len(sat) == 1  # one component -> one saturated sketch
+    for v in by_t[1]:
+        vals = [by_t[t][v] for t in range(1, 7)]
+        assert vals == sorted(vals)  # masks only gain bits
+    # est is the documented deterministic function of sum_r
+    one = next(
+        r for r in out if r["t"] == 6
+    )
+    import math
+
+    assert abs(one["est"] - 2 ** (one["sum_r"] / 4.0) / 0.77351) < 1e-9
