@@ -337,6 +337,16 @@ def _q_transcript_diameter(spark, sf):
     )
 
 
+def _q_transcript_flow_fp(spark, sf):
+    # WL flow fingerprints: all four output columns are integers/strings
+    # produced by engine-portable modular arithmetic, so the oracle
+    # replays the whole refinement trajectory (3 unrolled rounds) exactly.
+    from nido_spark.graph import wl_flow_fingerprint
+
+    tr = synth_transcripts(spark, 500, seed=42)
+    return wl_flow_fingerprint(tr, iters=3)
+
+
 def _q_transcript_anf(spark, sf):
     # ANF/FM-sketch neighborhood function on the transcript actor graph.
     # The gate checks the INTEGER sketch statistic sum_r (the full
@@ -1208,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_cooccurrence": _q_transcript_tool_cooccurrence,
         "transcript_diameter": _q_transcript_diameter,
         "transcript_anf": _q_transcript_anf,
+        "transcript_flow_fp": _q_transcript_flow_fp,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -3126,6 +3137,69 @@ GROUP BY item"""
         return "\n".join(parts)
 
     sql["transcript_anf"] = _anf_sql(max_t=3, n_regs=4, seed=7)
+
+    # WL flow-fingerprint replay: the Horner actor-name hash via
+    # list_reduce (same convention as the simhash oracle), then each
+    # refinement round as two join+SUM CTEs with the identical
+    # mod-interleaved arithmetic — fingerprints match bit-for-bit.
+    def _wl_flow_fp_sql(iters: int = 3) -> str:
+        from nido_spark.graph import (
+            WL_A, WL_AFP, WL_AIN, WL_AOUT, WL_B, WL_BFP, WL_BIN, WL_BOUT, WL_P,
+        )
+
+        horner = (
+            "list_reduce(list_transform(generate_series(1, length(v)), "
+            "i -> ascii(substring(v, i, 1))::BIGINT), "
+            "(a, c) -> (a * {b} + c) % 2147483647)"
+        )
+        tok_hash = f"({horner.format(b=257)} + {horner.format(b=131)} * 2147483648)"
+        parts = [
+            f"WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),",
+            "act AS MATERIALIZED (SELECT conv_id, turn_idx,"
+            " CASE WHEN role = 'tool' THEN 'tool:' || tool ELSE role END AS a FROM tr),",
+            "adj0 AS (SELECT conv_id, a,"
+            " lead(a) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b FROM act),",
+            "ed AS MATERIALIZED (SELECT conv_id, a, b, COUNT(*)::BIGINT AS w"
+            " FROM adj0 WHERE b IS NOT NULL GROUP BY 1, 2, 3),",
+            "nodes AS (SELECT DISTINCT conv_id, a AS v FROM act),",
+            f"l0 AS MATERIALIZED (SELECT conv_id, v, {tok_hash} % {WL_P} AS lab FROM nodes),",
+        ]
+        for r in range(1, iters + 1):
+            for cte, key, other, am, bd in (
+                (f"i{r}", "b", "a", WL_AIN, WL_BIN),
+                (f"o{r}", "a", "b", WL_AOUT, WL_BOUT),
+            ):
+                parts.append(
+                    f"{cte} AS (SELECT ed.conv_id, ed.{key} AS v, "
+                    f"SUM(((({am} * l.lab + {bd}) % {WL_P}) * ed.w) % {WL_P})"
+                    f" % {WL_P} AS s "
+                    f"FROM ed JOIN l{r-1} l ON ed.conv_id = l.conv_id"
+                    f" AND ed.{other} = l.v GROUP BY 1, 2),"
+                )
+            parts.append(
+                f"l{r} AS MATERIALIZED (SELECT l.conv_id, l.v, "
+                f"(({WL_A} * l.lab + COALESCE(i.s, 0) + COALESCE(o.s, 0)"
+                f" + {WL_B}) % {WL_P}) AS lab "
+                f"FROM l{r-1} l "
+                f"LEFT JOIN i{r} i ON l.conv_id = i.conv_id AND l.v = i.v "
+                f"LEFT JOIN o{r} o ON l.conv_id = o.conv_id AND l.v = o.v),"
+            )
+        parts.append(
+            f"fp AS (SELECT conv_id, SUM(({WL_AFP} * lab + {WL_BFP}) % {WL_P})"
+            f" % {WL_P} AS wl_fp, COUNT(*) AS n_actors"
+            f" FROM l{iters} GROUP BY conv_id),"
+        )
+        parts.append(
+            "tc AS (SELECT conv_id, SUM(w) AS n_transitions FROM ed GROUP BY conv_id)"
+        )
+        parts.append(
+            "SELECT fp.conv_id, fp.wl_fp, fp.n_actors,"
+            " COALESCE(tc.n_transitions, 0) AS n_transitions"
+            " FROM fp LEFT JOIN tc USING (conv_id)"
+        )
+        return "\n".join(parts)
+
+    sql["transcript_flow_fp"] = _wl_flow_fp_sql(iters=3)
 
     # per-community partition diagnostics under the replayable pmod-10
     # labels: volume / internal / cut / conductance recomputed from the

@@ -803,3 +803,136 @@ def node2vec_walks(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+# Weisfeiler-Lehman flow-fingerprint constants: all multipliers < 2^20 and
+# state < 2^31, so every expression below stays under 2^62 — ANSI-safe
+# (memory: spark-iterative-pitfalls) and bit-identical in any engine.
+WL_P = (1 << 31) - 1
+WL_A, WL_B = 1_000_003, 8_191
+WL_AIN, WL_BIN = 48_271, 11_213
+WL_AOUT, WL_BOUT = 69_621, 12_345
+WL_AFP, WL_BFP = 16_807, 7
+
+
+def wl_flow_fingerprint(
+    transcripts: DataFrame, iters: int = 3, nparts: int | None = None
+) -> DataFrame:
+    """(conv_id, wl_fp, n_actors, n_transitions) — a structural fingerprint
+    of each conversation's interaction-flow graph via Weisfeiler-Lehman
+    label refinement (Weisfeiler-Leman '68; the GIN multiset-sum variant,
+    Xu et al. ICLR'19): conversations whose actor-transition multigraphs
+    are isomorphic (same roles/tools wired the same way with the same
+    transition counts) get the same fingerprint, so `GROUP BY wl_fp` is
+    structural dedup of conversation flows — the flow-level counterpart of
+    the text-level near-dup family, catching templated agent loops that
+    differ only in surface text. 1-WL is a (very strong) isomorphism
+    heuristic, not a decision procedure: equal fp does not PROVE
+    isomorphism, unequal fp does prove non-isomorphism.
+
+    Per conversation: nodes are actors (role, or 'tool:'+tool), directed
+    edges are consecutive-turn transitions weighted by count. Labels start
+    as the portable Horner hash of the actor name (dedup's engine-exact
+    token hash) and refine for ``iters`` rounds with an order-independent
+    multiset-sum update — new = (A*old + S_in + S_out + B) mod P with
+    S_dir = sum over neighbors of an affine re-hash of their label scaled
+    by the transition count, mod P. Multiset-sum instead of
+    sort-and-concatenate is what makes the update a plain join + groupBy
+    SUM (no per-row Python, no arrays) AND exactly replayable in SQL —
+    the gate oracle unrolls all rounds in DuckDB and matches bit-for-bit.
+
+    Scale: every table is keyed by conv_id — joins co-partition on
+    (conv_id, actor), per-conversation graphs are tiny (#distinct actors),
+    so there is no skew by construction; the two edge projections are
+    pinned once and only the V-row label table moves between rounds.
+    Exactness bound: the per-vertex term sum is < distinct-neighbors * 2^31,
+    safe for every conversation below 2^32 distinct actors."""
+    spark = transcripts.sparkSession
+    if nparts is None:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    actor = (
+        F.when(F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool")))
+        .otherwise(F.col("role"))
+        .alias("a")
+    )
+    t = transcripts.select("conv_id", "turn_idx", actor)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    adj = t.select(
+        "conv_id", "a", F.lead("a").over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+    edges = adj.groupBy("conv_id", "a", "b").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    e_in = edges.repartition(nparts, "conv_id", "a").persist()
+    e_out = edges.repartition(nparts, "conv_id", "b").persist()
+    nodes = t.select("conv_id", F.col("a").alias("v")).distinct()
+
+    from nido_spark.dedup import _portable_token_hash
+    from nido_spark.plans import truncate_lineage
+
+    lab = truncate_lineage(
+        nodes.select(
+            "conv_id",
+            "v",
+            F.pmod(_portable_token_hash(F.col("v")), F.lit(WL_P)).alias("lab"),
+        )
+    )
+
+    def _side(e: DataFrame, key: str, other: str, a_mul: int, b_add: int) -> DataFrame:
+        # per-edge term: rehash(other's label) * w, both < 2^31 -> product
+        # < 2^62, mod immediately; the groupBy SUM then stays < d * 2^31
+        contrib = F.pmod(
+            F.pmod(F.lit(a_mul) * F.col("lab") + F.lit(b_add), F.lit(WL_P))
+            * F.col("w"),
+            F.lit(WL_P),
+        )
+        return (
+            e.join(
+                lab.select(
+                    "conv_id", F.col("v").alias(other), F.col("lab")
+                ),
+                ["conv_id", other],
+            )
+            .select("conv_id", F.col(key).alias("v"), contrib.alias("c"))
+            .groupBy("conv_id", "v")
+            .agg(F.pmod(F.sum("c"), F.lit(WL_P)).alias("s"))
+        )
+
+    for _ in range(iters):
+        s_in = _side(e_in, "b", "a", WL_AIN, WL_BIN)
+        s_out = _side(e_out, "a", "b", WL_AOUT, WL_BOUT)
+        lab = truncate_lineage(
+            lab.join(s_in.withColumnRenamed("s", "sin"), ["conv_id", "v"], "left")
+            .join(s_out.withColumnRenamed("s", "sout"), ["conv_id", "v"], "left")
+            .select(
+                "conv_id",
+                "v",
+                F.pmod(
+                    F.lit(WL_A) * F.col("lab")
+                    + F.coalesce("sin", F.lit(0))
+                    + F.coalesce("sout", F.lit(0))
+                    + F.lit(WL_B),
+                    F.lit(WL_P),
+                ).alias("lab"),
+            )
+        )
+
+    fp = lab.groupBy("conv_id").agg(
+        F.pmod(
+            F.sum(F.pmod(F.lit(WL_AFP) * F.col("lab") + F.lit(WL_BFP), F.lit(WL_P))),
+            F.lit(WL_P),
+        ).alias("wl_fp"),
+        F.count("*").alias("n_actors"),
+    )
+    trans = edges.groupBy("conv_id").agg(F.sum("w").alias("n_transitions"))
+    out = fp.join(trans, "conv_id", "left").select(
+        "conv_id",
+        "wl_fp",
+        "n_actors",
+        F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
+    )
+    e_in.unpersist()
+    e_out.unpersist()
+    return out

@@ -674,3 +674,42 @@ def test_butterfly_counts_hub_cap(spark):
                  for r in butterfly_counts(pairs, max_items_per_key=0).collect()}
     # with the hub in: codeg(a,b)=3 -> 3 each
     assert got_nocap["a"] == 3 and got_nocap["b"] == 3
+
+
+def test_wl_flow_fingerprint_isomorphism_and_separation(spark):
+    """Structurally identical conversation flows share a fingerprint
+    regardless of turn_idx spacing; different tool wiring or role
+    structure separates (1-WL distinguishes these tiny multigraphs)."""
+    from nido_spark.graph import wl_flow_fingerprint
+
+    flows = {
+        "A": [("user", None), ("assistant", None), ("tool", "search"), ("assistant", None)],
+        "C": [("user", None), ("assistant", None), ("tool", "web"), ("assistant", None)],
+        "D": [("user", None), ("assistant", None), ("user", None), ("assistant", None)],
+    }
+    rows = []
+    for cid, turns in flows.items():
+        for i, (r, tl) in enumerate(turns):
+            rows.append((cid, i, r, tl))
+    # B: A's structure with gappy turn indices — must collide with A
+    for i, (r, tl) in enumerate(flows["A"]):
+        rows.append(("B", i * 10 + 3, r, tl))
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    out = {r["conv_id"]: r["wl_fp"] for r in wl_flow_fingerprint(tr).collect()}
+    assert out["A"] == out["B"]
+    assert len({out["A"], out["C"], out["D"]}) == 3
+
+
+def test_wl_flow_fingerprint_partition_invariant(spark):
+    """The fingerprint is pure modular arithmetic over the conversation's
+    own rows — repartitioning the input must not change a single value."""
+    from nido_spark.graph import wl_flow_fingerprint
+    from nido_spark.io import synth_transcripts
+
+    tr = synth_transcripts(spark, 60, seed=11)
+    a = {r["conv_id"]: tuple(r) for r in wl_flow_fingerprint(tr).collect()}
+    b = {
+        r["conv_id"]: tuple(r)
+        for r in wl_flow_fingerprint(tr.repartition(13)).collect()
+    }
+    assert a == b and len(a) == 60
