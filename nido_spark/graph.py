@@ -936,3 +936,119 @@ def wl_flow_fingerprint(
     e_in.unpersist()
     e_out.unpersist()
     return out
+
+
+def transcripts_to_temporal_edges(transcripts: DataFrame) -> DataFrame:
+    """(a, b, t) — directed consecutive-turn actor transitions with firing
+    time ``t`` = epoch-seconds of the LATER turn. Actor naming matches
+    ``io.transcripts_to_edges``'s dense strategy (conv-scoped roles,
+    GLOBAL tool actors), so shared tools bridge conversations in time —
+    the substrate for time-respecting reachability over an agent
+    ecosystem. Exact duplicate (a, b, t) triples collapse; t stays an
+    integer (no float time math anywhere downstream)."""
+    actor = (
+        F.when(F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool")))
+        .otherwise(F.concat(F.col("conv_id"), F.lit(":"), F.col("role")))
+        .alias("a")
+    )
+    t = transcripts.select(
+        "conv_id", "turn_idx", actor, F.col("ts").cast("long").alias("ep")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.select(
+            "conv_id",
+            "a",
+            F.lead("a").over(w).alias("b"),
+            F.lead("ep").over(w).alias("t"),
+        )
+        .where(F.col("b").isNotNull())
+        .select("a", "b", "t")
+        .distinct()
+    )
+
+
+def temporal_reachability(
+    tedges: DataFrame,
+    seeds: list[str],
+    max_iters: int = 64,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, arr) — earliest time-respecting arrival at every reachable
+    actor from the ``seeds`` set (seed arrival = 0): an edge (a, b, t)
+    is traversable only if ``t >= arr(a)``, i.e. information can ride a
+    transition only after it has reached the source — Kempe/Kleinberg/
+    Kumar temporal-path semantics, the causal counterpart of BFS on a
+    conversation ecosystem (who could have been influenced by a seed
+    tool/actor, and by when). Plain shortest-path reachability
+    over-counts here: a conversation that used a tool BEFORE the seed
+    touched it is not causally downstream, and only the time gate
+    excludes it.
+
+    Iterated min-arrival relaxation to fixpoint: per round ONE E-row
+    join+aggregation against the arrival table (gated on ``t >= arr``),
+    then a null-aware merge — the ``cc``/``sssp`` plan discipline
+    (edges pinned on the gather key once, V-row state broadcast below
+    the gate, truncate_lineage per round, loud RuntimeError on
+    ``max_iters`` exhaustion). All time math is integer epoch seconds —
+    the trajectory is engine-exact, and relaxation is idempotent past
+    the fixpoint, so an unrolled SQL replay with >= rounds matches
+    bit-for-bit."""
+    from nido_spark.plans import truncate_lineage
+
+    spark = tedges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = tedges.select("a", "b", "t").repartition(nparts, "a").persist()
+    e.count()
+    verts = truncate_lineage(
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    n = verts.count()
+    bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "v string")
+    arr = truncate_lineage(
+        verts.join(F.broadcast(seed_df.withColumn("s", F.lit(0).cast("long"))), "v", "left")
+        .select("v", F.col("s").alias("arr"))
+    )
+    for it in range(max_iters):
+        cand = (
+            e.join(
+                bc(
+                    arr.where(F.col("arr").isNotNull()).select(
+                        F.col("v").alias("a"), "arr"
+                    )
+                ),
+                "a",
+            )
+            .where(F.col("t") >= F.col("arr"))
+            .groupBy(F.col("b").alias("v"))
+            .agg(F.min("t").alias("c"))
+        )
+        new_arr = truncate_lineage(
+            arr.join(bc(cand), "v", "left").select(
+                "v",
+                F.when(F.col("arr").isNull(), F.col("c"))
+                .when(F.col("c").isNull(), F.col("arr"))
+                .otherwise(F.least("arr", "c"))
+                .alias("arr"),
+            )
+        )
+        changed = (
+            new_arr.alias("n")
+            .join(arr.alias("o"), "v")
+            .where(~F.col("n.arr").eqNullSafe(F.col("o.arr")))
+            .count()
+        )
+        arr = new_arr
+        if changed == 0:
+            e.unpersist()
+            return arr.where(F.col("arr").isNotNull())
+    e.unpersist()
+    raise RuntimeError(
+        f"temporal_reachability: no fixpoint after {max_iters} rounds "
+        "(raise max_iters)"
+    )

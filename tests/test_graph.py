@@ -713,3 +713,49 @@ def test_wl_flow_fingerprint_partition_invariant(spark):
         for r in wl_flow_fingerprint(tr.repartition(13)).collect()
     }
     assert a == b and len(a) == 60
+
+
+def test_temporal_reachability_time_gate(spark):
+    """Causality gate: x->y fires at t=5, y->z fired at t=3 (BEFORE
+    influence reaches y), so z is NOT reachable; y->w at t=9 is. A plain
+    BFS on the same edges would claim z — the time gate is the point."""
+    from nido_spark.graph import temporal_reachability
+
+    te = spark.createDataFrame(
+        [("x", "y", 5), ("y", "z", 3), ("y", "w", 9)],
+        "a string, b string, t long",
+    )
+    out = {r["v"]: r["arr"] for r in temporal_reachability(te, ["x"]).collect()}
+    assert out == {"x": 0, "y": 5, "w": 9}
+
+
+def test_temporal_reachability_equal_time_hop_allowed(spark):
+    """t >= arr: a transition at exactly the arrival instant counts
+    (same-turn relay), and the earliest of several valid arrivals wins."""
+    from nido_spark.graph import temporal_reachability
+
+    te = spark.createDataFrame(
+        [("s", "a", 4), ("a", "b", 4), ("s", "b", 7)],
+        "a string, b string, t long",
+    )
+    out = {r["v"]: r["arr"] for r in temporal_reachability(te, ["s"]).collect()}
+    assert out == {"s": 0, "a": 4, "b": 4}
+
+
+def test_temporal_edges_bridge_conversations_via_tools(spark):
+    """On the synth fixture, reachability from a popular tool crosses into
+    conversations the seed tool itself appears in — and only turns at or
+    after the seed's first firing are reached (spot-check the invariant:
+    every non-seed arrival is a real edge time >= 0)."""
+    from nido_spark.graph import (
+        temporal_reachability,
+        transcripts_to_temporal_edges,
+    )
+    from nido_spark.io import synth_transcripts
+
+    te = transcripts_to_temporal_edges(synth_transcripts(spark, 120, seed=42))
+    out = temporal_reachability(te, ["tool:tool_00"]).collect()
+    convs = {r["v"].split(":")[0] for r in out if r["v"].startswith("conv_")}
+    assert len(convs) > 1  # crossed conversation boundaries
+    times = [r["arr"] for r in out if r["arr"] > 0]
+    assert times and min(times) >= 1_700_000_000
