@@ -347,6 +347,14 @@ def _q_transcript_flow_fp(spark, sf):
     return wl_flow_fingerprint(tr, iters=3)
 
 
+def _q_doc_token_quantiles(spark, sf):
+    # exact corpus token-count quantiles (PERCENTILE_DISC semantics) via
+    # the distinct-value cumsum — the oracle IS percentile_disc
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    q = X.exact_quantiles(X.token_count(_docs(spark, sf)), "n_tokens", probs)
+    return q.select("p", F.col("q").cast("long").alias("q"))
+
+
 def _q_transcript_temporal_reach(spark, sf):
     # time-respecting reachability from the most-used tool actor; all
     # integer epoch math, idempotent past the fixpoint (Spark converges
@@ -1240,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_anf": _q_transcript_anf,
         "transcript_flow_fp": _q_transcript_flow_fp,
         "transcript_temporal_reach": _q_transcript_temporal_reach,
+        "doc_token_quantiles": _q_doc_token_quantiles,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -3263,6 +3272,19 @@ GROUP BY item"""
         return "\n".join(parts)
 
     sql["transcript_temporal_reach"] = _temporal_reach_sql(rounds=12)
+
+    # same regex-trim tokenization as doc_token_count (the divergence-free
+    # rendering documented at textops.tokens); the quantile itself IS
+    # percentile_disc — an algorithm-independent check of exact_quantiles
+    sql["doc_token_quantiles"] = r"""
+WITH tc AS (
+  SELECT CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+  FROM documents)
+""" + "\nUNION ALL\n".join(
+        f"SELECT {p} AS p, percentile_disc({p}) WITHIN GROUP (ORDER BY n_tokens)::BIGINT AS q FROM tc"
+        for p in (0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    )
 
     # per-community partition diagnostics under the replayable pmod-10
     # labels: volume / internal / cut / conductance recomputed from the

@@ -927,3 +927,43 @@ def chunk_documents(
         F.size(sl).cast("long").alias("n_tokens"),
         F.array_join(sl, " ").alias("chunk_text"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, probs: list[float]
+) -> DataFrame:
+    """(p, q) — EXACT lower quantiles of an integer-valued column at
+    corpus scale: q(p) = the smallest value whose cumulative count
+    reaches ceil(p * n) (SQL PERCENTILE_DISC semantics). Built on the
+    distinct-VALUE axis, the k-core H-index trick: groupBy(value) +
+    count, then one cumulative-sum window over the distinct values — the
+    window runs over O(distinct values) rows (document lengths, token
+    counts: thousands), never O(rows), so a 10^11-doc corpus pays one
+    map-side-combinable aggregation + one tiny single-partition window.
+    The usual approx_percentile sketch trades accuracy for one pass;
+    this is exact in the same pass count for low-cardinality integer
+    metrics, and exactness is what makes the DuckDB oracle a plain
+    PERCENTILE_DISC comparison. Quality-gate thresholds ("drop the
+    bottom 5% by length") need the exact cut to be reproducible across
+    engines and runs."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    counts = df.groupBy(F.col(value_col).alias("val")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "val", F.sum("c").over(w).alias("cum"), F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n")
+    )
+    ps = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    return (
+        F.broadcast(ps)
+        .join(cum, F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(F.min("val").alias("q"))
+    )

@@ -876,3 +876,38 @@ def test_bigram_logloss_empty_corpus(spark):
     )
     # one-token and blank docs produce no bigrams; vocab nonzero path
     assert bigram_logloss(docs).count() == 0
+
+
+def test_exact_quantiles_percentile_disc_semantics(spark):
+    """q(p) = smallest value whose cumulative count >= ceil(p*n) — the
+    PERCENTILE_DISC contract, pinned on a hand-computed fixture with
+    ties and gaps (values 1,1,2,5,5,5,9; n=7)."""
+    from nido_spark.textops import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in [1, 1, 2, 5, 5, 5, 9]], "x long")
+    got = {
+        r["p"]: r["q"]
+        for r in exact_quantiles(df, "x", [0.0, 0.25, 0.5, 0.9, 1.0]).collect()
+    }
+    # ceil(p*7): 0 -> min, 1.75->2 -> 1, 3.5->4 -> 5, 6.3->7 -> 9, 7 -> 9
+    assert got == {0.0: 1, 0.25: 1, 0.5: 5, 0.9: 9, 1.0: 9}
+
+
+def test_exact_quantiles_matches_duckdb_percentile_disc(spark):
+    """Algorithm-independent cross-check on the real corpus fixture."""
+    import duckdb
+
+    from nido_spark.textops import exact_quantiles, token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tc = token_count(docs)
+    probs = [0.1, 0.5, 0.9]
+    got = {r["p"]: r["q"] for r in exact_quantiles(tc, "n_tokens", probs).collect()}
+    pdf = tc.toPandas()
+    con = duckdb.connect()
+    con.register("tc", pdf)
+    for p in probs:
+        want = con.execute(
+            f"SELECT percentile_disc({p}) WITHIN GROUP (ORDER BY n_tokens) FROM tc"
+        ).fetchone()[0]
+        assert got[p] == want, (p, got[p], want)
