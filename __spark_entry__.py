@@ -347,6 +347,24 @@ def _q_transcript_flow_fp(spark, sf):
     return wl_flow_fingerprint(tr, iters=3)
 
 
+def _q_lineitem_sweep_cut(spark, sf):
+    # ACL local community: PPR (same 12-iter/5-seed schedule as ppr_full)
+    # -> degree-normalized sweep, conductance of every prefix. Ranking
+    # key rounds the score FIRST (round(r,9)/k) so rank order is engine-
+    # identical; vol/cut are integer-valued double cumsums (exact).
+    edges = lineitem_edges(spark, sf)
+    seeds = [r["v"] for r in G.vertices(edges).orderBy("v").limit(5).collect()]
+    ppr = A.personalized_pagerank(edges, seeds, max_iters=12)
+    out = A.sweep_cut(edges, ppr)
+    return out.select(
+        "v",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("vol", 6).alias("vol"),
+        F.round("cut", 6).alias("cut"),
+        F.round("phi", 9).alias("phi"),
+    )
+
+
 def _q_doc_token_quantiles(spark, sf):
     # exact corpus token-count quantiles (PERCENTILE_DISC semantics) via
     # the distinct-value cumsum — the oracle IS percentile_disc
@@ -1249,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_flow_fp": _q_transcript_flow_fp,
         "transcript_temporal_reach": _q_transcript_temporal_reach,
         "doc_token_quantiles": _q_doc_token_quantiles,
+        "lineitem_sweep_cut": _q_lineitem_sweep_cut,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -3272,6 +3291,37 @@ GROUP BY item"""
         return "\n".join(parts)
 
     sql["transcript_temporal_reach"] = _temporal_reach_sql(rounds=12)
+
+    # ACL sweep replay: PPR scores from the existing unrolled 12-iter
+    # oracle (nested WITH as a derived table), ROW_NUMBER on the same
+    # round-first key, interval-delta cut construction (+w at rank(src),
+    # -w at rank(dst) for src-before-dst orientations), two cumsums.
+    sql["lineitem_sweep_cut"] = f"""{_E},
+ppr AS MATERIALIZED (SELECT * FROM ({_ppr_full_sql(iters=12, n_seeds=5)})),
+deg AS (SELECT src AS v, SUM(w) AS k FROM e GROUP BY src),
+rk AS MATERIALIZED (
+  SELECT ppr.v, deg.k,
+         ROW_NUMBER() OVER (ORDER BY ppr.r / deg.k DESC, ppr.v ASC) AS rank
+  FROM ppr JOIN deg ON ppr.v = deg.v),
+je AS (
+  SELECT rs.rank AS r_src, rd.rank AS r_dst, e.w
+  FROM e JOIN rk rs ON e.src = rs.v JOIN rk rd ON e.dst = rd.v
+  WHERE rs.rank < rd.rank),
+del AS (
+  SELECT rank, SUM(d) AS d
+  FROM (SELECT r_src AS rank, w AS d FROM je
+        UNION ALL SELECT r_dst AS rank, -w AS d FROM je)
+  GROUP BY rank),
+tot AS (SELECT SUM(k) AS t FROM deg),
+curve AS (
+  SELECT rk.v, rk.rank,
+         SUM(rk.k) OVER (ORDER BY rk.rank) AS vol,
+         SUM(COALESCE(del.d, 0)) OVER (ORDER BY rk.rank) AS cut
+  FROM rk LEFT JOIN del USING (rank))
+SELECT v, rank, ROUND(vol, 6) AS vol, ROUND(cut, 6) AS cut,
+       CASE WHEN LEAST(vol, (SELECT t FROM tot) - vol) > 0
+            THEN ROUND(cut / LEAST(vol, (SELECT t FROM tot) - vol), 9) END AS phi
+FROM curve"""
 
     # same regex-trim tokenization as doc_token_count (the divergence-free
     # rendering documented at textops.tokens); the quantile itself IS

@@ -2275,3 +2275,81 @@ def maximal_matching(
     for pp in parts[1:]:
         out = out.unionByName(pp)
     return out
+
+
+def sweep_cut(
+    edges: DataFrame, scores: DataFrame, score_col: str = "r"
+) -> DataFrame:
+    """(v, rank, vol, cut, phi) — the Andersen-Chung-Lang sweep curve
+    over ``scores`` (typically ``personalized_pagerank`` from a seed
+    set): vertices ranked by the degree-normalized score, and for every
+    prefix S_k the conductance phi(k) = cut(S_k) / min(vol(S_k),
+    vol(G) - vol(S_k)). The argmin prefix is the classic local community
+    around the seeds (ACL '06 / spectral sweep); returning the whole
+    curve keeps the primitive composable (callers pick argmin, threshold,
+    or plot). The last rank (S = V) has NULL phi (denominator 0).
+
+    Exactness: ranking key = round(score, 9) / k — rounding FIRST makes
+    the key bit-identical across engines wherever the score oracle pins
+    round(score,9) (pagerank/PPR do), so ranks, cumulative volumes and
+    cuts replay exactly in SQL; weights are count-valued doubles, so
+    every sum is integer-exact below 2^53. cut(k) is built without a
+    per-prefix pass: each directed edge with rank(src) < rank(dst)
+    contributes +w at rank(src) and -w at rank(dst) (its reverse
+    orientation never crosses inside the window), and one cumulative sum
+    of the deltas yields the entire curve.
+
+    Scale: the ranking/cumsum windows are GLOBAL single-partition passes
+    over the score table — by design this is a LOCAL-community primitive:
+    run it on the seed's neighborhood (``khop_subgraph`` +
+    ``induced_subgraph``) or a top-N score slice, where V_local is
+    thousands, not the full graph. The delta aggregation is the only
+    E-row pass and it is a plain map + groupBy."""
+    from pyspark.sql import Window
+
+    deg = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("k"))
+    ranked = (
+        scores.join(deg, "v")
+        .select(
+            "v",
+            "k",
+            (F.round(F.col(score_col), 9) / F.col("k")).alias("_key"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("_key").desc(), F.col("v").asc())
+    ranked = truncate_lineage(
+        ranked.select("v", "k", F.row_number().over(w_rank).alias("rank"))
+    )
+    rk_src = ranked.select(F.col("v").alias("src"), F.col("rank").alias("r_src"))
+    rk_dst = ranked.select(F.col("v").alias("dst"), F.col("rank").alias("r_dst"))
+    je = (
+        edges.join(rk_src, "src")
+        .join(rk_dst, "dst")
+        .where(F.col("r_src") < F.col("r_dst"))
+    )
+    deltas = (
+        je.select(F.col("r_src").alias("rank"), F.col("w").alias("d"))
+        .unionByName(je.select(F.col("r_dst").alias("rank"), (-F.col("w")).alias("d")))
+        .groupBy("rank")
+        .agg(F.sum("d").alias("d"))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    tot = deg.agg(F.sum("k")).first()[0]
+    curve = (
+        ranked.join(deltas, "rank", "left")
+        .select("v", "rank", "k", F.coalesce("d", F.lit(0.0)).alias("d"))
+        .select(
+            "v",
+            "rank",
+            F.sum("k").over(w_cum).alias("vol"),
+            F.sum("d").over(w_cum).alias("cut"),
+        )
+    )
+    denom = F.least(F.col("vol"), F.lit(float(tot)) - F.col("vol"))
+    return curve.select(
+        "v",
+        "rank",
+        "vol",
+        "cut",
+        F.when(denom > 0, F.col("cut") / denom).alias("phi"),
+    )

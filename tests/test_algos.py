@@ -1180,3 +1180,31 @@ def test_neighborhood_function_saturates_to_component_union(spark, karate):
     import math
 
     assert abs(one["est"] - 2 ** (one["sum_r"] / 4.0) / 0.77351) < 1e-9
+
+
+def test_sweep_cut_networkx_conductance_parity(spark, karate):
+    """Every prefix's phi equals networkx.conductance on the same ordered
+    prefix; the best cut from PPR(seed=0) lands near the Mr. Hi faction
+    (a proper sub-community, not a single vertex or the whole graph)."""
+    import networkx as nx
+
+    from tests.conftest import KARATE_EDGES
+
+    edges, _ = karate
+    ppr = A.personalized_pagerank(edges, [0], max_iters=12)
+    curve = A.sweep_cut(edges, ppr).orderBy("rank").collect()
+    G = nx.Graph()
+    G.add_edges_from(KARATE_EDGES)
+    pref = []
+    for row in curve:
+        pref.append(row["v"])
+        if 0 < len(pref) < 34:
+            assert abs(row["phi"] - nx.conductance(G, pref)) < 1e-9
+        else:
+            assert row["phi"] is None  # S = V: denominator 0
+    best = min(
+        (r for r in curve if r["phi"] is not None),
+        key=lambda r: (r["phi"], r["rank"]),
+    )
+    assert 5 < best["rank"] < 30
+    assert 0 in pref[: best["rank"]]  # seed inside its own community
