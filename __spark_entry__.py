@@ -347,6 +347,15 @@ def _q_transcript_flow_fp(spark, sf):
     return wl_flow_fingerprint(tr, iters=3)
 
 
+def _q_corpus_sample_weighted(spark, sf):
+    # Efraimidis-Spirakis race weighted by n_chars: winners + their keys
+    # are deterministic (portable-hash u, 9 dp race rounding, id ties)
+    from nido_spark.pipeline import sample_weighted
+
+    out = sample_weighted(_docs(spark, sf), "n_chars", k=50, seed=7)
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def _q_lineitem_sweep_cut(spark, sf):
     # ACL local community: PPR (same 12-iter/5-seed schedule as ppr_full)
     # -> degree-normalized sweep, conductance of every prefix. Ranking
@@ -1268,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_temporal_reach": _q_transcript_temporal_reach,
         "doc_token_quantiles": _q_doc_token_quantiles,
         "lineitem_sweep_cut": _q_lineitem_sweep_cut,
+        "corpus_sample_weighted": _q_corpus_sample_weighted,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -2677,6 +2687,15 @@ FROM documents WHERE {_bkt_sql(7)} < {thr}"""
 SELECT doc_id, lang FROM documents
 WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
    OR (lang = 'en' AND {_bkt_sql(7)} < {int(0.5 * _SAMPLE_P2)})"""
+
+    # weighted-race replay: same u = (bucket+1)/2^31, ROUND(-ln(u)/w, 9)
+    # key, (key, doc_id) order, LIMIT k
+    sql["corpus_sample_weighted"] = f"""
+SELECT doc_id, n_chars::BIGINT AS n_chars
+FROM (SELECT doc_id, n_chars,
+             ROUND(-ln(({_bkt_sql(7)} + 1) / 2147483648.0) / n_chars, 9) AS wk
+      FROM documents WHERE n_chars > 0)
+ORDER BY wk ASC, doc_id ASC LIMIT 50"""
 
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["ppr_full"] = _ppr_full_sql(iters=12, n_seeds=5)

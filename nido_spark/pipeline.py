@@ -182,3 +182,37 @@ def prepare_corpus(
     exact_survivors.unpersist()
     survivors.unpersist()
     return out
+
+
+def sample_weighted(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows —
+    the Efraimidis-Spirakis exponential race: each row draws u from its
+    id's affine-hash bucket (the engine's shared portable hash, so the
+    draw is reproducible across runs, engines and partitionings) and
+    scores key = -ln(u) / w; the k smallest keys win, which is exactly
+    weighted sampling without replacement. The quality/recency-weighted
+    corpus carve-out ("sample 1M docs proportional to quality^2") that
+    uniform sample_corpus can't express.
+
+    key is rounded to 9 dp (the node2vec race convention) so the winner
+    set — and hence the oracle comparison — is stable under cross-engine
+    ln/double noise; ties after rounding break on the id. orderBy+limit
+    compiles to TakeOrderedAndProject (bounded per-partition heap + one
+    k-row merge — no global sort materialization), so the pass is one
+    map-side scan at any corpus size. Rows with w <= 0 never win (they
+    are filtered, the with-or-without-replacement convention)."""
+    u = (_bucket(id_col, seed) + F.lit(1)) / F.lit(float(_SAMPLE_P2 + 1))
+    key = F.round(-F.log(u) / F.col(weight_col), 9)
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("_wk", key)
+        .orderBy(F.col("_wk").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wk")
+    )

@@ -911,3 +911,31 @@ def test_exact_quantiles_matches_duckdb_percentile_disc(spark):
             f"SELECT percentile_disc({p}) WITHIN GROUP (ORDER BY n_tokens) FROM tc"
         ).fetchone()[0]
         assert got[p] == want, (p, got[p], want)
+
+
+def test_sample_weighted_exact_race_replay(spark):
+    """Winners are exactly the k smallest ROUND(-ln(u)/w, 9) keys with
+    (key, id) tie order — pure-Python replay of the same portable hash;
+    and a dominant weight (1e9 vs 1-100) must win a slot."""
+    import math
+
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+        sample_weighted,
+    )
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(200)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    got = sorted(r["doc_id"] for r in sample_weighted(df, "wt", k=20, seed=7).collect())
+
+    def bucket(v, seed):
+        r1 = (_SAMPLE_A1 * ((v % _SAMPLE_P) + seed) + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    keyed = [
+        (round(-math.log((bucket(i, 7) + 1) / float(_SAMPLE_P2 + 1)) / w, 9), i)
+        for i, w in rows
+    ]
+    want = sorted(i for _, i in sorted(keyed)[:20])
+    assert got == want
+    assert 999 in got
