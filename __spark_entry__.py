@@ -347,6 +347,40 @@ def _q_transcript_flow_fp(spark, sf):
     return wl_flow_fingerprint(tr, iters=3)
 
 
+def _tr_string_directed(spark):
+    from nido_spark.io import transcript_string_edges
+
+    return transcript_string_edges(synth_transcripts(spark, 500, seed=42), directed=True)
+
+
+def _tr_class_labels(se):
+    from nido_spark.graph import actor_class
+
+    names = se.select(F.col("a").alias("name")).union(se.select("b")).distinct()
+    return names.select("name", actor_class(F.col("name")).alias("cls"))
+
+
+def _q_transcript_role_mixing(spark, sf):
+    # who-talks-to-whom census: class-level directed edge mass + fraction
+    from nido_spark.graph import attribute_mixing
+
+    se = _tr_string_directed(spark)
+    out = attribute_mixing(se, _tr_class_labels(se))
+    return out.select(
+        "ca", "cb", F.col("w").cast("long").alias("w"), F.round("frac", 9).alias("frac")
+    )
+
+
+def _q_transcript_role_assortativity(spark, sf):
+    # Newman directed attribute assortativity (networkx-parity pytest);
+    # one deterministic scalar from the tiny mixing matrix
+    from nido_spark.graph import attribute_assortativity
+
+    se = _tr_string_directed(spark)
+    r = attribute_assortativity(se, _tr_class_labels(se))
+    return spark.createDataFrame([(round(r, 9),)], "r double")
+
+
 def _q_corpus_sample_weighted(spark, sf):
     # Efraimidis-Spirakis race weighted by n_chars: winners + their keys
     # are deterministic (portable-hash u, 9 dp race rounding, id ties)
@@ -1278,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_quantiles": _q_doc_token_quantiles,
         "lineitem_sweep_cut": _q_lineitem_sweep_cut,
         "corpus_sample_weighted": _q_corpus_sample_weighted,
+        "transcript_role_mixing": _q_transcript_role_mixing,
+        "transcript_role_assortativity": _q_transcript_role_assortativity,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -3268,6 +3304,52 @@ GROUP BY item"""
         return "\n".join(parts)
 
     sql["transcript_flow_fp"] = _wl_flow_fp_sql(iters=3)
+
+    # role-mixing census + Newman directed attribute assortativity —
+    # class labels derived in SQL exactly as graph.actor_class
+    def _role_mixing_cte() -> str:
+        def cls(c: str) -> str:
+            return (
+                f"CASE WHEN {c} LIKE 'tool:%' THEN 'tool' "
+                f"WHEN {c} LIKE 'conv:%' THEN 'conv' "
+                f"ELSE regexp_extract({c}, '[^:]+$') END"
+            )
+
+        return f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+act AS (SELECT conv_id, turn_idx,
+        CASE WHEN role = 'tool' THEN 'tool:' || tool
+             ELSE conv_id || ':' || role END AS a FROM tr),
+adj0 AS (SELECT conv_id, a,
+         lead(a) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b FROM act),
+adj AS (SELECT a, b, COUNT(*)::DOUBLE AS w FROM adj0
+        WHERE b IS NOT NULL GROUP BY 1, 2),
+ct AS (SELECT 'conv:' || conv_id AS a, 'tool:' || tool AS b,
+       COUNT(*)::DOUBLE AS w FROM tr WHERE tool IS NOT NULL GROUP BY 1, 2),
+se AS (SELECT a, b, SUM(w) AS w
+       FROM (SELECT * FROM adj UNION ALL SELECT * FROM ct) GROUP BY 1, 2),
+m AS MATERIALIZED (SELECT {cls('a')} AS ca, {cls('b')} AS cb, SUM(w) AS w
+     FROM se GROUP BY 1, 2),
+tot AS (SELECT SUM(w) AS t FROM m)"""
+
+    sql["transcript_role_mixing"] = (
+        _role_mixing_cte()
+        + """
+SELECT ca, cb, w::BIGINT AS w, ROUND(w / (SELECT t FROM tot), 9) AS frac FROM m"""
+    )
+
+    sql["transcript_role_assortativity"] = (
+        _role_mixing_cte()
+        + """,
+e AS (SELECT ca, cb, w / (SELECT t FROM tot) AS f FROM m),
+ai AS (SELECT ca, SUM(f) AS ai FROM e GROUP BY ca),
+bi AS (SELECT cb, SUM(f) AS bi FROM e GROUP BY cb),
+eii AS (SELECT COALESCE(SUM(f), 0) AS s FROM e WHERE ca = cb),
+ab AS (SELECT COALESCE(SUM(ai.ai * bi.bi), 0) AS s
+       FROM ai JOIN bi ON ai.ca = bi.cb)
+SELECT ROUND(((SELECT s FROM eii) - (SELECT s FROM ab))
+             / (1 - (SELECT s FROM ab)), 9) AS r"""
+    )
 
     # temporal reachability replay: epoch seconds derived in SQL from the
     # conv index + turn_idx (exactly io._synth_conv_pdf's formula), then

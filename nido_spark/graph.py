@@ -1052,3 +1052,60 @@ def temporal_reachability(
         f"temporal_reachability: no fixpoint after {max_iters} rounds "
         "(raise max_iters)"
     )
+
+
+def actor_class(col) -> "F.Column":
+    """Actor-name -> class: 'tool:*' -> 'tool', 'conv:*' -> 'conv',
+    conversation-scoped roles ('<conv_id>:user') -> the role suffix."""
+    return (
+        F.when(col.startswith("tool:"), F.lit("tool"))
+        .when(col.startswith("conv:"), F.lit("conv"))
+        .otherwise(F.substring_index(col, ":", -1))
+    )
+
+
+def attribute_mixing(sedges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(ca, cb, w, frac) — Newman's attribute mixing matrix over a
+    DIRECTED weighted edge table with string endpoints (a, b, w) and a
+    (name, cls) label table: w = total edge weight from class ca to
+    class cb, frac = w / total. The who-talks-to-whom census of a
+    conversation ecosystem (user->assistant vs assistant->tool mass,
+    etc.) — the attribute counterpart of degree assortativity
+    (graph.assortativity). Two broadcast-joinable label lookups + one
+    groupBy over |classes|^2 rows; weights are count-valued so sums are
+    exact and frac is one deterministic division (ROUND it for gates)."""
+    la = labels.select(F.col("name").alias("a"), F.col("cls").alias("ca"))
+    lb = labels.select(F.col("name").alias("b"), F.col("cls").alias("cb"))
+    m = (
+        sedges.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .groupBy("ca", "cb")
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = m.agg(F.sum("w")).first()[0]
+    return m.select("ca", "cb", "w", (F.col("w") / F.lit(float(tot))).alias("frac"))
+
+
+def attribute_assortativity(sedges: DataFrame, labels: DataFrame) -> float:
+    """Newman's directed attribute assortativity coefficient r =
+    (sum_i e_ii - sum_i a_i b_i) / (1 - sum_i a_i b_i) over the mixing
+    matrix e = attribute_mixing fractions (a_i/b_i = row/column sums) —
+    +1 = perfectly assortative (classes only talk to themselves),
+    0 = random wiring, negative = disassortative (the usual signature of
+    user<->assistant alternation). The matrix is |classes|^2 rows, so
+    the reduction is a scalar action over a tiny table."""
+    m = attribute_mixing(sedges, labels).select("ca", "cb", "frac")
+    ai = m.groupBy("ca").agg(F.sum("frac").alias("ai"))
+    bi = m.groupBy("cb").agg(F.sum("frac").alias("bi"))
+    eii = (
+        m.where(F.col("ca") == F.col("cb")).agg(F.sum("frac")).first()[0] or 0.0
+    )
+    sum_ab = (
+        ai.join(bi, ai["ca"] == bi["cb"])
+        .agg(F.sum(F.col("ai") * F.col("bi")))
+        .first()[0]
+        or 0.0
+    )
+    if sum_ab >= 1.0:
+        return 0.0  # single class: conventionally undefined; return 0
+    return float((eii - sum_ab) / (1.0 - sum_ab))

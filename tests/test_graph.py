@@ -759,3 +759,35 @@ def test_temporal_edges_bridge_conversations_via_tools(spark):
     assert len(convs) > 1  # crossed conversation boundaries
     times = [r["arr"] for r in out if r["arr"] > 0]
     assert times and min(times) >= 1_700_000_000
+
+
+def test_attribute_assortativity_matches_networkx(spark):
+    """Newman's directed attribute assortativity on the synth transcript
+    actor graph equals networkx's coefficient on the multigraph expansion
+    (weights = multi-edge counts); dialogue alternation makes it strongly
+    negative."""
+    import networkx as nx
+
+    from nido_spark.graph import actor_class, attribute_assortativity
+    from nido_spark.io import synth_transcripts, transcript_string_edges
+
+    se = transcript_string_edges(synth_transcripts(spark, 120, seed=42), directed=True)
+    names = se.select(F.col("a").alias("name")).union(se.select("b")).distinct()
+    labels = names.select("name", actor_class(F.col("name")).alias("cls"))
+    r = attribute_assortativity(se, labels)
+    G = nx.MultiDiGraph()
+    for row in se.collect():
+        for _ in range(int(row["w"])):
+            G.add_edge(row["a"], row["b"])
+
+    def cls(n):
+        if n.startswith("tool:"):
+            return "tool"
+        if n.startswith("conv:"):
+            return "conv"
+        return n.split(":")[-1]
+
+    nx.set_node_attributes(G, {n: cls(n) for n in G.nodes}, "cls")
+    want = nx.attribute_assortativity_coefficient(G, "cls")
+    assert abs(r - want) < 1e-9
+    assert r < -0.3
