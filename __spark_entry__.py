@@ -347,6 +347,17 @@ def _q_transcript_flow_fp(spark, sf):
     return wl_flow_fingerprint(tr, iters=3)
 
 
+def _q_transcript_edge_betweenness(spark, sf):
+    # Girvan-Newman edge criterion over the same 4-source Brandes sweep
+    # as transcript_betweenness; 4 dp rounding (sums of exact-integer
+    # sigma ratios — same noise class as the vertex variant)
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.edge_betweenness_sampled(
+        transcripts_to_edges(tr, strategy="dense"), [0, 1, 2, 3]
+    )
+    return out.select("a", "b", F.round("ebc", 4).alias("ebc"))
+
+
 def _tr_string_directed(spark):
     from nido_spark.io import transcript_string_edges
 
@@ -1314,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_weighted": _q_corpus_sample_weighted,
         "transcript_role_mixing": _q_transcript_role_mixing,
         "transcript_role_assortativity": _q_transcript_role_assortativity,
+        "transcript_edge_betweenness": _q_transcript_edge_betweenness,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -3866,6 +3878,40 @@ per AS MATERIALIZED (
 )
 SELECT verts.v, ROUND(COALESCE(per.bc, 0.0), 4) AS bc
 FROM verts LEFT JOIN per USING (v)"""
+    )
+
+    # Edge betweenness: the SAME forward/delta chain, plus per-level
+    # DAG-edge contributions sigma_src * (1+delta_dst)/sigma_dst,
+    # canonicalized + halved (undirected convention)
+    _eb_ctes = []
+    for _l in range(_BW_DEPTH):
+        _eb_ctes.append(f"""ec{_l} AS MATERIALIZED (
+  SELECT te2.src, te2.dst, lc.sigma * s.t AS ec
+  FROM te2 JOIN (
+    SELECT lv.source, lv.v, (1.0 + d.delta) / lv.sigma AS t
+    FROM l{_l+1} lv JOIN d{_l+1} d USING (source, v)
+  ) s ON s.v = te2.dst
+  JOIN l{_l} lc ON lc.source = s.source AND lc.v = te2.src
+)""")
+    _eb_union = " UNION ALL ".join(
+        f"SELECT src, dst, ec FROM ec{_l}" for _l in range(_BW_DEPTH)
+    )
+    sql["transcript_edge_betweenness"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_bw_pre)
+        + ",\n"
+        + ",\n".join(_eb_ctes)
+        + f""",
+allec AS MATERIALIZED ({_eb_union}),
+per AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         0.5 * SUM(ec) AS ebc
+  FROM allec GROUP BY 1, 2
+),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM te2)
+SELECT canon.a, canon.b, ROUND(COALESCE(per.ebc, 0.0), 4) AS ebc
+FROM canon LEFT JOIN per USING (a, b)"""
     )
 
     # edge-scoped Jaccard: same chain; common per edge = triangles through

@@ -373,6 +373,47 @@ def _sssp_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     return ne * len(srcs) / dt
 
 
+def _anf_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
+    """ANF sketch scaling probe (new in round 5): 4-round, 4-register
+    neighborhood function over the replicated lineitem graph — the
+    bit_or gather shape (one E-row join+aggregation per round over
+    8-column V-row broadcast state). Prints edge-visits/sec
+    (edges x rounds / sec)."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import algos as A
+    from nido_spark.io import lineitem_edges
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_anf_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    base = lineitem_edges(spark, sf_dir)
+    copies = spark.range(replicate).select((F.col("id") * 1_000_000_000).alias("off"))
+    edges = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("src") + F.col("off")).alias("src"),
+            (F.col("dst") + F.col("off")).alias("dst"),
+            "w",
+        )
+        .repartition(cpus * 2, "src")
+        .persist()
+    )
+    ne = edges.count()
+    rounds = 4
+    A.neighborhood_function(edges, max_t=rounds, n_regs=4).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        A.neighborhood_function(edges, max_t=rounds, n_regs=4).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "edge_visits_per_sec": ne * rounds / dt,
+                      "sec": dt, "runs_sec": [round(r, 1) for r in runs],
+                      "n_edges": ne, "rounds": rounds}))
+    spark.stop()
+    return ne * rounds / dt
+
+
 def _scc_probe(sf_dir: str, cpus: int, replicate: int = 64) -> float:
     """Strongly-connected-components scaling probe (the round-5 directed
     family): FW-BW-Trim over a ``replicate``-times disjoint-copy DIRECTED
@@ -474,6 +515,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-sssp":
         _sssp_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-anf":
+        _anf_probe(sf_dir, int(sys.argv[2]))
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-scc":

@@ -1045,6 +1045,47 @@ def boruvka_msf(
     )
 
 
+def _brandes_forward(e, src_df, bc_h, max_depth: int, who: str):
+    """Level-synchronous multi-source BFS with sigma path counting — the
+    forward half of Brandes shared by vertex and edge betweenness.
+    Returns the list of per-level (source, v, dist, sigma) tables."""
+    frontier = truncate_lineage(
+        src_df.select(
+            "source",
+            F.col("source").alias("v"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    levels = [frontier]
+    sp = frontier
+    depth = 0
+    while True:
+        depth += 1
+        if depth > max_depth:
+            e.unpersist()
+            raise RuntimeError(
+                f"{who}: BFS frontier still non-empty at "
+                f"max_depth={max_depth}; raise max_depth (a truncated BFS "
+                f"understates centrality)"
+            )
+        cand = (
+            e.join(bc_h(frontier.select("source", F.col("v").alias("src"), "sigma")), "src")
+            .groupBy("source", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = truncate_lineage(
+            cand.join(bc_h(sp.select("source", "v")), ["source", "v"], "left_anti")
+            .select("source", "v", F.lit(depth).alias("dist"), "sigma")
+        )
+        if new.limit(1).count() == 0:
+            break
+        levels.append(new)
+        sp = truncate_lineage(sp.unionByName(new))
+        frontier = new
+    return levels
+
+
 def betweenness_sampled(
     edges: DataFrame,
     sources,
@@ -1105,42 +1146,7 @@ def betweenness_sampled(
         raise ValueError("betweenness_sampled: no source vertex exists in the graph")
     bcast = verts.count() * ns <= broadcast_threshold
     bc_h = F.broadcast if bcast else (lambda df: df)
-
-    # forward: level-synchronous BFS with path counting
-    frontier = truncate_lineage(
-        src_df.select(
-            "source",
-            F.col("source").alias("v"),
-            F.lit(0).alias("dist"),
-            F.lit(1.0).alias("sigma"),
-        )
-    )
-    levels = [frontier]
-    sp = frontier
-    depth = 0
-    while True:
-        depth += 1
-        if depth > max_depth:
-            e.unpersist()
-            raise RuntimeError(
-                f"betweenness_sampled: BFS frontier still non-empty at "
-                f"max_depth={max_depth}; raise max_depth (a truncated BFS "
-                f"understates centrality)"
-            )
-        cand = (
-            e.join(bc_h(frontier.select("source", F.col("v").alias("src"), "sigma")), "src")
-            .groupBy("source", F.col("dst").alias("v"))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        new = truncate_lineage(
-            cand.join(bc_h(sp.select("source", "v")), ["source", "v"], "left_anti")
-            .select("source", "v", F.lit(depth).alias("dist"), "sigma")
-        )
-        if new.limit(1).count() == 0:
-            break
-        levels.append(new)
-        sp = truncate_lineage(sp.unionByName(new))
-        frontier = new
+    levels = _brandes_forward(e, src_df, bc_h, max_depth, "betweenness_sampled")
     max_level = len(levels) - 1
 
     # backward: delta(v) = sigma_v * sum over successors w of
@@ -1190,6 +1196,129 @@ def betweenness_sampled(
     scale = 0.5 if undirected else 1.0
     return verts.join(per_v, "v", "left").select(
         "v", (F.lit(scale) * F.coalesce("bc", F.lit(0.0))).alias("bc")
+    )
+
+
+def edge_betweenness_sampled(
+    edges: DataFrame,
+    sources,
+    max_depth: int = 50,
+    undirected: bool = True,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(a, b, ebc) — edge betweenness centrality over the given source
+    set (Brandes '01, edge accumulation; Girvan-Newman's edge-removal
+    criterion): every BFS-DAG edge (v, w) with w one level deeper
+    accumulates sigma_v * (1 + delta_w) / sigma_w per source — the
+    shortest-path mass THROUGH the edge. With ``sources`` = all vertices
+    this is exact (networkx edge_betweenness_centrality(normalized=False)
+    parity is pytest-pinned); a uniform sample gives the standard
+    unbiased estimator. ``undirected=True`` canonicalizes to a < b and
+    halves (each unordered endpoint pair counted once); edges on no
+    shortest path report 0.0. High-ebc edges are the inter-community
+    bridges — the edges a Girvan-Newman pass would cut first, and the
+    natural 'which role transition carries the traffic' readout on a
+    conversation-flow graph.
+
+    Shares the forward BFS (`_brandes_forward`) and the factored
+    backward sweep with ``betweenness_sampled``: per backward level, ONE
+    E-row join against the successor terms produces BOTH the vertex
+    srat aggregate (to recurse delta) and, joined with the level's own
+    sigma, the per-edge contributions — no second E-row pass. sigma
+    stays an exact integer in a double (< 2^53), so the unrolled SQL
+    oracle is value-exact."""
+    spark = edges.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("source")
+        ).distinct()
+    else:
+        ids = sorted({int(v) for v in sources})
+        if not ids:
+            raise ValueError("edge_betweenness_sampled needs a non-empty source set")
+        src_df = spark.createDataFrame([(v,) for v in ids], "source long")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    verts = truncate_lineage(_all_vertices(e))
+    src_df = src_df.join(
+        verts.select(F.col("v").alias("source")), "source", "left_semi"
+    )
+    ns = src_df.count()
+    if ns == 0:
+        e.unpersist()
+        raise ValueError("edge_betweenness_sampled: no source vertex exists in the graph")
+    bcast = verts.count() * ns <= broadcast_threshold
+    bc_h = F.broadcast if bcast else (lambda df: df)
+    levels = _brandes_forward(e, src_df, bc_h, max_depth, "edge_betweenness_sampled")
+    max_level = len(levels) - 1
+
+    delta_next = None
+    ec_parts: list[DataFrame] = []
+    for lvl in range(max_level, -1, -1):
+        cur = levels[lvl]
+        if delta_next is None:
+            delta_cur = truncate_lineage(
+                cur.select("source", "v", F.lit(0.0).alias("delta"))
+            )
+        else:
+            succ_t = levels[lvl + 1].join(bc_h(delta_next), ["source", "v"]).select(
+                "source",
+                F.col("v").alias("dst"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("t"),
+            )
+            j = e.join(bc_h(succ_t), "dst")
+            srat = j.groupBy("source", F.col("src").alias("v")).agg(
+                F.sum("t").alias("srat")
+            )
+            delta_cur = truncate_lineage(
+                cur.join(bc_h(srat), ["source", "v"], "left").select(
+                    "source",
+                    "v",
+                    (F.col("sigma") * F.coalesce("srat", F.lit(0.0))).alias("delta"),
+                )
+            )
+            ec = j.join(
+                bc_h(cur.select("source", F.col("v").alias("src"), "sigma")),
+                ["source", "src"],
+            ).select("src", "dst", (F.col("sigma") * F.col("t")).alias("ec"))
+            ec_parts.append(
+                truncate_lineage(ec.groupBy("src", "dst").agg(F.sum("ec").alias("ec")))
+            )
+        delta_next = delta_cur
+    e.unpersist()
+
+    from functools import reduce
+
+    base = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    if ec_parts:
+        all_ec = reduce(lambda x, y: x.unionByName(y), ec_parts)
+    else:
+        all_ec = base.select("src", "dst", F.lit(0.0).alias("ec")).limit(0)
+    if undirected:
+        per = (
+            all_ec.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                "ec",
+            )
+            .groupBy("a", "b")
+            .agg((F.lit(0.5) * F.sum("ec")).alias("ebc"))
+        )
+        canon_edges = base.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+        return canon_edges.join(per, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("ebc", F.lit(0.0)).alias("ebc")
+        )
+    per = all_ec.groupBy("src", "dst").agg(F.sum("ec").alias("ebc"))
+    return base.join(per, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("ebc", F.lit(0.0)).alias("ebc")
     )
 
 

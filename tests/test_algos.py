@@ -1208,3 +1208,25 @@ def test_sweep_cut_networkx_conductance_parity(spark, karate):
     )
     assert 5 < best["rank"] < 30
     assert 0 in pref[: best["rank"]]  # seed inside its own community
+
+
+def test_edge_betweenness_matches_networkx_exact(spark, karate):
+    """All-source edge betweenness on karate == networkx
+    edge_betweenness_centrality(normalized=False) on every one of the 78
+    edges; the famous 0-31 bridge-heavy edges rank at the top."""
+    import networkx as nx
+
+    from tests.conftest import KARATE_EDGES
+
+    edges, _ = karate
+    allv = sorted({a for a, b in KARATE_EDGES} | {b for a, b in KARATE_EDGES})
+    out = {
+        (r["a"], r["b"]): r["ebc"]
+        for r in A.edge_betweenness_sampled(edges, allv).collect()
+    }
+    G = nx.Graph()
+    G.add_edges_from(KARATE_EDGES)
+    want = nx.edge_betweenness_centrality(G, normalized=False)
+    assert len(out) == len(want)
+    for (u, v), val in want.items():
+        assert abs(out[(min(u, v), max(u, v))] - val) < 1e-8
