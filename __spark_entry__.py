@@ -347,6 +347,20 @@ def _q_transcript_flow_fp(spark, sf):
     return wl_flow_fingerprint(tr, iters=3)
 
 
+def _q_doc_containment(spark, sf):
+    # asymmetric containment pairs (Broder): exact shingle-set counts,
+    # shared-shingle candidates with the df<=200 boilerplate cap mirrored
+    # in the oracle; divisions rounded 9
+    out = D.containment_pairs(
+        _docs(spark, sf), k=5, threshold=0.4, min_common=3
+    )
+    return out.select(
+        "a", "b", "common",
+        F.round("c_ab", 9).alias("c_ab"),
+        F.round("c_ba", 9).alias("c_ba"),
+    )
+
+
 def _q_transcript_edge_betweenness(spark, sf):
     # Girvan-Newman edge criterion over the same 4-source Brandes sweep
     # as transcript_betweenness; 4 dp rounding (sums of exact-integer
@@ -1326,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_role_mixing": _q_transcript_role_mixing,
         "transcript_role_assortativity": _q_transcript_role_assortativity,
         "transcript_edge_betweenness": _q_transcript_edge_betweenness,
+        "doc_containment": _q_doc_containment,
         "lineitem_community_stats": _q_lineitem_community_stats,
         "transcript_reciprocity": _q_transcript_reciprocity,
         "transcript_inout_degree": _q_transcript_inout_degree,
@@ -3404,6 +3419,29 @@ SELECT ROUND(((SELECT s FROM eii) - (SELECT s FROM ab))
         return "\n".join(parts)
 
     sql["transcript_temporal_reach"] = _temporal_reach_sql(rounds=12)
+
+    # containment replay on string shingles (hash identity immaterial —
+    # 64-bit collisions are absent at fixture scale, same stance as the
+    # exhaustive-Jaccard oracle); cap/min_common mirrored exactly
+    sql["doc_containment"] = """
+WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substring(txt, i, 5) AS g
+  FROM t, LATERAL unnest(generate_series(1, greatest(length(txt) - 4, 1))) AS s(i)
+  WHERE length(substring(txt, i, 5)) = 5),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT sh.doc_id, sh.g FROM sh
+         JOIN (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 200) r USING (g)),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*)::BIGINT AS common
+  FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT a, b, common,
+       ROUND(common::DOUBLE / sa.n, 9) AS c_ab,
+       ROUND(common::DOUBLE / sb.n, 9) AS c_ba
+FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+           JOIN sizes sb ON pairs.b = sb.doc_id
+WHERE GREATEST(common::DOUBLE / sa.n, common::DOUBLE / sb.n) >= 0.4"""
 
     # ACL sweep replay: PPR scores from the existing unrolled 12-iter
     # oracle (nested WITH as a derived table), ROW_NUMBER on the same

@@ -128,6 +128,19 @@ def _run_queries(sf_dir: str, cpus: int) -> dict:
         ).agg(F.sum(F.length("clean_text"))).first(),
     )
 
+    # q18/q19 (new in round 5): the ANF sketch loop on the sf graph and
+    # WL flow fingerprints on a 5k-conversation synthetic corpus
+    timed(
+        "q18_anf_sketch",
+        lambda: A.neighborhood_function(edges, max_t=4, n_regs=4).count(),
+    )
+    timed(
+        "q19_wl_flow_fp",
+        lambda: G.wl_flow_fingerprint(
+            synth_transcripts(spark, 5000, seed=1)
+        ).count(),
+    )
+
     # throughput: edges-processed/sec over the PageRank loop (10 iterations
     # touch each directed edge once per iteration)
     eps = ne * 10 / timings["q5_pagerank_10it"]

@@ -372,3 +372,76 @@ def hamming_near_pairs(signatures: DataFrame, sig_col: str = "simhash", max_dist
         .distinct()
     )
     return pairs.where(F.col("dist") <= max_dist)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    min_common: int = 3,
+    max_docs_per_shingle: int = 200,
+) -> DataFrame:
+    """(a, b, common, c_ab, c_ba) — ASYMMETRIC near-dup detection by exact
+    shingle containment: c_ab = |S_a ∩ S_b| / |S_a| is how much of a's
+    k-shingle set lies inside b (Broder '97's containment, the quantity
+    Jaccard-based dedup is blind to — a short doc quoted wholesale inside
+    a long one has tiny Jaccard but containment ~1). Pairs are kept when
+    either direction reaches ``threshold``; the standard policy then
+    drops the contained (smaller-set) side.
+
+    Candidates come from a shared-shingle join, not LSH bands: distinct
+    (doc_id, shingle-hash) rows self-join per shingle, pairs must share
+    >= ``min_common`` shingles. Banded MinHash would under-recall exactly
+    the asymmetric pairs this operator exists for (low Jaccard), so it is
+    the wrong index here. Shingles shared by more than
+    ``max_docs_per_shingle`` docs (boilerplate) are EXCLUDED from
+    candidate generation — the quadratic backstop, same contract as the
+    LSH bucket cap; a pair supported only by ubiquitous shingles is
+    reported per the capped semantics the oracle mirrors. Only (hash,
+    doc_id) longs cross exchanges; counts are exact integers and the two
+    divisions are deterministic — fully value-checkable."""
+    sh = (
+        docs.select(
+            "doc_id",
+            # _char_shingles canonicalizes, length-filters and distincts;
+            # the trailing .distinct() only guards hash-level identity
+            F.explode(_char_shingles(F.col(text_col), k)).alias("g"),
+        )
+        .select("doc_id", F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    from nido_spark.plans import truncate_lineage
+
+    sh = truncate_lineage(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = sh.join(
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_docs_per_shingle)
+        .select("h"),
+        "h",
+        "left_semi",
+    )
+    pairs = (
+        rare.alias("x")
+        .join(rare.alias("y"), "h")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    out = (
+        pairs.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            (F.col("common") / F.col("na")).alias("c_ab"),
+            (F.col("common") / F.col("nb")).alias("c_ba"),
+        )
+    )
+    return out.where(F.greatest("c_ab", "c_ba") >= threshold)

@@ -939,3 +939,35 @@ def test_sample_weighted_exact_race_replay(spark):
     want = sorted(i for _, i in sorted(keyed)[:20])
     assert got == want
     assert 999 in got
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one: containment
+    of the short side ~1 (caught at threshold 0.8) while exact Jaccard is
+    far below 0.7 (minhash_dedup's verify would drop the pair) — the
+    asymmetric case this operator exists for. Counts cross-checked in
+    pure Python on the same shingle sets."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    quote = "".join(rng.choice(list(letters), 60))
+    filler = "".join(rng.choice(list(letters), 1500))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler[:700] + quote + filler[700:]), (3, filler[:300])],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r for r in D.containment_pairs(docs, k=5, threshold=0.8).collect()}
+    assert (1, 2) in out
+    row = out[(1, 2)]
+
+    def shingles(t):
+        t = t.lower().strip()
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    s1, s2 = shingles(quote), shingles(filler[:700] + quote + filler[700:])
+    assert row["common"] == len(s1 & s2)
+    assert abs(row["c_ab"] - len(s1 & s2) / len(s1)) < 1e-12
+    assert row["c_ab"] > 0.9
+    jac = len(s1 & s2) / len(s1 | s2)
+    assert jac < 0.2  # Jaccard-threshold dedup would never keep this pair
