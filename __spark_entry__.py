@@ -352,7 +352,7 @@ def _q_doc_containment(spark, sf):
     # shared-shingle candidates with the df<=200 boilerplate cap mirrored
     # in the oracle; divisions rounded 9
     out = D.containment_pairs(
-        _docs(spark, sf), k=5, threshold=0.4, min_common=3
+        _docs(spark, sf), k=5, threshold=0.8, min_common=3
     )
     return out.select(
         "a", "b", "common",
@@ -3249,8 +3249,8 @@ GROUP BY item"""
                 f"(s{t-1}.m{j} | COALESCE(g{t}.g{j}, 0)) AS m{j}" for j in regs
             )
             parts.append(
-                f"g{t} AS MATERIALIZED (SELECT ed.dst AS v, {gcols} "
-                f"FROM ed JOIN s{t-1} ON ed.src = s{t-1}.v GROUP BY ed.dst),"
+                f"g{t} AS MATERIALIZED (SELECT ed.src AS v, {gcols} "
+                f"FROM ed JOIN s{t-1} ON ed.dst = s{t-1}.v GROUP BY ed.src),"
             )
             parts.append(
                 f"s{t} AS MATERIALIZED (SELECT s{t-1}.v, {mcols} "
@@ -3432,16 +3432,22 @@ sh AS MATERIALIZED (
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 rare AS (SELECT sh.doc_id, sh.g FROM sh
          JOIN (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 200) r USING (g)),
-pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*)::BIGINT AS common
+cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
   FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
-SELECT a, b, common,
-       ROUND(common::DOUBLE / sa.n, 9) AS c_ab,
-       ROUND(common::DOUBLE / sb.n, 9) AS c_ba
-FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
-           JOIN sizes sb ON pairs.b = sb.doc_id
-WHERE GREATEST(common::DOUBLE / sa.n, common::DOUBLE / sb.n) >= 0.4"""
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+common AS (
+  SELECT c.a, c.b, COUNT(*)::BIGINT AS common
+  FROM cands c JOIN sh sa ON sa.doc_id = c.a
+               JOIN sh sb ON sb.doc_id = c.b AND sa.g = sb.g
+  GROUP BY 1, 2)
+SELECT common.a, common.b, common.common,
+       ROUND(common.common::DOUBLE / sa.n, 9) AS c_ab,
+       ROUND(common.common::DOUBLE / sb.n, 9) AS c_ba
+FROM common JOIN sizes sa ON common.a = sa.doc_id
+            JOIN sizes sb ON common.b = sb.doc_id
+WHERE GREATEST(common.common::DOUBLE / sa.n,
+               common.common::DOUBLE / sb.n) >= 0.8"""
 
     # ACL sweep replay: PPR scores from the existing unrolled 12-iter
     # oracle (nested WITH as a derived table), ROW_NUMBER on the same

@@ -743,10 +743,13 @@ def neighborhood_function(
     of the portable affine hash (pipeline._bucket_col, the engine's
     single shared hash — seeds spread by a golden-ratio stride so
     registers decorrelate), capped at ``rho_cap``. One round ORs each
-    register over the in-neighbors (gather join + ``bit_or`` aggregate)
+    register over the OUT-neighbors (gather join + ``bit_or`` aggregate)
     and into the previous state, so after t rounds register j of v is
-    exactly the OR over the radius-t ball — set union without moving
-    sets, the whole point of sketching. ``sum_r`` = sum over registers
+    exactly the OR over the radius-t OUT-ball {u : dist(v, u) <= t} —
+    the documented quantity on a directed input too (pass the reversed
+    edge table for in-balls; on the canonical symmetric table the two
+    coincide — review finding r5). Set union without moving sets, the
+    whole point of sketching. ``sum_r`` = sum over registers
     of the lowest-zero-bit position (the FM "R" statistic, computed with
     pure integer ops: ``bit_count(((m+1) & -(m+1)) - 1)``), and
     ``est = 2^(sum_r/n_regs) / 0.77351``. Everything up to ``sum_r`` is
@@ -775,7 +778,7 @@ def neighborhood_function(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition(nparts, "dst")
+        .repartition(nparts, "src")
         .persist()
     )
     e.count()
@@ -816,9 +819,10 @@ def neighborhood_function(
 
     parts: list[DataFrame] = []
     for t in range(1, max_t + 1):
+        # out-ball gather: pull the OUT-neighbor (dst) states back onto src
         gathered = (
-            e.join(bc(state.select(F.col("v").alias("src"), *regs)), "src")
-            .groupBy(F.col("dst").alias("v"))
+            e.join(bc(state.select(F.col("v").alias("dst"), *regs)), "dst")
+            .groupBy(F.col("src").alias("v"))
             .agg(*[F.bit_or(m).alias(f"g{m}") for m in regs])
         )
         state = truncate_lineage(

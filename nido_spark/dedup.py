@@ -392,15 +392,22 @@ def containment_pairs(
 
     Candidates come from a shared-shingle join, not LSH bands: distinct
     (doc_id, shingle-hash) rows self-join per shingle, pairs must share
-    >= ``min_common`` shingles. Banded MinHash would under-recall exactly
-    the asymmetric pairs this operator exists for (low Jaccard), so it is
-    the wrong index here. Shingles shared by more than
-    ``max_docs_per_shingle`` docs (boilerplate) are EXCLUDED from
-    candidate generation — the quadratic backstop, same contract as the
-    LSH bucket cap; a pair supported only by ubiquitous shingles is
-    reported per the capped semantics the oracle mirrors. Only (hash,
-    doc_id) longs cross exchanges; counts are exact integers and the two
-    divisions are deterministic — fully value-checkable."""
+    >= ``min_common`` RARE shingles. Banded MinHash would under-recall
+    exactly the asymmetric pairs this operator exists for (low Jaccard),
+    so it is the wrong index here. Shingles shared by more than
+    ``max_docs_per_shingle`` docs (boilerplate) are excluded from
+    CANDIDATE GENERATION ONLY — the quadratic backstop, the exact
+    contract of the LSH bucket cap: it bounds which pairs are examined,
+    never what is reported. Surviving candidates are then VERIFIED
+    against the FULL distinct shingle sets (array_intersect of per-doc
+    hash arrays, the jaccard_verify discipline), so ``common`` and both
+    containment ratios are the true uncapped values — a pair sharing a
+    boilerplate template plus a contained quote reports containment ~1,
+    not the rare-only fraction (review finding r5). A pair with fewer
+    than ``min_common`` rare shingles is still invisible (recall bound,
+    documented). Only (hash, doc_id) longs cross the candidate
+    exchanges; per-pair arrays are bounded by candidate count; counts
+    are exact integers — fully value-checkable."""
     sh = (
         docs.select(
             "doc_id",
@@ -414,7 +421,6 @@ def containment_pairs(
     from nido_spark.plans import truncate_lineage
 
     sh = truncate_lineage(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = sh.join(
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -423,19 +429,28 @@ def containment_pairs(
         "h",
         "left_semi",
     )
-    pairs = (
+    cands = (
         rare.alias("x")
         .join(rare.alias("y"), "h")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .groupBy(
             F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
         )
-        .agg(F.count("*").alias("common"))
-        .where(F.col("common") >= min_common)
+        .agg(F.count("*").alias("rare_common"))
+        .where(F.col("rare_common") >= min_common)
+        .select("a", "b")
     )
+    full = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
     out = (
-        pairs.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        cands.join(full.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")), "a")
+        .join(full.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("common"),
+            F.size("hs_a").alias("na"),
+            F.size("hs_b").alias("nb"),
+        )
         .select(
             "a",
             "b",

@@ -945,7 +945,13 @@ def exact_quantiles(
     metrics, and exactness is what makes the DuckDB oracle a plain
     PERCENTILE_DISC comparison. Quality-gate thresholds ("drop the
     bottom 5% by length") need the exact cut to be reproducible across
-    engines and runs."""
+    engines and runs.
+
+    The rank condition is cum / n >= p — the EXACT comparison
+    PERCENTILE_DISC evaluates (cume_dist >= p), one IEEE division both
+    engines compute identically. NOT ceil(p * n): representation error
+    in the product (0.07 * 100 = 7.000000000000001) bumps ceil by one
+    and returns the wrong quantile (review finding r5)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -963,7 +969,7 @@ def exact_quantiles(
     ps = spark.createDataFrame([(float(p),) for p in probs], "p double")
     return (
         F.broadcast(ps)
-        .join(cum, F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .join(cum, F.col("cum") / F.col("n") >= F.col("p"))
         .groupBy("p")
         .agg(F.min("val").alias("q"))
     )

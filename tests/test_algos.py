@@ -1230,3 +1230,24 @@ def test_edge_betweenness_matches_networkx_exact(spark, karate):
     assert len(out) == len(want)
     for (u, v), val in want.items():
         assert abs(out[(min(u, v), max(u, v))] - val) < 1e-8
+
+
+def test_neighborhood_function_directed_out_ball(spark):
+    """Directed chain a->b->c: the documented quantity is the OUT-ball,
+    so at t=2 vertex a has absorbed {a,b,c}'s registers while c still
+    holds only its own (nothing is out-reachable from c) — pinned via
+    the saturation identity OR of initial masks (review finding: the
+    first rendering gathered in-neighbors and inverted this)."""
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, w double"
+    )
+    out = A.neighborhood_function(e, max_t=2, n_regs=4, seed=7)
+    rows = {(r["v"], r["t"]): r["sum_r"] for r in out.collect()}
+    # c's sketch never grows; a's strictly dominates it by t=2
+    assert rows[(2, 1)] == rows[(2, 2)]  # c: stuck at its own mask
+    assert rows[(0, 2)] >= rows[(0, 1)] >= rows[(2, 1)]
+    single = A.neighborhood_function(
+        spark.createDataFrame([(2, 99, 1.0)], "src long, dst long, w double")
+        .where("src < 0"), max_t=1,
+    )
+    assert single.count() == 0  # empty edges -> empty output, no crash

@@ -889,8 +889,19 @@ def test_exact_quantiles_percentile_disc_semantics(spark):
         r["p"]: r["q"]
         for r in exact_quantiles(df, "x", [0.0, 0.25, 0.5, 0.9, 1.0]).collect()
     }
-    # ceil(p*7): 0 -> min, 1.75->2 -> 1, 3.5->4 -> 5, 6.3->7 -> 9, 7 -> 9
+    # ranks: 0 -> min, 1.75->2 -> 1, 3.5->4 -> 5, 6.3->7 -> 9, 7 -> 9
     assert got == {0.0: 1, 0.25: 1, 0.5: 5, 0.9: 9, 1.0: 9}
+
+
+def test_exact_quantiles_float_rank_regression(spark):
+    """p*n representation error must not shift the rank: 0.07*100 is
+    7.000000000000001 in doubles — ceil-based ranking returned 8; the
+    cume_dist comparison returns PERCENTILE_DISC's 7 (review finding)."""
+    from nido_spark.textops import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "x long")
+    got = {r["p"]: r["q"] for r in exact_quantiles(df, "x", [0.07, 0.29, 0.93]).collect()}
+    assert got == {0.07: 7, 0.29: 29, 0.93: 93}
 
 
 def test_exact_quantiles_matches_duckdb_percentile_disc(spark):
@@ -971,3 +982,32 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert row["c_ab"] > 0.9
     jac = len(s1 & s2) / len(s1 | s2)
     assert jac < 0.2  # Jaccard-threshold dedup would never keep this pair
+
+
+def test_containment_cap_bounds_candidates_not_values(spark):
+    """Shingles above the df cap are excluded from candidate generation
+    but must NOT be excluded from the verified counts: docs sharing a
+    ubiquitous template plus a rare quote report the TRUE containment
+    (template included), not the rare-only fraction (review finding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    template = "".join(rng.choice(list(letters), 400))
+    quote = "".join(rng.choice(list(letters), 80))
+    rows = [(i, template) for i in range(10, 20)]  # df(template shingles) = 12 > cap
+    rows.append((1, template + quote))
+    rows.append((2, template + quote + "".join(rng.choice(list(letters), 50))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["a"], r["b"]): r
+        for r in D.containment_pairs(
+            docs, k=5, threshold=0.8, min_common=3, max_docs_per_shingle=5
+        ).collect()
+    }
+    # candidates for (1,2) exist via the rare quote shingles; the verified
+    # containment counts the template too -> c_ab ~ 1 despite the cap
+    assert (1, 2) in out
+    assert out[(1, 2)]["c_ab"] > 0.95
+    # template-only pairs share NO rare shingle: below min_common, invisible
+    assert not any(a >= 10 and b >= 10 for a, b in out)
