@@ -3316,8 +3316,8 @@ GROUP BY item"""
                 f"LEFT JOIN o{r} o ON l.conv_id = o.conv_id AND l.v = o.v),"
             )
         parts.append(
-            f"fp AS (SELECT conv_id, SUM(({WL_AFP} * lab + {WL_BFP}) % {WL_P})"
-            f" % {WL_P} AS wl_fp, COUNT(*) AS n_actors"
+            f"fp AS (SELECT conv_id, (SUM(({WL_AFP} * lab + {WL_BFP}) % {WL_P})"
+            f" % {WL_P})::BIGINT AS wl_fp, COUNT(*) AS n_actors"
             f" FROM l{iters} GROUP BY conv_id),"
         )
         parts.append(
@@ -3325,7 +3325,9 @@ GROUP BY item"""
         )
         parts.append(
             "SELECT fp.conv_id, fp.wl_fp, fp.n_actors,"
-            " COALESCE(tc.n_transitions, 0) AS n_transitions"
+            # SUM(BIGINT) widens to HUGEINT in DuckDB and lands in pandas
+            # as float — cast back so the dtype family matches Spark's long
+            " COALESCE(tc.n_transitions, 0)::BIGINT AS n_transitions"
             " FROM fp LEFT JOIN tc USING (conv_id)"
         )
         return "\n".join(parts)
@@ -3365,17 +3367,22 @@ tot AS (SELECT SUM(w) AS t FROM m)"""
 SELECT ca, cb, w::BIGINT AS w, ROUND(w / (SELECT t FROM tot), 9) AS frac FROM m"""
     )
 
+    # integer-exact rendering mirroring attribute_assortativity's driver
+    # math term for term: integer weight sums, division only at the end,
+    # identical expression order -> identical IEEE doubles
     sql["transcript_role_assortativity"] = (
         _role_mixing_cte()
         + """,
-e AS (SELECT ca, cb, w / (SELECT t FROM tot) AS f FROM m),
-ai AS (SELECT ca, SUM(f) AS ai FROM e GROUP BY ca),
-bi AS (SELECT cb, SUM(f) AS bi FROM e GROUP BY cb),
-eii AS (SELECT COALESCE(SUM(f), 0) AS s FROM e WHERE ca = cb),
-ab AS (SELECT COALESCE(SUM(ai.ai * bi.bi), 0) AS s
+mi AS (SELECT ca, cb, w::BIGINT AS wi FROM m),
+ti AS (SELECT SUM(wi)::BIGINT AS t FROM mi),
+eii AS (SELECT COALESCE(SUM(wi), 0)::BIGINT AS s FROM mi WHERE ca = cb),
+ai AS (SELECT ca, SUM(wi)::BIGINT AS aw FROM mi GROUP BY ca),
+bi AS (SELECT cb, SUM(wi)::BIGINT AS bw FROM mi GROUP BY cb),
+ab AS (SELECT COALESCE(SUM(ai.aw * bi.bw), 0)::BIGINT AS s
        FROM ai JOIN bi ON ai.ca = bi.cb)
-SELECT ROUND(((SELECT s FROM eii) - (SELECT s FROM ab))
-             / (1 - (SELECT s FROM ab)), 9) AS r"""
+SELECT ROUND((((SELECT s FROM eii)::DOUBLE / (SELECT t FROM ti))
+              - ((SELECT s FROM ab)::DOUBLE / ((SELECT t FROM ti) * (SELECT t FROM ti))))
+             / (1 - (SELECT s FROM ab)::DOUBLE / ((SELECT t FROM ti) * (SELECT t FROM ti))), 9) AS r"""
     )
 
     # temporal reachability replay: epoch seconds derived in SQL from the
@@ -3462,12 +3469,12 @@ rk AS MATERIALIZED (
   FROM ppr JOIN deg ON ppr.v = deg.v),
 je AS (
   SELECT rs.rank AS r_src, rd.rank AS r_dst, e.w
-  FROM e JOIN rk rs ON e.src = rs.v JOIN rk rd ON e.dst = rd.v
-  WHERE rs.rank < rd.rank),
+  FROM e JOIN rk rs ON e.src = rs.v LEFT JOIN rk rd ON e.dst = rd.v
+  WHERE rd.rank IS NULL OR rs.rank < rd.rank),
 del AS (
   SELECT rank, SUM(d) AS d
   FROM (SELECT r_src AS rank, w AS d FROM je
-        UNION ALL SELECT r_dst AS rank, -w AS d FROM je)
+        UNION ALL SELECT r_dst AS rank, -w AS d FROM je WHERE r_dst IS NOT NULL)
   GROUP BY rank),
 tot AS (SELECT SUM(k) AS t FROM deg),
 curve AS (

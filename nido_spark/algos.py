@@ -1090,6 +1090,55 @@ def _brandes_forward(e, src_df, bc_h, max_depth: int, who: str):
     return levels
 
 
+def _brandes_backward(e, bc_h, levels, collect_edges: bool = False):
+    """Backward dependency sweep shared by vertex and edge betweenness —
+    the SINGLE home of the delta recursion (review r5: two hand-synced
+    copies would drift). Per level, ONE E-row join against the successor
+    terms feeds the srat aggregate (delta recursion) and, when
+    ``collect_edges``, the per-edge contributions sigma_src * t.
+    Returns (deltas per level, per-level edge-contribution tables)."""
+    max_level = len(levels) - 1
+    delta_next = None
+    deltas: list[DataFrame] = []
+    ec_parts: list[DataFrame] = []
+    for lvl in range(max_level, -1, -1):
+        cur = levels[lvl]
+        if delta_next is None:
+            delta_cur = truncate_lineage(
+                cur.select("source", "v", F.lit(0.0).alias("delta"))
+            )
+        else:
+            succ_t = levels[lvl + 1].join(bc_h(delta_next), ["source", "v"]).select(
+                "source",
+                F.col("v").alias("dst"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("t"),
+            )
+            j = e.join(bc_h(succ_t), "dst")
+            srat = j.groupBy("source", F.col("src").alias("v")).agg(
+                F.sum("t").alias("srat")
+            )
+            delta_cur = truncate_lineage(
+                cur.join(bc_h(srat), ["source", "v"], "left").select(
+                    "source",
+                    "v",
+                    (F.col("sigma") * F.coalesce("srat", F.lit(0.0))).alias("delta"),
+                )
+            )
+            if collect_edges:
+                ec = j.join(
+                    bc_h(cur.select("source", F.col("v").alias("src"), "sigma")),
+                    ["source", "src"],
+                ).select("src", "dst", (F.col("sigma") * F.col("t")).alias("ec"))
+                ec_parts.append(
+                    truncate_lineage(
+                        ec.groupBy("src", "dst").agg(F.sum("ec").alias("ec"))
+                    )
+                )
+        deltas.append(delta_cur)
+        delta_next = delta_cur
+    return deltas, ec_parts
+
+
 def betweenness_sampled(
     edges: DataFrame,
     sources,
@@ -1155,39 +1204,7 @@ def betweenness_sampled(
 
     # backward: delta(v) = sigma_v * sum over successors w of
     # (1 + delta_w) / sigma_w — the same factored form the oracle replays
-    deltas = []
-    delta_next = None  # delta table for level l+1
-    for lvl in range(max_level, -1, -1):
-        cur = levels[lvl]
-        if delta_next is None:
-            delta_cur = truncate_lineage(
-                cur.select("source", "v", F.lit(0.0).alias("delta"))
-            )
-        else:
-            succ = levels[lvl + 1].join(bc_h(delta_next), ["source", "v"])
-            srat = (
-                e.join(
-                    bc_h(
-                        succ.select(
-                            "source",
-                            F.col("v").alias("dst"),
-                            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("t"),
-                        )
-                    ),
-                    "dst",
-                )
-                .groupBy("source", F.col("src").alias("v"))
-                .agg(F.sum("t").alias("srat"))
-            )
-            delta_cur = truncate_lineage(
-                cur.join(bc_h(srat), ["source", "v"], "left").select(
-                    "source",
-                    "v",
-                    (F.col("sigma") * F.coalesce("srat", F.lit(0.0))).alias("delta"),
-                )
-            )
-        deltas.append(delta_cur)
-        delta_next = delta_cur
+    deltas, _ = _brandes_backward(e, bc_h, levels)
     e.unpersist()
     from functools import reduce
 
@@ -1260,41 +1277,7 @@ def edge_betweenness_sampled(
     bcast = verts.count() * ns <= broadcast_threshold
     bc_h = F.broadcast if bcast else (lambda df: df)
     levels = _brandes_forward(e, src_df, bc_h, max_depth, "edge_betweenness_sampled")
-    max_level = len(levels) - 1
-
-    delta_next = None
-    ec_parts: list[DataFrame] = []
-    for lvl in range(max_level, -1, -1):
-        cur = levels[lvl]
-        if delta_next is None:
-            delta_cur = truncate_lineage(
-                cur.select("source", "v", F.lit(0.0).alias("delta"))
-            )
-        else:
-            succ_t = levels[lvl + 1].join(bc_h(delta_next), ["source", "v"]).select(
-                "source",
-                F.col("v").alias("dst"),
-                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("t"),
-            )
-            j = e.join(bc_h(succ_t), "dst")
-            srat = j.groupBy("source", F.col("src").alias("v")).agg(
-                F.sum("t").alias("srat")
-            )
-            delta_cur = truncate_lineage(
-                cur.join(bc_h(srat), ["source", "v"], "left").select(
-                    "source",
-                    "v",
-                    (F.col("sigma") * F.coalesce("srat", F.lit(0.0))).alias("delta"),
-                )
-            )
-            ec = j.join(
-                bc_h(cur.select("source", F.col("v").alias("src"), "sigma")),
-                ["source", "src"],
-            ).select("src", "dst", (F.col("sigma") * F.col("t")).alias("ec"))
-            ec_parts.append(
-                truncate_lineage(ec.groupBy("src", "dst").agg(F.sum("ec").alias("ec")))
-            )
-        delta_next = delta_cur
+    _, ec_parts = _brandes_backward(e, bc_h, levels, collect_edges=True)
     e.unpersist()
 
     from functools import reduce
@@ -2437,7 +2420,18 @@ def sweep_cut(
     run it on the seed's neighborhood (``khop_subgraph`` +
     ``induced_subgraph``) or a top-N score slice, where V_local is
     thousands, not the full graph. The delta aggregation is the only
-    E-row pass and it is a plain map + groupBy."""
+    E-row pass and it is a plain map + groupBy.
+
+    ``scores`` may cover a SLICE of the vertices while ``edges`` is the
+    full symmetric table: an edge from a scored vertex to an unscored
+    one contributes +w at rank(src) and never leaves the cut (the
+    unscored endpoint is outside every prefix), so boundary mass to the
+    rest of the graph is counted — the review-r5 scenario where inner
+    joins silently dropped the entire boundary and phi collapsed to 0.
+    Unscored-src orientations are skipped; their scored-side mirror row
+    carries the contribution (symmetric-table precondition, as for vol).
+    Scored vertices absent from the edge table have no degree and are
+    excluded from the sweep (they cannot change any cut)."""
     from pyspark.sql import Window
 
     deg = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("k"))
@@ -2457,12 +2451,16 @@ def sweep_cut(
     rk_dst = ranked.select(F.col("v").alias("dst"), F.col("rank").alias("r_dst"))
     je = (
         edges.join(rk_src, "src")
-        .join(rk_dst, "dst")
-        .where(F.col("r_src") < F.col("r_dst"))
+        .join(rk_dst, "dst", "left")
+        .where(F.col("r_dst").isNull() | (F.col("r_src") < F.col("r_dst")))
     )
     deltas = (
         je.select(F.col("r_src").alias("rank"), F.col("w").alias("d"))
-        .unionByName(je.select(F.col("r_dst").alias("rank"), (-F.col("w")).alias("d")))
+        .unionByName(
+            je.where(F.col("r_dst").isNotNull()).select(
+                F.col("r_dst").alias("rank"), (-F.col("w")).alias("d")
+            )
+        )
         .groupBy("rank")
         .agg(F.sum("d").alias("d"))
     )

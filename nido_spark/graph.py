@@ -850,6 +850,9 @@ def wl_flow_fingerprint(
     spark = transcripts.sparkSession
     if nparts is None:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # DELIBERATELY not io.conv_actor_expr(): WL compares structure ACROSS
+    # conversations, so roles must be bare ('user', not 'conv_42:user') —
+    # conv-scoped names would make every flow graph trivially unique
     actor = (
         F.when(F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool")))
         .otherwise(F.col("role"))
@@ -946,13 +949,13 @@ def transcripts_to_temporal_edges(transcripts: DataFrame) -> DataFrame:
     the substrate for time-respecting reachability over an agent
     ecosystem. Exact duplicate (a, b, t) triples collapse; t stays an
     integer (no float time math anywhere downstream)."""
-    actor = (
-        F.when(F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool")))
-        .otherwise(F.concat(F.col("conv_id"), F.lit(":"), F.col("role")))
-        .alias("a")
-    )
+    from nido_spark.io import conv_actor_expr
+
     t = transcripts.select(
-        "conv_id", "turn_idx", actor, F.col("ts").cast("long").alias("ep")
+        "conv_id",
+        "turn_idx",
+        conv_actor_expr().alias("a"),
+        F.col("ts").cast("long").alias("ep"),
     )
     from pyspark.sql import Window
 
@@ -1010,6 +1013,14 @@ def temporal_reachability(
     n = verts.count()
     bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
     seed_df = spark.createDataFrame([(s,) for s in seeds], "v string")
+    n_live = seed_df.join(verts, "v", "left_semi").count()
+    if n_live == 0:
+        e.unpersist()
+        raise ValueError(
+            "temporal_reachability: no seed actor exists in the edge table "
+            f"(seeds={seeds!r}) — a typo'd seed would otherwise return an "
+            "empty result indistinguishable from 'reaches nothing'"
+        )
     arr = truncate_lineage(
         verts.join(F.broadcast(seed_df.withColumn("s", F.lit(0).cast("long"))), "v", "left")
         .select("v", F.col("s").alias("arr"))
@@ -1094,18 +1105,33 @@ def attribute_assortativity(sedges: DataFrame, labels: DataFrame) -> float:
     0 = random wiring, negative = disassortative (the usual signature of
     user<->assistant alternation). The matrix is |classes|^2 rows, so
     the reduction is a scalar action over a tiny table."""
-    m = attribute_mixing(sedges, labels).select("ca", "cb", "frac")
-    ai = m.groupBy("ca").agg(F.sum("frac").alias("ai"))
-    bi = m.groupBy("cb").agg(F.sum("frac").alias("bi"))
-    eii = (
-        m.where(F.col("ca") == F.col("cb")).agg(F.sum("frac")).first()[0] or 0.0
+    la = labels.select(F.col("name").alias("a"), F.col("cls").alias("ca"))
+    lb = labels.select(F.col("name").alias("b"), F.col("cls").alias("cb"))
+    # ONE action: collect the tiny |classes|^2 matrix and finish driver-side
+    # (the previous rendering re-ran the whole edge aggregation for each of
+    # three scalar reductions — review finding r5)
+    rows = (
+        sedges.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .groupBy("ca", "cb")
+        .agg(F.sum("w").alias("w"))
+        .collect()
     )
-    sum_ab = (
-        ai.join(bi, ai["ca"] == bi["cb"])
-        .agg(F.sum(F.col("ai") * F.col("bi")))
-        .first()[0]
-        or 0.0
-    )
+    # weights are count-valued: accumulate as exact integers (collect-order
+    # independent), divide once at the end — bit-stable across runs
+    wi = {(r["ca"], r["cb"]): int(r["w"]) for r in rows}
+    tot = sum(wi.values())
+    if tot <= 0:
+        return 0.0
+    eii_w = sum(w for (ca, cb), w in wi.items() if ca == cb)
+    ai_w: dict[str, int] = {}
+    bi_w: dict[str, int] = {}
+    for (ca, cb), w in wi.items():
+        ai_w[ca] = ai_w.get(ca, 0) + w
+        bi_w[cb] = bi_w.get(cb, 0) + w
+    sum_ab_num = sum(ai_w[c] * bi_w.get(c, 0) for c in sorted(ai_w))
+    eii = eii_w / tot
+    sum_ab = sum_ab_num / (tot * tot)
     if sum_ab >= 1.0:
         return 0.0  # single class: conventionally undefined; return 0
     return float((eii - sum_ab) / (1.0 - sum_ab))

@@ -179,6 +179,19 @@ def read_transcripts(
     return reader.format(source_format).load(path)
 
 
+def conv_actor_expr():
+    """The canonical transcript actor naming — conv-scoped roles
+    ('<conv_id>:<role>'), GLOBAL tool actors ('tool:<name>') — as a
+    Column expression. SINGLE home (review r5): transcript_string_edges,
+    graph.transcripts_to_temporal_edges and every oracle rendering rely
+    on this exact derivation; graph.wl_flow_fingerprint deliberately
+    uses bare-role actors instead (cross-conversation structural
+    comparison) and documents the difference."""
+    return F.when(
+        F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.col("conv_id"), F.lit(":"), F.col("role")))
+
+
 def transcript_string_edges(
     transcripts: DataFrame, directed: bool = False
 ) -> DataFrame:
@@ -199,9 +212,7 @@ def transcript_string_edges(
     directed self-loops; they are kept (callers filter).
     """
     t = transcripts.select("conv_id", "turn_idx", "role", "tool")
-    actor = F.when(
-        F.col("role") == "tool", F.concat(F.lit("tool:"), F.col("tool"))
-    ).otherwise(F.concat(F.col("conv_id"), F.lit(":"), F.col("role")))
+    actor = conv_actor_expr()
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     pair = (
         t.withColumn("a", actor)

@@ -1251,3 +1251,26 @@ def test_neighborhood_function_directed_out_ball(spark):
         .where("src < 0"), max_t=1,
     )
     assert single.count() == 0  # empty edges -> empty output, no crash
+
+
+def test_sweep_cut_counts_boundary_to_unscored_vertices(spark, karate):
+    """Top-N score slice over full-graph edges: prefix conductance must
+    still match networkx.conductance on the FULL graph (boundary edges
+    to unscored vertices stay in the cut forever) — the review-r5
+    scenario where inner joins dropped the boundary and phi collapsed."""
+    import networkx as nx
+
+    from tests.conftest import KARATE_EDGES
+
+    edges, _ = karate
+    ppr = A.personalized_pagerank(edges, [0], max_iters=12)
+    top10 = ppr.orderBy(F.col("r").desc(), F.col("v").asc()).limit(10)
+    curve = A.sweep_cut(edges, top10).orderBy("rank").collect()
+    assert len(curve) == 10
+    G = nx.Graph()
+    G.add_edges_from(KARATE_EDGES)
+    pref = []
+    for row in curve:
+        pref.append(row["v"])
+        want = nx.conductance(G, pref)
+        assert abs(row["phi"] - want) < 1e-9, (row["rank"], row["phi"], want)
