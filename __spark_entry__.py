@@ -406,6 +406,15 @@ def _q_transcript_role_assortativity(spark, sf):
     return spark.createDataFrame([(round(r, 9),)], "r double")
 
 
+def _q_corpus_sample_balanced(spark, sf):
+    # exactly 25 docs per lang by smallest portable-hash draw — the
+    # oracle replays rank + tie order with the same affine-hash SQL
+    from nido_spark.pipeline import sample_k_per_stratum
+
+    out = sample_k_per_stratum(_docs(spark, sf), k=25, strata_col="lang", seed=7)
+    return out.select("doc_id", "lang")
+
+
 def _q_corpus_sample_weighted(spark, sf):
     # Efraimidis-Spirakis race weighted by n_chars: winners + their keys
     # are deterministic (portable-hash u, 9 dp race rounding, id ties)
@@ -1337,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_quantiles": _q_doc_token_quantiles,
         "lineitem_sweep_cut": _q_lineitem_sweep_cut,
         "corpus_sample_weighted": _q_corpus_sample_weighted,
+        "corpus_sample_balanced": _q_corpus_sample_balanced,
         "transcript_role_mixing": _q_transcript_role_mixing,
         "transcript_role_assortativity": _q_transcript_role_assortativity,
         "transcript_edge_betweenness": _q_transcript_edge_betweenness,
@@ -2750,6 +2760,13 @@ FROM documents WHERE {_bkt_sql(7)} < {thr}"""
 SELECT doc_id, lang FROM documents
 WHERE (lang = 'de' AND {_bkt_sql(7)} < {int(0.25 * _SAMPLE_P2)})
    OR (lang = 'en' AND {_bkt_sql(7)} < {int(0.5 * _SAMPLE_P2)})"""
+
+    sql["corpus_sample_balanced"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_bkt_sql(7)} ASC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 25"""
 
     # weighted-race replay: same u = (bucket+1)/2^31, ROUND(-ln(u)/w, 9)
     # key, (key, doc_id) order, LIMIT k

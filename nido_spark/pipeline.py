@@ -216,3 +216,29 @@ def sample_weighted(
         .limit(k)
         .drop("_wk")
     )
+
+
+def sample_k_per_stratum(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic BALANCED sample: exactly min(k, stratum size) rows
+    per stratum, chosen by the smallest portable-hash draw (id ties) —
+    the class-balanced eval-slice builder (rate-based sample_stratified
+    keeps proportions; this pins ABSOLUTE per-class counts, what a
+    fixed-size benchmark needs). One window partitioned BY STRATUM over
+    hash ranks — no global sort, no skew beyond the stratum sizes
+    themselves; reproducible across runs, engines and partitionings."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

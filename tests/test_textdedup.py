@@ -1011,3 +1011,34 @@ def test_containment_cap_bounds_candidates_not_values(spark):
     assert out[(1, 2)]["c_ab"] > 0.95
     # template-only pairs share NO rare shingle: below min_common, invisible
     assert not any(a >= 10 and b >= 10 for a, b in out)
+
+
+def test_sample_k_per_stratum_exact_counts_and_determinism(spark):
+    """Exactly min(k, stratum size) per class; winners = the k smallest
+    portable-hash draws (Python replay); identical under repartitioning."""
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+        sample_k_per_stratum,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)] + [(100, "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sample_k_per_stratum(df, k=5, strata_col="lang", seed=7).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by["en"]) == 5 and len(by["de"]) == 5
+    assert by["fr"] == [100]  # stratum smaller than k: keep all
+
+    def bucket(v, seed):
+        r1 = (_SAMPLE_A1 * ((v % _SAMPLE_P) + seed) + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    for lang in ("en", "de"):
+        ids = [i for i, lg in rows if lg == lang]
+        want = sorted(ids, key=lambda i: (bucket(i, 7), i))[:5]
+        assert sorted(by[lang]) == sorted(want)
+    again = sample_k_per_stratum(df.repartition(11), k=5, strata_col="lang", seed=7).collect()
+    assert {(r["doc_id"], r["lang"]) for r in again} == {
+        (r["doc_id"], r["lang"]) for r in got
+    }
