@@ -238,6 +238,25 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_label_spread(spark, sf):
+    # semi-supervised label spreading on the transcript graph: ~1/23 of
+    # actors carry a trusted seed label (7 classes, derived from the dense
+    # vertex id so both engines synthesize identical seeds); 6 synchronous
+    # rounds, seeds pinned. Spark may stop early at the fixpoint; the
+    # oracle unrolls all 6 rounds (no-ops after the fixpoint). Actors the
+    # labels never reach stay NULL and are value-checked as NULL.
+    # pmod == % here because dense transcript ids are non-negative.
+    tr = synth_transcripts(spark, 500, seed=42)
+    edges = transcripts_to_edges(tr, strategy="dense")
+    seeds = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .where(F.pmod(F.col("v"), F.lit(23)) == 0)
+        .withColumn("comm", F.pmod(F.col("v"), F.lit(7)))
+    )
+    return A.seeded_label_propagation(edges, seeds, max_iters=6)
+
+
 def _q_transcript_hits(spark, sf):
     # fixed-8-iteration HITS (alternating L2-normalized halves) — the
     # unrolled oracle replays both halves round-for-round; 9 dp rounding
@@ -1332,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_full": _q_pagerank_full,
         "ppr_full": _q_ppr_full,
         "transcript_sssp": _q_transcript_sssp,
+        "transcript_label_spread": _q_transcript_label_spread,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
@@ -2908,6 +2928,43 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # Seeded label spreading: 6 unrolled synchronous rounds of the exact
+    # algos.seeded_label_propagation schedule — labeled-neighbor argmax by
+    # (wsum DESC, label ASC), seeds pinned by CASE. Vote weights are
+    # integer-valued doubles (transcript adjacency counts), so the argmax
+    # tie-break replays exactly. Plain % is safe: dense ids non-negative.
+    _sls_ctes = [
+        "sv AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
+        """sl0 AS MATERIALIZED (
+  SELECT v, CASE WHEN v % 23 = 0 THEN v % 7 END AS comm, v % 23 = 0 AS seeded
+  FROM sv
+)""",
+    ]
+    for _i in range(6):
+        _sls_ctes.append(f"""slv{_i} AS MATERIALIZED (
+  SELECT te.src, sl{_i}.comm AS dst_comm, SUM(te.w) AS wsum
+  FROM te JOIN sl{_i} ON te.dst = sl{_i}.v
+  WHERE sl{_i}.comm IS NOT NULL AND te.src <> te.dst
+  GROUP BY 1, 2 HAVING SUM(te.w) > 0
+)""")
+        _sls_ctes.append(f"""slw{_i} AS MATERIALIZED (
+  SELECT src, dst_comm,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY wsum DESC, dst_comm ASC) AS rn
+  FROM slv{_i}
+)""")
+        _sls_ctes.append(f"""sl{_i + 1} AS MATERIALIZED (
+  SELECT l.v,
+         CASE WHEN l.seeded THEN l.comm
+              ELSE COALESCE(w.dst_comm, l.comm) END AS comm,
+         l.seeded
+  FROM sl{_i} l LEFT JOIN slw{_i} w ON l.v = w.src AND w.rn = 1
+)""")
+    sql["transcript_label_spread"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_sls_ctes)
+        + "\nSELECT v, comm FROM sl6"
     )
 
     # HITS: unrolled alternating power iteration — per round one auth half

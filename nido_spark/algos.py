@@ -1769,6 +1769,97 @@ def label_propagation(
     return labels
 
 
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iters: int = 8,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, comm) — semi-supervised label spreading: ``seeds`` (v, comm)
+    carry trusted labels that NEVER change; every other vertex adopts,
+    each synchronous round, the max-incident-weight label among its
+    currently-labeled OUT-neighbors (sum of w per label over edges
+    leaving v — the same src-adopts-from-dst orientation as lpa_step;
+    on the canonical symmetric table this is simply its neighbors;
+    ties -> smallest label). Vertices with no labeled
+    neighbor stay NULL until one appears; a non-seed vertex re-votes
+    every round, so labels keep flowing as the frontier expands. The
+    classic trusted-label amplification pass of a web-scale pipeline
+    (spam/quality/topic seeds spreading through the link graph) —
+    companion algorithm per the north rule; the reference ships only
+    Louvain (cugraph-scripts/cug_louvain_mm.py:35).
+
+    Runs a FIXED schedule of ``max_iters`` synchronous rounds with an
+    early fixpoint stop (extra rounds after the fixpoint are exact
+    no-ops, so an unrolled oracle at max_iters replays the result).
+    Deterministic when vote-weight sums tie exactly (integer-valued w,
+    or distinct sums): argmax resolves by smallest label.
+
+    Plan shape is lpa_step's with nbatches=1: edges pinned
+    hash-partitioned on src once up front; below ``broadcast_threshold``
+    vertices the V-row label table broadcasts, so every round runs with
+    zero E-row exchanges — ONE E-row aggregation per round. Vertex
+    universe is src UNION dst (directed inputs keep their sink vertices,
+    unlike the symmetric-precondition metrics); pass the canonical
+    symmetric table for undirected spreading. Seed rows for vertices
+    absent from the graph are ignored; seed labels must be non-null."""
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst", "w").repartition(nparts, "src").persist()
+    verts = truncate_lineage(_all_vertices(e))
+    labels = truncate_lineage(
+        verts.join(
+            seeds.select("v", F.col("comm").cast("long").alias("comm")),
+            "v",
+            "left",
+        ).select("v", "comm", F.col("comm").isNotNull().alias("seeded"))
+    )
+    bcast = verts.count() <= broadcast_threshold
+    bc = F.broadcast if bcast else (lambda df: df)
+    for _ in range(max_iters):
+        lab_dst = labels.where(F.col("comm").isNotNull()).select(
+            F.col("v").alias("dst"), F.col("comm").alias("dst_comm")
+        )
+        votes = (
+            e.where(F.col("src") != F.col("dst"))
+            .join(bc(lab_dst), "dst")
+            .groupBy("src", "dst_comm")
+            .agg(F.sum("w").alias("wsum"))
+            .where(F.col("wsum") > 0)
+        )
+        winner = votes.groupBy(F.col("src").alias("v")).agg(
+            F.max(
+                F.struct(
+                    F.col("wsum").alias("wsum"),
+                    (-F.col("dst_comm")).alias("neg"),
+                    F.col("dst_comm").alias("comm"),
+                )
+            )["comm"].alias("new_comm")
+        )
+        new_labels = truncate_lineage(
+            labels.join(bc(winner), "v", "left").select(
+                "v",
+                F.when(F.col("seeded"), F.col("comm"))
+                .otherwise(F.coalesce("new_comm", "comm"))
+                .alias("comm"),
+                "seeded",
+            )
+        )
+        changed = (
+            new_labels.join(
+                labels.select("v", F.col("comm").alias("old")), "v"
+            )
+            .where(~F.col("comm").eqNullSafe(F.col("old")))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("v", "comm")
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting
 # ---------------------------------------------------------------------------

@@ -1274,3 +1274,61 @@ def test_sweep_cut_counts_boundary_to_unscored_vertices(spark, karate):
         pref.append(row["v"])
         want = nx.conductance(G, pref)
         assert abs(row["phi"] - want) < 1e-9, (row["rank"], row["phi"], want)
+
+
+def test_seeded_lpa_path_spread_ties_and_null_island(spark):
+    """Path 0-1-2-3-4-5 with seeds {0: 1, 5: 9}: the smaller label wins
+    every equal-weight frontier collision, so label 1 floods the path while
+    the seed at 5 stays pinned at 9 despite being surrounded; the 10-11
+    island has no seed and stays NULL."""
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    src, dst, w = symmetric_arrays(pairs)
+    edges = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(src, dst, w)],
+        "src long, dst long, w double",
+    )
+    seeds = spark.createDataFrame([(0, 1), (5, 9)], "v long, comm long")
+    got = {
+        r["v"]: r["comm"]
+        for r in A.seeded_label_propagation(edges, seeds, max_iters=8).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 9, 10: None, 11: None}
+
+
+def test_seeded_lpa_matches_python_replay_karate(karate):
+    """Spark == a pure-Python synchronous replay of the exact schedule on
+    karate (seeds v%7==0 -> v%3, 5 rounds): per round every non-seed takes
+    the (wsum, -label)-argmax over labeled neighbors, seeds never move.
+    Early fixpoint stop in Spark is a no-op vs the fixed-round replay."""
+    edges, (src, dst, w) = karate
+    rounds = 5
+    seeds = {v: v % 3 for v in sorted({int(x) for x in src}) if v % 7 == 0}
+    seeds_df = edges.sparkSession.createDataFrame(
+        list(seeds.items()), "v long, comm long"
+    )
+    got = {
+        r["v"]: r["comm"]
+        for r in A.seeded_label_propagation(
+            edges, seeds_df, max_iters=rounds
+        ).collect()
+    }
+    nbrs: dict[int, list[tuple[int, float]]] = {}
+    for a, b, x in zip(src, dst, w):
+        if a != b:
+            nbrs.setdefault(int(a), []).append((int(b), float(x)))
+    lab = {v: seeds.get(v) for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v in nbrs:
+            if v in seeds:
+                new[v] = seeds[v]
+                continue
+            votes: dict[int, float] = {}
+            for u, x in nbrs[v]:
+                if lab[u] is not None:
+                    votes[lab[u]] = votes.get(lab[u], 0.0) + x
+            new[v] = (
+                min(votes, key=lambda c: (-votes[c], c)) if votes else lab[v]
+            )
+        lab = new
+    assert got == lab
