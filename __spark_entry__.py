@@ -712,6 +712,14 @@ def _q_doc_tfidf_keywords(spark, sf):
     return X.tfidf_keywords(_docs(spark, sf), top_k=5)
 
 
+def _q_doc_textrank(spark, sf):
+    # top-5 TextRank keywords per document: 8 fixed rounds of weighted
+    # per-doc PageRank over lowercased adjacent-token pairs; the oracle
+    # unrolls the identical schedule. round-9-before-rank + token ASC is
+    # the tfidf tie rule (see _q_doc_tfidf_keywords).
+    return X.textrank_keywords(_docs(spark, sf), top_k=5, n_iters=8)
+
+
 def _q_doc_unigram_logloss(spark, sf):
     # per-doc cross-entropy (bits/token) under the corpus's own add-0.5
     # smoothed unigram LM — the CCNet-style perplexity quality signal;
@@ -1379,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_pmi": _q_transcript_tool_pmi,
         "transcript_condensation_layers": _q_transcript_condensation_layers,
         "doc_tfidf_keywords": _q_doc_tfidf_keywords,
+        "doc_textrank": _q_doc_textrank,
         "edges_rich_club": _q_edges_rich_club,
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
@@ -3204,6 +3213,53 @@ SELECT occ.doc_id, SUM(occ.m)::BIGINT AS n_bigrams,
              / SUM(occ.m), 9) AS xent_bits
 FROM occ JOIN c2 USING (w1, w2) JOIN uni ON uni.tok = occ.w1
 GROUP BY occ.doc_id"""
+
+    # Per-document TextRank: the identical fixed 8-round schedule of
+    # textops.textrank_keywords unrolled — per round one co-grouped
+    # (doc, token) join + aggregation. Constants are the Python-computed
+    # doubles (repr), so (1-d)/n and d*s replay bit-for-bit; round-9-
+    # before-rank absorbs float-sum order, token ASC breaks rounded ties.
+    _tr_d, _tr_base = repr(0.85), repr(1.0 - 0.85)
+    _tr_ctes = [
+        r"""t0 AS (SELECT doc_id, regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS tt FROM documents)""",
+        r"""arr AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(tt, '\s+') AS a FROM t0 WHERE tt <> '')""",
+        """idx AS MATERIALIZED (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+  FROM arr WHERE len(a) >= 2)""",
+        """bgx AS MATERIALIZED (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM idx WHERE a[i] <> a[i + 1])""",
+        """prs AS MATERIALIZED (SELECT doc_id, least(w1, w2) AS a, greatest(w1, w2) AS b, COUNT(*)::DOUBLE AS w
+  FROM bgx GROUP BY 1, 2, 3)""",
+        """und AS MATERIALIZED (SELECT doc_id, a AS u, b AS v, w FROM prs
+  UNION ALL SELECT doc_id, b AS u, a AS v, w FROM prs)""",
+        """wdg AS MATERIALIZED (SELECT doc_id, u, SUM(w) AS wd FROM und GROUP BY 1, 2)""",
+        """frc AS MATERIALIZED (SELECT und.doc_id, und.u, und.v, und.w / wdg.wd AS f
+  FROM und JOIN wdg ON und.doc_id = wdg.doc_id AND und.u = wdg.u)""",
+        """vts AS MATERIALIZED (SELECT DISTINCT doc_id, u AS tok FROM und)""",
+        """nvd AS MATERIALIZED (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM vts GROUP BY 1)""",
+        """tr0 AS MATERIALIZED (SELECT vts.doc_id, vts.tok, nvd.n, 1.0 / nvd.n AS r
+  FROM vts JOIN nvd USING (doc_id))""",
+    ]
+    for _i in range(8):
+        _tr_ctes.append(f"""trc{_i} AS MATERIALIZED (
+  SELECT frc.doc_id, frc.v AS tok, SUM(frc.f * tr{_i}.r) AS s
+  FROM frc JOIN tr{_i} ON frc.doc_id = tr{_i}.doc_id AND frc.u = tr{_i}.tok
+  GROUP BY 1, 2
+)""")
+        _tr_ctes.append(f"""tr{_i + 1} AS MATERIALIZED (
+  SELECT tr{_i}.doc_id, tr{_i}.tok, tr{_i}.n,
+         {_tr_base} / tr{_i}.n + {_tr_d} * COALESCE(trc{_i}.s, 0.0) AS r
+  FROM tr{_i} LEFT JOIN trc{_i}
+    ON tr{_i}.doc_id = trc{_i}.doc_id AND tr{_i}.tok = trc{_i}.tok
+)""")
+    sql["doc_textrank"] = (
+        "WITH "
+        + ",\n".join(_tr_ctes)
+        + """,
+trs AS (SELECT doc_id, tok AS token, ROUND(r, 9) AS score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY ROUND(r, 9) DESC, tok ASC) AS rank
+        FROM tr8)
+SELECT doc_id, token, score, rank FROM trs WHERE rank <= 5"""
+    )
 
     # average neighbor degree: same exact-integer-sum recipe as the
     # assortativity oracle — HUGEINT neighbor-degree sum, ONE double

@@ -877,6 +877,137 @@ def tfidf_keywords(
     )
 
 
+def textrank_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    damping: float = 0.85,
+    n_iters: int = 8,
+) -> DataFrame:
+    """(doc_id, token, score, rank) — top ``top_k`` keywords per document
+    by TextRank (Mihalcea & Tarau 2004): weighted PageRank over each
+    document's OWN token-adjacency graph. Vertices are the doc's distinct
+    lowercased whitespace tokens, undirected edges join ADJACENT token
+    pairs (window 2, self-pairs dropped) weighted by adjacency count, and
+    r_{t+1}(v) = (1-d)/N_doc + d * sum_u (w_uv / wdeg_u) * r_t(u) runs a
+    FIXED ``n_iters`` synchronous rounds from the uniform start — graph-
+    structural keyword salience, the order-aware complement of
+    tfidf_keywords (which sees only counts). Docs whose token graph has
+    no edges (under two distinct adjacent tokens) emit nothing.
+
+    Rank order is (ROUND(score, 9) DESC, token ASC) with the rounding
+    BEFORE ranking on both engines — the tfidf_keywords tie rule, so a
+    last-ulp float-sum divergence cannot swap near-equal rows. The fixed
+    schedule (no convergence test) is what makes the unrolled oracle an
+    exact replay.
+
+    100 TB shape: this is a grouped PageRank keyed by (doc_id, token) —
+    millions of INDEPENDENT tiny graphs, not one global one. Everything
+    partitions on doc_id(+token): one explode -> map-side-combined pair
+    counts, a single-pass explode symmetrization (no double-evaluating
+    union), and per round ONE join + ONE grouped aggregation, both
+    co-partitioned on (doc_id, u) against the pinned, persisted fraction
+    table. Text never shuffles — only (doc, token) pairs; no per-doc
+    driver loop anywhere, so width scales with executors."""
+    from pyspark.sql import Window
+
+    from nido_spark.plans import truncate_lineage
+
+    spark = docs.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t = tokens(F.lower(F.col(text_col)))
+    bg = (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .where(F.col("w1") != F.col("w2"))
+    )
+    pairs = (
+        bg.select(
+            "doc_id",
+            F.least("w1", "w2").alias("a"),
+            F.greatest("w1", "w2").alias("b"),
+        )
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    und = pairs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("e"),
+        "w",
+    ).select("doc_id", "e.u", "e.v", "w")
+    wdeg = und.groupBy("doc_id", "u").agg(F.sum("w").alias("wd"))
+    frac = (
+        und.join(wdeg, ["doc_id", "u"])
+        .select("doc_id", "u", "v", (F.col("w") / F.col("wd")).alias("f"))
+        .repartition(nparts, "doc_id", "u")
+        .persist()
+    )
+    verts = frac.select("doc_id", F.col("u").alias("tok")).distinct()
+    nv = verts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    base = 1.0 - damping
+    r = truncate_lineage(
+        verts.join(nv, "doc_id").select(
+            "doc_id", "tok", "n", (F.lit(1.0) / F.col("n")).alias("r")
+        )
+    )
+    for _ in range(n_iters):
+        contrib = (
+            frac.join(
+                r.select("doc_id", F.col("tok").alias("u"), "r"),
+                ["doc_id", "u"],
+            )
+            .groupBy("doc_id", F.col("v").alias("tok"))
+            .agg(F.sum(F.col("f") * F.col("r")).alias("s"))
+        )
+        r = truncate_lineage(
+            r.select("doc_id", "tok", "n")
+            .join(contrib, ["doc_id", "tok"], "left")
+            .select(
+                "doc_id",
+                "tok",
+                "n",
+                (
+                    F.lit(base) / F.col("n")
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    frac.unpersist()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        r.select(
+            "doc_id",
+            F.col("tok").alias("token"),
+            F.round("r", 9).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "token", "score", "rank")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

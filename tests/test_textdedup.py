@@ -1042,3 +1042,56 @@ def test_sample_k_per_stratum_exact_counts_and_determinism(spark):
     assert {(r["doc_id"], r["lang"]) for r in again} == {
         (r["doc_id"], r["lang"]) for r in got
     }
+
+
+def test_textrank_keywords_python_replay_and_invariants(spark):
+    """Spark TextRank == a pure-Python replay of the exact fixed schedule
+    (adjacency pairs -> out-fraction PageRank, 8 rounds) on docs with
+    repeats, hubs, and case folding; per-doc scores sum to 1 (stochastic
+    flow + (1-d)/N base keeps total mass 1 every round); edgeless docs
+    (single token / all-identical tokens) emit nothing."""
+    from nido_spark.textops import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "Spark spark RANK rank spark graph rank"),
+            (3, "x x x"),
+            (4, "solo"),
+            (5, "hub a hub b hub c hub d"),
+        ],
+        "doc_id long, text string",
+    )
+    got: dict[tuple[int, str], float] = {}
+    ranks: dict[tuple[int, int], str] = {}
+    for r in textrank_keywords(docs, top_k=1_000_000, n_iters=8).collect():
+        got[(r["doc_id"], r["token"])] = r["score"]
+        ranks[(r["doc_id"], r["rank"])] = r["token"]
+    assert not any(d in (3, 4) for d, _ in got)
+
+    d = 0.85
+    for doc_id, text in [(1, "a b a b c"), (2, "spark spark rank rank spark graph rank"), (5, "hub a hub b hub c hub d")]:
+        toks = text.lower().split()
+        w: dict[tuple[str, str], float] = {}
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                k = (min(x, y), max(x, y))
+                w[k] = w.get(k, 0.0) + 1.0
+        nbrs: dict[str, dict[str, float]] = {}
+        for (a, b), c in w.items():
+            nbrs.setdefault(a, {})[b] = c
+            nbrs.setdefault(b, {})[a] = c
+        n = len(nbrs)
+        r = {v: 1.0 / n for v in nbrs}
+        for _ in range(8):
+            r = {
+                v: (1 - d) / n
+                + d * sum(w_uv / sum(nbrs[u].values()) * r[u]
+                          for u, w_uv in nbrs[v].items())
+                for v in nbrs
+            }
+        for v in nbrs:
+            assert abs(got[(doc_id, v)] - r[v]) < 1e-9, (doc_id, v)
+        assert abs(sum(got[(doc_id, v)] for v in nbrs) - 1.0) < 1e-6
+    # doc 5: the hub token carries the most flow and ranks first
+    assert ranks[(5, 1)] == "hub"
