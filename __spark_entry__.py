@@ -646,6 +646,15 @@ def _q_doc_line_dedup(spark, sf):
     )
 
 
+def _q_emb_pca_proj(spark, sf):
+    # dominant-principal-axis projections by centered matrix-free power
+    # iteration, 6 fixed rounds; the mean and every round's direction are
+    # rounded to 9 dp (Spark F.round vs DuckDB ROUND — the repo's standard
+    # pairing), which pins the trajectory so the unrolled SQL replay is
+    # exact to the rounding quantum. Start vector = exact all-ones.
+    return S.pca_project(_emb(spark, sf), n_iters=6)
+
+
 def _q_emb_kmeans(spark, sf):
     # FULLY DISTRIBUTED Lloyd k-means (no driver training collect): the
     # oracle replays the exact schedule in NumPy (same init rank, argmin
@@ -1395,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_node2vec": _q_transcript_node2vec,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_pca_proj": _q_emb_pca_proj,
         "emb_neighbor_mean": _q_emb_neighbor_mean,
         "doc_unigram_logloss": _q_doc_unigram_logloss,
         "doc_bigram_logloss": _q_doc_bigram_logloss,
@@ -2668,6 +2678,48 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # PCA power iteration: unrolled 6-round replay of pca_power's exact
+    # schedule — all-ones start, per-round ROUND(·,9) direction pinning,
+    # per-dimension ROUND(AVG,9) mean; the centered product is the same
+    # two-pass u = sum(x*s) - m*sum(s) factoring. DuckDB 1-based v[j]
+    # realigned to Spark's 0-based posexplode via j-1.
+    _pca_ctes = [
+        "pe AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "pix AS MATERIALIZED (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS j FROM pe)",
+        "pex AS MATERIALIZED (SELECT vec_id, j - 1 AS i, v[j] AS x FROM pix)",
+        "pm AS MATERIALIZED (SELECT i, ROUND(AVG(x), 9) AS mx FROM pex GROUP BY i)",
+        "pr0 AS MATERIALIZED (SELECT i, 1.0 AS rv FROM pm)",
+    ]
+    for _i in range(6):
+        _pca_ctes += [
+            f"""pmr{_i} AS (SELECT SUM(pm.mx * pr{_i}.rv) AS mr FROM pm JOIN pr{_i} USING (i))""",
+            f"""ps{_i} AS MATERIALIZED (
+  SELECT pex.vec_id, SUM(pex.x * pr{_i}.rv) - (SELECT mr FROM pmr{_i}) AS s
+  FROM pex JOIN pr{_i} USING (i) GROUP BY pex.vec_id
+)""",
+            f"""pu{_i} AS MATERIALIZED (
+  SELECT pex.i, SUM(pex.x * ps{_i}.s) AS u, SUM(ps{_i}.s) AS ss
+  FROM pex JOIN ps{_i} USING (vec_id) GROUP BY pex.i
+)""",
+            f"""puc{_i} AS MATERIALIZED (
+  SELECT pu{_i}.i, pu{_i}.u - pm.mx * pu{_i}.ss AS uc
+  FROM pu{_i} JOIN pm USING (i)
+)""",
+            f"""pnm{_i} AS (SELECT sqrt(SUM(uc * uc)) AS nm FROM puc{_i})""",
+            f"""pr{_i + 1} AS MATERIALIZED (
+  SELECT i, ROUND(uc / (SELECT nm FROM pnm{_i}), 9) AS rv FROM puc{_i}
+)""",
+        ]
+    sql["emb_pca_proj"] = (
+        "WITH "
+        + ",\n".join(_pca_ctes)
+        + """,
+pmrf AS (SELECT SUM(pm.mx * pr6.rv) AS mr FROM pm JOIN pr6 USING (i))
+SELECT pex.vec_id,
+       ROUND(SUM(pex.x * pr6.rv) - (SELECT mr FROM pmrf), 9) AS proj
+FROM pex JOIN pr6 USING (i) GROUP BY pex.vec_id"""
+    )
 
     sql["minhash_near_dups"] = f"""
 WITH {_jaccard_pairs_cte()}

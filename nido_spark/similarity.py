@@ -624,3 +624,136 @@ def near_duplicates(
         .select("a", "b", cos.alias("cos"))
         .where(F.col("cos") >= tau)
     )
+
+
+def pca_power(
+    vectors: DataFrame,
+    n_iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+) -> tuple[list[float], list[float]]:
+    """(component, mean) — the dominant principal axis of the embedding
+    cloud by CENTERED power iteration, plus the per-dimension mean: the
+    whitening / drift-detection / dominant-direction primitive of an
+    embedding pipeline. Covariance is never materialized — each round is
+    two matrix-free passes: s_i = v_i.r - m.r (one dot per vector), then
+    u = sum_i v_i s_i - m * sum_i s_i, which equals sum_i (v_i - m)
+    ((v_i - m).r) exactly; r <- round(u / ||u||, round_dp).
+
+    Deterministic contract (the kmeans_fit recipe): the start vector is
+    the exact all-ones (no rounding needed), the mean and every round's
+    direction are ROUNDED to ``round_dp`` decimals IN SPARK (F.round,
+    decimal half-up) before the next pass, so engine float-sum order
+    (~1e-15) cannot compound across rounds — an SQL or NumPy replay of
+    the same schedule reproduces the trajectory to the rounding quantum.
+    Fixed schedule, no convergence test: an unrolled oracle is an exact
+    replay. Sign is pinned by the deterministic start.
+
+    100 TB shape: driver state is ONE d-vector per round (the house
+    kmeans rule — centroids yes, V-rows never); per round one
+    zip_with-fold dot scan (codegen, no shuffle) and one
+    posexplode+groupBy(dim) partial aggregation whose result is d rows.
+    The (id, dim, value) explode is persisted once and reused every
+    round."""
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+    first = v.select(F.size("_vec").alias("d")).first()
+    if first is None:
+        raise ValueError("pca_power: empty input")
+    d = int(first["d"])
+    ex = v.select("_id", F.posexplode("_vec").alias("i", "x")).persist()
+    m = [0.0] * d
+    for row in ex.groupBy("i").agg(
+        F.round(F.avg("x"), round_dp).alias("mx")
+    ).collect():
+        m[row["i"]] = float(row["mx"])
+    mlit = F.array(*[F.lit(x) for x in m])
+    r = [1.0] * d
+    for _ in range(n_iters):
+        rlit = F.array(*[F.lit(x) for x in r])
+        mr = sum(a * b for a, b in zip(m, r))
+        s_df = v.select(
+            "_id",
+            (
+                F.aggregate(
+                    F.zip_with("_vec", rlit, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                - F.lit(mr)
+            ).alias("s"),
+        )
+        uc = (
+            ex.join(s_df, "_id")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("x") * F.col("s")).alias("u"),
+                F.sum("s").alias("ss"),
+            )
+            .select(
+                "i",
+                (
+                    F.col("u")
+                    - F.element_at(mlit, F.col("i") + 1) * F.col("ss")
+                ).alias("uc"),
+            )
+            .persist()
+        )
+        nm_row = uc.agg(F.sqrt(F.sum(F.col("uc") * F.col("uc")))).first()
+        nm = float(nm_row[0])
+        if nm == 0.0:
+            uc.unpersist()
+            raise ValueError(
+                "pca_power: zero-variance input (power iterate vanished)"
+            )
+        nxt = [0.0] * d
+        for row in uc.select(
+            "i", F.round(F.col("uc") / F.lit(nm), round_dp).alias("rv")
+        ).collect():
+            nxt[row["i"]] = float(row["rv"])
+        uc.unpersist()
+        r = nxt
+    ex.unpersist()
+    return r, m
+
+
+def pca_project(
+    vectors: DataFrame,
+    n_iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+    component: list[float] | None = None,
+    mean: list[float] | None = None,
+) -> DataFrame:
+    """(id_col, proj) — each vector's scalar projection onto the dominant
+    principal axis: proj = (v - mean) . component, rounded to
+    ``round_dp``. Pass a precomputed (component, mean) from pca_power to
+    skip training (the scheduled-job path, like ivf_ann_topk's reusable
+    centroids); otherwise trains with the pinned fixed schedule. One
+    map-only codegen pass over the vectors — no shuffle at all."""
+    if component is None or mean is None:
+        component, mean = pca_power(
+            vectors, n_iters, id_col, vec_col, round_dp
+        )
+    rlit = F.array(*[F.lit(x) for x in component])
+    mr = sum(a * b for a, b in zip(mean, component))
+    return vectors.select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    rlit,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(mr),
+            round_dp,
+        ).alias("proj"),
+    )

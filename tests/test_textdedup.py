@@ -1095,3 +1095,56 @@ def test_textrank_keywords_python_replay_and_invariants(spark):
         assert abs(sum(got[(doc_id, v)] for v in nbrs) - 1.0) < 1e-6
     # doc 5: the hub token carries the most flow and ranks first
     assert ranks[(5, 1)] == "hub"
+
+
+def test_pca_power_matches_numpy_and_eigh(spark):
+    """pca_project == a NumPy replay of the pinned fixed schedule (all-ones
+    start, 9 dp mean/direction rounding, centered two-pass product) to
+    well under the rounding quantum's propagation; and on an anisotropic
+    cloud the learned axis aligns with numpy.linalg.eigh's top covariance
+    eigenvector (|cos| > 0.999). Precomputed (component, mean) reuse skips
+    training and reproduces the same projections exactly."""
+    import numpy as np
+
+    from nido_spark.similarity import pca_power, pca_project
+
+    rng = np.random.default_rng(7)
+    # dominant axis along a fixed direction, plus small isotropic noise
+    axis = np.array([3.0, 1.0, -2.0, 0.5])
+    axis /= np.linalg.norm(axis)
+    pts = (
+        rng.normal(0, 4.0, size=(200, 1)) * axis
+        + rng.normal(0, 0.3, size=(200, 4))
+        + np.array([1.0, -2.0, 0.5, 3.0])
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    comp, mean = pca_power(vecs, n_iters=6)
+    got = {r["vec_id"]: r["proj"] for r in pca_project(
+        vecs, component=comp, mean=mean
+    ).collect()}
+
+    # NumPy replay of the exact schedule
+    X = pts
+    m = np.round(X.mean(axis=0), 9)
+    r = np.ones(4)
+    for _ in range(6):
+        s = X @ r - float(m @ r)
+        u = X.T @ s - m * s.sum()
+        r = np.round(u / np.sqrt((u * u).sum()), 9)
+    want = np.round(X @ r - float(m @ r), 9)
+    assert np.allclose(comp, r, atol=1e-8)
+    for i in range(len(X)):
+        assert abs(got[i] - want[i]) < 1e-6, i
+
+    cov_eigvals, cov_eigvecs = np.linalg.eigh(np.cov((X - X.mean(0)).T))
+    top = cov_eigvecs[:, -1]
+    assert abs(float(np.dot(comp, top))) > 0.999
+
+    # training inside pca_project gives the same result as the reuse path
+    retrained = {r["vec_id"]: r["proj"] for r in pca_project(
+        vecs, n_iters=6
+    ).collect()}
+    assert retrained == got
