@@ -238,6 +238,16 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_backbone(spark, sf):
+    # disparity-filter backbone of the transcript graph: alpha is rounded
+    # to 9 dp BEFORE the threshold test on both engines, so a last-ulp
+    # libm pow() divergence cannot flip a row in or out of the backbone.
+    tr = synth_transcripts(spark, 500, seed=42)
+    return G.disparity_filter(
+        transcripts_to_edges(tr, strategy="dense"), alpha=0.3
+    )
+
+
 def _q_transcript_label_spread(spark, sf):
     # semi-supervised label spreading on the transcript graph: ~1/23 of
     # actors carry a trusted seed label (7 classes, derived from the dense
@@ -1369,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_full": _q_ppr_full,
         "transcript_sssp": _q_transcript_sssp,
         "transcript_label_spread": _q_transcript_label_spread,
+        "transcript_backbone": _q_transcript_backbone,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
@@ -2989,6 +3000,26 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # Disparity-filter backbone: direct SQL rendering — src-side
+    # alpha = pow(1 - w/s, k-1) per direction of the symmetric table,
+    # min over the two sides per canonical pair, round-9-then-threshold
+    # (pow(0,0)=1 on both engines covers degree-1 endpoints).
+    sql["transcript_backbone"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + """bhalf AS (SELECT src, dst, w FROM te WHERE src <> dst),
+bds AS (SELECT src AS v, COUNT(*) AS k, SUM(w) AS s FROM bhalf GROUP BY src),
+bsided AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, w,
+         pow(1.0 - w / bds.s, bds.k - 1) AS alpha_side
+  FROM bhalf JOIN bds ON bhalf.src = bds.v
+),
+bscored AS (
+  SELECT a, b, MAX(w) AS w, ROUND(MIN(alpha_side), 9) AS alpha
+  FROM bsided GROUP BY a, b
+)
+SELECT a, b, w, alpha FROM bscored WHERE alpha < 0.3"""
     )
 
     # Seeded label spreading: 6 unrolled synchronous rounds of the exact

@@ -1135,3 +1135,46 @@ def attribute_assortativity(sedges: DataFrame, labels: DataFrame) -> float:
     if sum_ab >= 1.0:
         return 0.0  # single class: conventionally undefined; return 0
     return float((eii - sum_ab) / (1.0 - sum_ab))
+
+
+def disparity_filter(
+    edges: DataFrame,
+    alpha: float = 0.05,
+    keep_all: bool = False,
+) -> DataFrame:
+    """(a, b, w, alpha) — multiscale backbone extraction (Serrano,
+    Boguna & Vespignani 2009, "Extracting the multiscale backbone of
+    complex weighted networks"): for each endpoint i of an edge with
+    weight w, the null-model p-value alpha_i = (1 - w/s_i)^(k_i - 1)
+    (s_i = strength, k_i = degree) measures how UNlikely the edge's
+    local weight share is under uniform random splitting; the edge's
+    alpha is the min over its two endpoints (significant from either
+    side keeps it — the standard OR rule). Rows with alpha < ``alpha``
+    survive; ``keep_all=True`` returns every canonical edge with its
+    alpha instead (for threshold sweeps). Degree-1 endpoints give
+    (1-1)^0 = 1 (never significant on their own side — pow(0,0)=1 on
+    both engines). Self-loops excluded; expects the canonical SYMMETRIC
+    edge table (both directions present), from which each direction
+    contributes its src-side alpha exactly once.
+
+    The pruning primitive that makes 100 TB graph analytics tractable:
+    run it FIRST, then the expensive algorithm on the ~1-10% backbone.
+    Shape: one V-row degree/strength aggregation, one broadcastable
+    join onto E rows (alpha is then a map-side expression), one
+    canonical-pair min-aggregation — no pair enumeration, nothing
+    quadratic, output bounded by |E|."""
+    half = edges.where(F.col("src") != F.col("dst"))
+    ds = half.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("k"), F.sum("w").alias("s")
+    )
+    sided = half.join(ds, half["src"] == ds["v"]).select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        "w",
+        F.pow(1.0 - F.col("w") / F.col("s"), F.col("k") - 1).alias("alpha_side"),
+    )
+    scored = sided.groupBy("a", "b").agg(
+        F.max("w").alias("w"), F.min("alpha_side").alias("alpha")
+    )
+    out = scored.select("a", "b", "w", F.round("alpha", 9).alias("alpha"))
+    return out if keep_all else out.where(F.col("alpha") < alpha)

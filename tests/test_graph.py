@@ -791,3 +791,49 @@ def test_attribute_assortativity_matches_networkx(spark):
     want = nx.attribute_assortativity_coefficient(G, "cls")
     assert abs(r - want) < 1e-9
     assert r < -0.3
+
+
+def test_disparity_filter_hand_star_and_karate_replay(spark, karate):
+    """Star with one dominant spoke: only the heavy edge survives (its
+    center-side alpha = (3/13)^3 ~ 0.0123; the light spokes get ~0.787 and
+    the leaf side is always pow(0,0)=1). Karate: survivor set and alphas
+    == a pure-Python replay of the min-over-endpoints rule."""
+    from nido_spark.graph import disparity_filter
+
+    pairs = [(0, 1, 10.0), (0, 2, 1.0), (0, 3, 1.0), (0, 4, 1.0)]
+    rows = [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        (r["a"], r["b"]): r["alpha"]
+        for r in disparity_filter(edges, alpha=0.05).collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - (3.0 / 13.0) ** 3) < 1e-9
+    everything = {
+        (r["a"], r["b"]): r["alpha"]
+        for r in disparity_filter(edges, keep_all=True).collect()
+    }
+    assert len(everything) == 4
+    assert abs(everything[(0, 2)] - (12.0 / 13.0) ** 3) < 1e-9
+
+    kedges, (src, dst, w) = karate
+    got = {
+        (r["a"], r["b"]): r["alpha"]
+        for r in disparity_filter(kedges, alpha=0.5).collect()
+    }
+    ks: dict[int, int] = {}
+    ss: dict[int, float] = {}
+    for a, b, x in zip(src, dst, w):
+        if a != b:
+            ks[int(a)] = ks.get(int(a), 0) + 1
+            ss[int(a)] = ss.get(int(a), 0.0) + float(x)
+    want: dict[tuple[int, int], float] = {}
+    for a, b, x in zip(src, dst, w):
+        a, b, x = int(a), int(b), float(x)
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        side = (1.0 - x / ss[a]) ** (ks[a] - 1)
+        want[key] = min(want.get(key, 1.0), side)
+    survivors = {k: round(v, 9) for k, v in want.items() if round(v, 9) < 0.5}
+    assert got == survivors and len(got) > 0
