@@ -739,6 +739,14 @@ def _q_doc_textrank(spark, sf):
     return X.textrank_keywords(_docs(spark, sf), top_k=5, n_iters=8)
 
 
+def _q_doc_collocations(spark, sf):
+    # Dunning G2 collocation strength over adjacent-token bigrams with
+    # corpus margins from the pair table itself; every contingency input
+    # is an exact integer-as-double (products <= N^2 << 2^53), so only
+    # ln/div carry float noise — absorbed by the 9 dp rounding.
+    return X.collocations_llr(_docs(spark, sf), min_count=5)
+
+
 def _q_doc_unigram_logloss(spark, sf):
     # per-doc cross-entropy (bits/token) under the corpus's own add-0.5
     # smoothed unigram LM — the CCNet-style perplexity quality signal;
@@ -1408,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_condensation_layers": _q_transcript_condensation_layers,
         "doc_tfidf_keywords": _q_doc_tfidf_keywords,
         "doc_textrank": _q_doc_textrank,
+        "doc_collocations": _q_doc_collocations,
         "edges_rich_club": _q_edges_rich_club,
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
@@ -2689,6 +2698,43 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Dunning G2 collocations: direct SQL rendering of collocations_llr —
+    # contingency margins from the bigram count table, CASE-guarded
+    # k*ln(k/E) terms (zero cells contribute 0), round-9 output.
+    sql["doc_collocations"] = r"""
+WITH t0 AS (
+  SELECT regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM (
+    SELECT lower(text) AS text FROM documents
+  )
+),
+arr AS (SELECT regexp_split_to_array(tt, '\s+') AS a FROM t0 WHERE tt <> ''),
+idx AS (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM arr WHERE len(a) >= 2),
+g12 AS MATERIALIZED (
+  SELECT a[i] AS w1, a[i + 1] AS w2, COUNT(*) AS n FROM idx GROUP BY 1, 2
+),
+g1 AS MATERIALIZED (SELECT w1, SUM(n) AS c1 FROM g12 GROUP BY w1),
+g2m AS MATERIALIZED (SELECT w2, SUM(n) AS c2 FROM g12 GROUP BY w2),
+gn AS (SELECT SUM(n)::DOUBLE AS nn FROM g12),
+cells AS (
+  SELECT g12.w1, g12.w2, g12.n,
+         g12.n::DOUBLE AS k11,
+         (g1.c1 - g12.n)::DOUBLE AS k12,
+         (g2m.c2 - g12.n)::DOUBLE AS k21,
+         (SELECT nn FROM gn) - g1.c1 - g2m.c2 + g12.n AS k22,
+         (SELECT nn FROM gn) AS nn
+  FROM g12 JOIN g1 USING (w1) JOIN g2m USING (w2)
+  WHERE g12.n >= 5
+)
+SELECT w1, w2, n,
+       ROUND(2.0 * (
+         CASE WHEN k11 > 0 THEN k11 * ln(k11 / ((k11 + k12) * (k11 + k21) / nn)) ELSE 0.0 END
+       + CASE WHEN k12 > 0 THEN k12 * ln(k12 / ((k11 + k12) * (k12 + k22) / nn)) ELSE 0.0 END
+       + CASE WHEN k21 > 0 THEN k21 * ln(k21 / ((k21 + k22) * (k11 + k21) / nn)) ELSE 0.0 END
+       + CASE WHEN k22 > 0 THEN k22 * ln(k22 / ((k21 + k22) * (k12 + k22) / nn)) ELSE 0.0 END
+       ), 9) AS g2
+FROM cells"""
 
     # PCA power iteration: unrolled 6-round replay of pca_power's exact
     # schedule — all-ones start, per-round ROUND(·,9) direction pinning,

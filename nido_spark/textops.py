@@ -1104,3 +1104,78 @@ def exact_quantiles(
         .groupBy("p")
         .agg(F.min("val").alias("q"))
     )
+
+
+def collocations_llr(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n, g2) — corpus collocation strength of adjacent token
+    bigrams by Dunning's log-likelihood ratio (Dunning 1993), the
+    statistically-sound replacement for raw PMI at corpus scale (PMI
+    explodes on rare pairs; G2 accounts for the margins). Contingency
+    per bigram over all N adjacent pairs: k11 = c(w1 w2), k12 = c(w1 .)
+    - k11, k21 = c(. w2) - k11, k22 = N - k12 - k21 - k11; g2 =
+    2 * sum k_ij ln(k_ij / E_ij), zero-count cells contribute 0.
+    Margins come from the PAIR table itself (first-position / second-
+    position counts), the bigram_logloss convention — so "w1 ." counts
+    exclude each doc's final token by construction. min_count prunes
+    the hapax tail BEFORE the join fan-out. Lowercased whitespace
+    tokens; g2 rounded to 9 dp.
+
+    100 TB shape: one explode -> map-side-combined (w1, w2) counts,
+    margins are two reaggregations of that SAME count table (no second
+    text scan), N is the one driver scalar; two margin joins are
+    token-keyed and AQE-skew-handled. Text never shuffles."""
+    t = tokens(F.lower(F.col(text_col)))
+    bg = (
+        docs.select(t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c1 = c12.groupBy("w1").agg(F.sum("n").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("n").alias("c2"))
+    n_row = c12.agg(F.sum("n")).first()
+    n_total = int(n_row[0] or 0)
+    if n_total == 0:
+        return c12.select(
+            "w1", "w2", "n", F.lit(0.0).alias("g2")
+        ).where(F.lit(False))
+
+    def _term(k, e):
+        return F.when(k > 0, k * F.log(k / e)).otherwise(F.lit(0.0))
+
+    nn = F.lit(float(n_total))
+    k11 = F.col("n").cast("double")
+    k12 = (F.col("c1") - F.col("n")).cast("double")
+    k21 = (F.col("c2") - F.col("n")).cast("double")
+    k22 = nn - F.col("c1") - F.col("c2") + F.col("n")
+    r1 = k11 + k12
+    r2 = k21 + k22
+    s1 = k11 + k21
+    s2 = k12 + k22
+    g2 = 2.0 * (
+        _term(k11, r1 * s1 / nn)
+        + _term(k12, r1 * s2 / nn)
+        + _term(k21, r2 * s1 / nn)
+        + _term(k22, r2 * s2 / nn)
+    )
+    return (
+        c12.where(F.col("n") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .select("w1", "w2", "n", F.round(g2, 9).alias("g2"))
+    )

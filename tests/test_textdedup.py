@@ -1148,3 +1148,60 @@ def test_pca_power_matches_numpy_and_eigh(spark):
         vecs, n_iters=6
     ).collect()}
     assert retrained == got
+
+
+def test_collocations_llr_python_replay(spark):
+    """G2 == a pure-Python contingency replay on a corpus with a planted
+    collocation: 'new york' (always together) scores far above 'the end'
+    (frequent but independent); zero cells contribute 0; min_count prunes
+    the hapax tail."""
+    import math
+
+    from nido_spark.textops import collocations_llr
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "we visited new york in the spring"))
+    for i in range(30, 60):
+        rows.append((i, "the end of the story was the best part"))
+    rows.append((60, "rare bigram"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["g2"])
+        for r in collocations_llr(docs, min_count=5).collect()
+    }
+    assert ("rare", "bigram") not in got  # min_count prune
+
+    # pure-Python replay
+    c12: dict[tuple[str, str], int] = {}
+    for _, text in rows:
+        toks = text.lower().split()
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for (a, b), n in c12.items():
+        c1[a] = c1.get(a, 0) + n
+        c2[b] = c2.get(b, 0) + n
+    nn = float(sum(c12.values()))
+
+    def g2(a, b):
+        k11 = float(c12[(a, b)])
+        k12 = c1[a] - k11
+        k21 = c2[b] - k11
+        k22 = nn - c1[a] - c2[b] + k11
+        tot = 0.0
+        for k, e in [
+            (k11, (k11 + k12) * (k11 + k21) / nn),
+            (k12, (k11 + k12) * (k12 + k22) / nn),
+            (k21, (k21 + k22) * (k11 + k21) / nn),
+            (k22, (k21 + k22) * (k12 + k22) / nn),
+        ]:
+            if k > 0:
+                tot += k * math.log(k / e)
+        return 2.0 * tot
+
+    for (a, b), (n, got_g2) in got.items():
+        assert n == c12[(a, b)]
+        assert abs(got_g2 - g2(a, b)) < 1e-7, (a, b)
+    assert got[("new", "york")][1] > got[("the", "end")][1]
