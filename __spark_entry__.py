@@ -238,6 +238,15 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_onion(spark, sf):
+    # onion decomposition of the transcript graph: 15 peel rounds at
+    # sf-independent fixture size (measured); oracle unrolls 18 (no-op
+    # rounds past exhaustion peel nothing). core is ALSO independently
+    # pinned against k_core's H-index fixpoint in pytest.
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.onion_decomposition(transcripts_to_edges(tr, strategy="dense"))
+
+
 def _q_transcript_backbone(spark, sf):
     # disparity-filter backbone of the transcript graph: alpha is rounded
     # to 9 dp BEFORE the threshold test on both engines, so a last-ulp
@@ -663,6 +672,16 @@ def _q_emb_pca_proj(spark, sf):
     # pairing), which pins the trajectory so the unrolled SQL replay is
     # exact to the rounding quantum. Start vector = exact all-ones.
     return S.pca_project(_emb(spark, sf), n_iters=6)
+
+
+def _q_emb_silhouette(spark, sf):
+    # simplified (centroid) silhouette over the same kmeans_fit centroids
+    # the emb_kmeans oracle replays in NumPy; a/b are the rn=1/rn=2 rows
+    # of the identical (d, cid) distance order, so the score is pinned to
+    # the same trajectory.
+    emb = _emb(spark, sf)
+    cents = S.kmeans_fit(emb, k=8, iters=5, seed=42)
+    return S.silhouette_centroid(emb, cents)
 
 
 def _q_emb_kmeans(spark, sf):
@@ -1388,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sssp": _q_transcript_sssp,
         "transcript_label_spread": _q_transcript_label_spread,
         "transcript_backbone": _q_transcript_backbone,
+        "transcript_onion": _q_transcript_onion,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
@@ -1425,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_pca_proj": _q_emb_pca_proj,
+        "emb_silhouette": _q_emb_silhouette,
         "emb_neighbor_mean": _q_emb_neighbor_mean,
         "doc_unigram_logloss": _q_doc_unigram_logloss,
         "doc_bigram_logloss": _q_doc_bigram_logloss,
@@ -1937,6 +1958,53 @@ best AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
     FROM ad) WHERE rn = 1)
 SELECT vec_id AS id, j AS cid, ROUND(d, 6) AS sqdist FROM best"""
+
+
+def _emb_silhouette_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Exact mirror of kmeans_fit + silhouette_centroid: the NumPy-replayed
+    final centroids as literals (the _emb_kmeans_sql recipe), then a = the
+    rn=1 and b = the rn=2 distance of the SAME (d, cid) order — identical
+    to the engine's min-struct own / min-over-others pair."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from nido_spark.similarity import kmeans_schedule_numpy
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = list(pdf["vec_id"])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C, _ = kmeans_schedule_numpy(ids, X, k=k, iters=iters, seed=42)
+    cent_rows = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in C[j])}]::DOUBLE[])"
+        for j in range(k)
+    )
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> (ev.v[i] - cent.c[i]) * (ev.v[i] - cent.c[i])), (a, x) -> a + x)"
+    )
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(j, c) AS (VALUES {cent_rows}),
+ad AS (
+  SELECT ev.vec_id, cent.j, {sq} AS d,
+         ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY {sq} ASC, cent.j ASC) AS rn
+  FROM ev CROSS JOIN cent
+),
+ab AS (
+  SELECT o.vec_id, o.j AS cid, sqrt(o.d) AS a, sqrt(t.d) AS b
+  FROM ad o JOIN ad t ON o.vec_id = t.vec_id AND o.rn = 1 AND t.rn = 2
+)
+SELECT vec_id AS id, cid,
+       ROUND(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                  ELSE (b - a) / GREATEST(a, b) END, 9) AS s
+FROM ab"""
 
 
 def _ivf_ann_sql(k: int = 5, n_lists: int = 8, n_probe: int = 3, dim: int = 64) -> str:
@@ -2927,6 +2995,7 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["simhash_near_pairs"] = _simhash_near_pairs_sql(max_dist=3)
     sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
+    sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
     sql["transcript_louvain_refined"] = _transcript_louvain_refined_sql()
     sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)
@@ -3046,6 +3115,51 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # Onion decomposition: 18 unrolled peel rounds of the exact
+    # onion_decomposition schedule — thr = GREATEST(prev, MIN degree of
+    # survivors) (COALESCE keeps exhausted rounds no-ops), peel everything
+    # with d <= thr, advance vertex/edge sets by NOT IN. All-integer.
+    _on_ctes = [
+        "oe0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src <> dst)",
+        "ov0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM oe0)",
+        "othr0 AS (SELECT 0::BIGINT AS thr)",
+    ]
+    for _t in range(1, 19):
+        _p = _t - 1
+        _on_ctes += [
+            f"""odg{_t} AS MATERIALIZED (
+  SELECT ov{_p}.v, COALESCE(dd.d, 0)::BIGINT AS d
+  FROM ov{_p} LEFT JOIN (
+    SELECT src AS v, COUNT(*) AS d FROM oe{_p} GROUP BY src
+  ) dd USING (v)
+)""",
+            f"""othr{_t} AS MATERIALIZED (
+  SELECT GREATEST((SELECT thr FROM othr{_p}),
+                  COALESCE((SELECT MIN(d) FROM odg{_t}),
+                           (SELECT thr FROM othr{_p}))) AS thr
+)""",
+            f"""opl{_t} AS MATERIALIZED (
+  SELECT v, (SELECT thr FROM othr{_t})::BIGINT AS core, {_t}::BIGINT AS layer
+  FROM odg{_t} WHERE d <= (SELECT thr FROM othr{_t})
+)""",
+            f"""ov{_t} AS MATERIALIZED (
+  SELECT v FROM ov{_p} WHERE v NOT IN (SELECT v FROM opl{_t})
+)""",
+            f"""oe{_t} AS MATERIALIZED (
+  SELECT src, dst FROM oe{_p}
+  WHERE src NOT IN (SELECT v FROM opl{_t})
+    AND dst NOT IN (SELECT v FROM opl{_t})
+)""",
+        ]
+    sql["transcript_onion"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_on_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT v, core, layer FROM opl{_t}" for _t in range(1, 19)
+        )
     )
 
     # Disparity-filter backbone: direct SQL rendering — src-side

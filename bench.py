@@ -342,6 +342,43 @@ def _lines_probe(sf_dir: str, cpus: int, replicate: int = 300) -> float:
     return n / dt
 
 
+def _textrank_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
+    """Grouped-PageRank scaling probe (round-5 TextRank shape): 4 fixed
+    rounds of per-document weighted PageRank keyed by (doc_id, token)
+    over a ``replicate``-times id-offset copy of the documents table.
+    Millions of independent tiny graphs — every join/agg is
+    co-partitioned on doc_id, so this probes how close a grouped
+    iterative plan gets to the box's map-only ceiling (no global graph,
+    no hot key). Prints docs/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import textops as X
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_textrank_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+    X.textrank_keywords(big, top_k=5, n_iters=4).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        X.textrank_keywords(big, top_k=5, n_iters=4).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
+
+
 def _sssp_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     """Multi-source shortest-path scaling probe (the round-5 BFS-family
     shape): 4-landmark Bellman-Ford over the replicated graph — the
@@ -524,6 +561,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-spans":
         _span_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-textrank":
+        _textrank_probe(sf_dir, int(sys.argv[2]))
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-sssp":

@@ -2281,6 +2281,90 @@ def k_core(
 # ---------------------------------------------------------------------------
 
 
+def onion_decomposition(
+    edges: DataFrame, max_rounds: int = 10_000
+) -> DataFrame:
+    """(v, core, layer) — the onion decomposition (Hebert-Dufresne,
+    Grilli & Allard 2016): run the k-core peel round by round, recording
+    for each vertex BOTH its core number (the peel threshold at its
+    removal — exactly the k-core definition, so this independently
+    recomputes what k_core's H-index iteration converges to) and its
+    onion layer (the 1-based round in which it was removed). Layers
+    refine cores: two vertices with equal coreness but different layers
+    sit at different depths of their shell — the standard
+    core-periphery / network-robustness signature.
+
+    Schedule: each round peels EVERY remaining vertex with degree <=
+    thr, where thr starts at the minimum degree and only ever increases
+    (thr = max(thr_prev, current min degree) — removals can drop
+    degrees below thr, and those vertices peel in later rounds at the
+    SAME core value, which is what makes the threshold-at-removal the
+    core number). Vertices isolated by earlier peels (degree 0 among
+    survivors) peel at the current thr. Terminates in (number of
+    layers) rounds; raises loudly if ``max_rounds`` is exhausted (the
+    k_core contract — a silently truncated decomposition is not one).
+
+    Per round: one E-row semi-join degree aggregation over survivors +
+    two anti-joins to advance the edge set, lineage truncated; peel
+    outputs accumulate as a union of V-row slivers (bounded by V total
+    across all rounds). PRECONDITION: canonical SYMMETRIC edge table
+    (normalize_edges output), like k_core; self-loops ignored."""
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = truncate_lineage(
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .repartition(nparts, "src")
+    )
+    remaining = truncate_lineage(_all_vertices(e))
+    peeled: list[DataFrame] = []
+    thr = 0
+    layer = 0
+    while True:
+        n_remaining = remaining.count()
+        if n_remaining == 0:
+            break
+        layer += 1
+        if layer > max_rounds:
+            raise RuntimeError(
+                f"onion_decomposition: max_rounds={max_rounds} exhausted "
+                f"with {n_remaining} vertices unpeeled"
+            )
+        deg = remaining.join(
+            e.groupBy(F.col("src").alias("v")).agg(
+                F.count(F.lit(1)).alias("d")
+            ),
+            "v",
+            "left",
+        ).select("v", F.coalesce("d", F.lit(0)).alias("d"))
+        deg = truncate_lineage(deg)
+        mind_row = deg.agg(F.min("d")).first()
+        thr = max(thr, int(mind_row[0]))
+        peel = deg.where(F.col("d") <= thr).select(
+            "v",
+            F.lit(thr).cast("long").alias("core"),
+            F.lit(layer).cast("long").alias("layer"),
+        )
+        peeled.append(truncate_lineage(peel))
+        remaining = truncate_lineage(
+            remaining.join(peel.select("v"), "v", "left_anti")
+        )
+        e = truncate_lineage(
+            e.join(
+                peel.select(F.col("v").alias("src")), "src", "left_anti"
+            ).join(peel.select(F.col("v").alias("dst")), "dst", "left_anti")
+        )
+    if not peeled:
+        return edges.sparkSession.createDataFrame(
+            [], "v long, core long, layer long"
+        )
+    out = peeled[0]
+    for p in peeled[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def luby_mis_coloring(
     edges: DataFrame, seed: int = 42, max_colors: int = 100_000,
     broadcast_threshold: int = 8_000_000,

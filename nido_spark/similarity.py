@@ -757,3 +757,65 @@ def pca_project(
             round_dp,
         ).alias("proj"),
     )
+
+
+def silhouette_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+) -> DataFrame:
+    """(id, cid, s) — the simplified (centroid-based) silhouette score
+    per vector: a = euclidean distance to the assigned (nearest)
+    centroid, b = distance to the nearest OTHER centroid, s = (b - a) /
+    max(a, b) in [-1, 1] (0 when the vector sits on both centroids).
+    The O(n*k) clustering-quality evaluator that replaces the O(n^2)
+    exact silhouette at corpus scale (sklearn's documented
+    approximation; exact pairwise silhouette is quadratic and dies at
+    10^10 vectors — this is one broadcast + one codegen scan). Ties
+    assign to the smallest cid (the kmeans_assign struct-sort rule), so
+    b is the strictly-second row of the same (d, cid) order.
+
+    Feed it kmeans_fit output (or any (cid, centroid) table with k >= 2
+    — raises on k < 2, where "nearest other" is undefined)."""
+    k = centroids.count()
+    if k < 2:
+        raise ValueError(
+            f"silhouette_centroid: need >= 2 centroids, got {k}"
+        )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = vectors.crossJoin(
+        F.broadcast(centroids.select("cid", "centroid"))
+    ).select(F.col(id_col).alias("id"), "cid", sqd.alias("_d"))
+    own = (
+        dists.groupBy("id")
+        .agg(F.min(F.struct("_d", "cid")).alias("m"))
+        .select(
+            "id",
+            F.col("m.cid").alias("own_cid"),
+            F.col("m._d").alias("a2"),
+        )
+    )
+    other = (
+        dists.join(own, "id")
+        .where(F.col("cid") != F.col("own_cid"))
+        .groupBy("id")
+        .agg(F.min("_d").alias("b2"))
+    )
+    a = F.sqrt("a2")
+    b = F.sqrt("b2")
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    return own.join(other, "id").select(
+        "id", F.col("own_cid").alias("cid"), F.round(s, round_dp).alias("s")
+    )

@@ -136,6 +136,31 @@ def streaming_session_stats(
     )
 
 
+def streaming_dedup(
+    rows: DataFrame,
+    key_cols: tuple[str, ...] = ("fp",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST arrival of each ``key_cols``
+    value and drop any duplicate arriving within the event-time
+    ``watermark`` — the streaming counterpart of dedup.exact_dedup for an
+    ingest pipeline (dedup the firehose BEFORE it lands, instead of a
+    batch pass after). Built on Spark's native
+    ``dropDuplicatesWithinWatermark``: per-key state is EVICTED once the
+    watermark passes its last-seen time, so state is bounded by the
+    duplicate-arrival horizon — not by corpus cardinality, which is what
+    makes it safe on an unbounded stream (a plain dropDuplicates would
+    accumulate every key forever). Duplicates separated by MORE than the
+    watermark are both emitted (the documented horizon contract; chain a
+    batch exact_dedup downstream for total dedup). Works on the batch
+    path too (falls back to plain dropDuplicates semantics there)."""
+    w = rows.withWatermark(ts_col, watermark)
+    if rows.isStreaming:
+        return w.dropDuplicatesWithinWatermark(list(key_cols))
+    return rows.dropDuplicates(list(key_cols))
+
+
 # ---------------------------------------------------------------------------
 # Stateful cross-batch turn reassembly
 # ---------------------------------------------------------------------------

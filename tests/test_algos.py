@@ -1332,3 +1332,29 @@ def test_seeded_lpa_matches_python_replay_karate(karate):
             )
         lab = new
     assert got == lab
+
+
+def test_onion_decomposition_networkx_parity(spark, karate):
+    """(core, layer) == networkx (core_number, onion_layers) on karate and
+    a BA random graph; core also agrees with the engine's own H-index
+    k_core — two independent computations of coreness."""
+    import networkx as nx
+
+    from nido_spark.io import ba_random_edges
+
+    for edges in (karate[0], ba_random_edges(spark, 200, m0=2, seed=5)):
+        got = {
+            r["v"]: (r["core"], r["layer"])
+            for r in A.onion_decomposition(edges).collect()
+        }
+        g = nx.Graph()
+        for r in edges.select("src", "dst").collect():
+            if r["src"] != r["dst"]:
+                g.add_edge(r["src"], r["dst"])
+        want_core = nx.core_number(g)
+        want_layer = nx.onion_layers(g)
+        assert set(got) == set(g.nodes)
+        for v in g.nodes:
+            assert got[v] == (want_core[v], want_layer[v]), v
+        hidx = {r["v"]: r["core"] for r in A.k_core(edges).collect()}
+        assert {v: c for v, (c, _) in got.items()} == hidx

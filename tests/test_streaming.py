@@ -296,3 +296,58 @@ def test_stream_transcripts_source_format_honored(spark, tmp_path):
             spark, "", source_format="kafka",
             options={"subscribe": "t", "kafka.bootstrap.servers": "x:9092"},
         )
+
+
+def test_streaming_dedup_first_arrival_within_watermark(spark, tmp_path):
+    """Two micro-batches with a cross-batch duplicate fingerprint: only the
+    first arrival is emitted; distinct fps all survive. State is
+    watermark-bounded (dropDuplicatesWithinWatermark), so the dup arriving
+    within the horizon is dropped even across micro-batches."""
+    import datetime as dt
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, fp string"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    write_wave("wave1", [(1, t0, "A"), (2, t0 + dt.timedelta(seconds=10), "B")])
+    write_wave(
+        "wave2",
+        [
+            (3, t0 + dt.timedelta(seconds=20), "B"),   # dup within watermark
+            (4, t0 + dt.timedelta(seconds=30), "C"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "wave*"))
+    )
+    out = ST.streaming_dedup(stream, key_cols=("fp",), watermark="5 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["doc_id"], r["fp"]) for r in spark.sql(
+            "SELECT doc_id, fp FROM dedup_sink"
+        ).collect()}
+    finally:
+        q.stop()
+    assert {fp for _, fp in got} == {"A", "B", "C"}
+    assert len(got) == 3 and (3, "B") not in got
+
+    # batch path: same callable, plain dropDuplicates semantics
+    batch = spark.createDataFrame(
+        [(1, t0, "A"), (3, t0, "B"), (9, t0, "B")],
+        "doc_id long, ts timestamp, fp string",
+    )
+    assert ST.streaming_dedup(batch).count() == 2

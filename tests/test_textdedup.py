@@ -1205,3 +1205,60 @@ def test_collocations_llr_python_replay(spark):
         assert n == c12[(a, b)]
         assert abs(got_g2 - g2(a, b)) < 1e-7, (a, b)
     assert got[("new", "york")][1] > got[("the", "end")][1]
+
+
+def test_silhouette_centroid_hand_values_and_replay(spark):
+    """Hand-checkable geometry: s = (b-a)/max(a,b) with a/b the nearest /
+    second-nearest centroid distances; on-centroid vector scores 1,
+    midpoint scores 0, ties assign to the smaller cid; k < 2 raises.
+    Random cloud: == NumPy replay over kmeans_fit centroids."""
+    import numpy as np
+    import pytest as _pt
+
+    from nido_spark.similarity import kmeans_fit, silhouette_centroid
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])],
+        "cid int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [5.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["id"]: (r["cid"], r["s"])
+        for r in silhouette_centroid(vecs, cents).collect()
+    }
+    assert got[1] == (0, round(8.0 / 9.0, 9))
+    assert got[2] == (0, 0.0)  # midpoint: tie -> smaller cid, s = 0
+    assert got[3] == (0, 1.0)
+
+    with _pt.raises(ValueError):
+        silhouette_centroid(vecs, cents.where("cid = 0"))
+
+    rng = np.random.default_rng(11)
+    pts = np.vstack(
+        [rng.normal(c, 0.5, size=(40, 3)) for c in ([0, 0, 0], [5, 5, 5], [9, 0, 9])]
+    )
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = kmeans_fit(vdf, k=3, iters=4, seed=42)
+    got = {
+        r["id"]: (r["cid"], r["s"])
+        for r in silhouette_centroid(vdf, cdf).collect()
+    }
+    C = np.array(
+        [r["centroid"] for r in cdf.orderBy("cid").collect()], dtype=np.float64
+    )
+    d = np.sqrt(((pts[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+    order = np.argsort(d + np.arange(len(C)) * 1e-15, axis=1)  # ties -> lower cid
+    for i in range(len(pts)):
+        own, nxt = order[i, 0], order[i, 1]
+        a, b = d[i, own], d[i, nxt]
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        assert got[i][0] == own
+        assert abs(got[i][1] - s) < 1e-7, i
+    # well-separated clusters: mean silhouette is high
+    assert np.mean([s for _, s in got.values()]) > 0.7
