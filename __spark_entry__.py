@@ -758,6 +758,13 @@ def _q_doc_textrank(spark, sf):
     return X.textrank_keywords(_docs(spark, sf), top_k=5, n_iters=8)
 
 
+def _q_doc_readability(spark, sf):
+    # syllable-free readability: sentence-boundary runs + trailing
+    # fragment, letters/word, FRE proxy at 3 letters/syllable; the whole
+    # thing is two regexp_counts + tokens() — map-only on both engines.
+    return X.readability(_docs(spark, sf))
+
+
 def _q_doc_collocations(spark, sf):
     # Dunning G2 collocation strength over adjacent-token bigrams with
     # corpus margins from the pair table itself; every contingency input
@@ -1056,6 +1063,16 @@ def _q_events_session_stats(spark, sf):
     from nido_spark.relational import session_stats
 
     return session_stats(_events(spark, sf), gap_seconds=1800)
+
+
+def _q_events_zscore(spark, sf):
+    # per-user rolling anomaly z-score over the 10 strictly-preceding
+    # events in (ts, event_id) total order — frame contents are engine-
+    # independent, so mu/sigma/z replay directly (round-9 for sub-ulp
+    # frame-sum order).
+    from nido_spark.relational import rolling_zscore
+
+    return rolling_zscore(_events(spark, sf), window_rows=10, min_obs=3)
 
 
 def _q_events_sessionize_hotsplit(spark, sf):
@@ -1395,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series relational ops
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
+        "events_zscore": _q_events_zscore,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
@@ -1437,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_keywords": _q_doc_tfidf_keywords,
         "doc_textrank": _q_doc_textrank,
         "doc_collocations": _q_doc_collocations,
+        "doc_readability": _q_doc_readability,
         "edges_rich_club": _q_edges_rich_club,
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
@@ -2766,6 +2785,52 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Rolling z-score: the identical window spec (PARTITION BY user_id
+    # ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING);
+    # STDDEV_SAMP on both engines; z NULL below min_obs or at sigma 0.
+    sql["events_zscore"] = """
+WITH zw AS (
+  SELECT event_id, user_id, value,
+         COUNT(*) OVER w AS n_prior,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sigma
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value, n_prior::BIGINT AS n_prior,
+       ROUND(mu, 9) AS mu, ROUND(sigma, 9) AS sigma,
+       ROUND(CASE WHEN n_prior >= 3 AND sigma > 0
+                  THEN (value - mu) / sigma END, 9) AS z
+FROM zw"""
+
+    # Readability: direct map-only rendering — same boundary-run +
+    # trailing-fragment sentence count, letters-only char count, FRE
+    # proxy constants inline; NULL ratio paths value-checked on blank docs.
+    sql["doc_readability"] = r"""
+WITH r0 AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_words,
+         len(regexp_extract_all(text, '[.!?]+')) AS bruns,
+         CASE WHEN len(regexp_extract_all(text, '[^.!?\s][\s]*$')) > 0 THEN 1 ELSE 0 END AS tail_frag,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN bruns + tail_frag ELSE 0 END AS n_sents,
+         n_letters
+  FROM r0
+)
+SELECT doc_id, n_sents::BIGINT AS n_sents, n_words::BIGINT AS n_words,
+       ROUND(CASE WHEN n_sents > 0 THEN n_words::DOUBLE / n_sents END, 9) AS words_per_sent,
+       ROUND(CASE WHEN n_words > 0 THEN n_letters::DOUBLE / n_words END, 9) AS chars_per_word,
+       ROUND(CASE WHEN n_sents > 0 AND n_words > 0 THEN
+         206.835 - 1.015 * (n_words::DOUBLE / n_sents)
+         - 84.6 * ((n_letters::DOUBLE / n_words) / 3.0) END, 9) AS fre
+FROM r1"""
 
     # Dunning G2 collocations: direct SQL rendering of collocations_llr —
     # contingency margins from the bigram count table, CASE-guarded

@@ -564,7 +564,8 @@ def main() -> None:
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-textrank":
-        _textrank_probe(sf_dir, int(sys.argv[2]))
+        rep = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        _textrank_probe(sf_dir, int(sys.argv[2]), replicate=rep)
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-sssp":

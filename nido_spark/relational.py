@@ -433,3 +433,53 @@ def session_stats(
         F.min(us).alias("t_start_us"),
         F.max(us).alias("t_end_us"),
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 10,
+    min_obs: int = 3,
+) -> DataFrame:
+    """(id, key, value, n_prior, mu, sigma, z) — per-key rolling anomaly
+    score: mu/sigma are mean and SAMPLE stddev over the ``window_rows``
+    rows strictly PRECEDING each event (never the event itself — no
+    self-leak) in (ts, id) order, z = (value - mu) / sigma. z is NULL
+    until ``min_obs`` prior rows exist and whenever sigma == 0 (a
+    constant history defines no scale) — the standard streaming-metrics
+    / data-drift tripwire, here as ONE window pass.
+
+    Determinism: the frame order is the TOTAL order (ts, id) — ties on
+    raw event time are broken by the unique id, so the frame contents
+    are engine-independent. mu/sigma/z round to 9 dp (sub-ulp
+    float-sum-order differences only; the frame is <= window_rows
+    values).
+
+    100 TB shape: one hash-partition on key + one sort per partition —
+    the same single-window discipline as session_stats; no self-join,
+    no per-key collect. Skewed keys are one sort run each (windows
+    spill); at extreme skew pre-split hot keys like sessionize_hotsplit."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    mu = F.avg(val_col).over(w)
+    sd = F.stddev_samp(val_col).over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    z = F.when(
+        (n_prior >= min_obs) & (sd > 0),
+        (F.col(val_col) - mu) / sd,
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(key),
+        F.col(val_col),
+        n_prior.cast("long").alias("n_prior"),
+        F.round(mu, 9).alias("mu"),
+        F.round(sd, 9).alias("sigma"),
+        F.round(z, 9).alias("z"),
+    )

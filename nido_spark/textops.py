@@ -1179,3 +1179,48 @@ def collocations_llr(
         .join(c2, "w2")
         .select("w1", "w2", "n", F.round(g2, 9).alias("g2"))
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_sents, n_words, words_per_sent, chars_per_word, fre) —
+    syllable-free readability signals: sentence count (runs of [.!?]
+    followed by whitespace or end — a run like '?!' is ONE boundary),
+    whitespace word count, mean sentence length, mean word length
+    (letters-only chars / words), and a Flesch-reading-ease-style proxy
+    fre = 206.835 - 1.015 * words_per_sent - 84.6 * (chars_per_word /
+    3.0) (chars/3 approximates syllables/word at ~3 letters per
+    syllable — the standard estimator when no syllable dictionary ships
+    to the cluster). The long-sentence/long-word band filter of a
+    C4-style quality pipeline, complementary to quality_score's
+    punctuation/stopword signals. Empty or wordless docs emit NULL
+    ratios and fre. Map-only codegen: two regexp_count + the shared
+    tokens() size, no shuffle at all.
+
+    Sentence counting counts BOUNDARIES; text with words but no
+    terminal punctuation counts as 1 sentence (the trailing fragment),
+    i.e. n_sents = boundary_runs + (1 if text ends in a non-boundary
+    word else 0) — rendered identically in the SQL oracle."""
+    t = F.col(text_col)
+    n_words = F.size(tokens(t))
+    # boundary runs: [.!?]+ ; a trailing fragment (text not ending in a
+    # boundary run, possibly followed by whitespace) adds one sentence
+    bruns = F.regexp_count(t, F.lit(r"[.!?]+"))
+    tail_frag = (
+        F.regexp_count(t, F.lit(r"[^.!?\s][\s]*$")) > 0
+    ).cast("int")
+    n_sents = F.when(n_words > 0, bruns + tail_frag).otherwise(F.lit(0))
+    n_letters = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    wps = F.when(n_sents > 0, n_words / n_sents)
+    cpw = F.when(n_words > 0, n_letters / n_words)
+    fre = F.when(
+        (n_sents > 0) & (n_words > 0),
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * (cpw / F.lit(3.0)),
+    )
+    return docs.select(
+        "doc_id",
+        n_sents.cast("long").alias("n_sents"),
+        n_words.cast("long").alias("n_words"),
+        F.round(wps, 9).alias("words_per_sent"),
+        F.round(cpw, 9).alias("chars_per_word"),
+        F.round(fre, 9).alias("fre"),
+    )

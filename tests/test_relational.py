@@ -369,3 +369,53 @@ def test_asof_plan_is_single_shuffle(spark, direction):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_rolling_zscore_python_replay(spark):
+    """Rolling mu/sigma/z over the 10 strictly-preceding rows in (ts, id)
+    order == a pure-Python replay; z NULL below min_obs and at sigma 0
+    (constant history); no self-leak (the row's own value never enters
+    its frame)."""
+    import datetime as dt
+    import statistics
+
+    from nido_spark.relational import rolling_zscore
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    vals = {
+        1: [1.0, 1.0, 1.0, 1.0, 50.0, 1.0],     # constant history then spike
+        2: [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 6.0, 7.0],
+    }
+    eid = 0
+    for u, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, t0 + dt.timedelta(seconds=i), u, v))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r.asDict() for r in rolling_zscore(
+        events, window_rows=10, min_obs=3
+    ).collect()}
+    eid = 0
+    for u, vs in vals.items():
+        for i, v in enumerate(vs):
+            prior = vs[max(0, i - 10):i]
+            r = got[eid]
+            assert r["n_prior"] == len(prior)
+            if len(prior) >= 2:
+                sd = statistics.stdev(prior)
+                assert abs(r["sigma"] - sd) < 1e-7
+                if len(prior) >= 3 and sd > 0:
+                    want = (v - statistics.fmean(prior)) / sd
+                    assert abs(r["z"] - want) < 1e-6, eid
+                else:
+                    assert r["z"] is None
+            else:
+                assert r["z"] is None
+            eid += 1
+    # the spike over a CONSTANT history has sigma 0 -> z NULL by contract
+    assert got[4]["sigma"] == 0.0 and got[4]["z"] is None
+    # the spike over a varying history is a loud outlier
+    assert got[11]["z"] > 10

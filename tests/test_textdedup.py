@@ -1262,3 +1262,30 @@ def test_silhouette_centroid_hand_values_and_replay(spark):
         assert abs(got[i][1] - s) < 1e-7, i
     # well-separated clusters: mean silhouette is high
     assert np.mean([s for _, s in got.values()]) > 0.7
+
+
+def test_readability_hand_values(spark):
+    """Boundary-run sentence counting ('?!' is ONE boundary), trailing
+    fragment adds a sentence, letters-only chars/word, FRE proxy; blank
+    docs -> zero counts and NULL ratios."""
+    from nido_spark.textops import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world. How are you?! ok"),
+            (2, "No terminal punctuation here"),
+            (3, "Done."),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability(docs).collect()}
+    r = got[1]
+    assert (r["n_sents"], r["n_words"]) == (3, 6)
+    assert r["words_per_sent"] == 2.0
+    assert r["chars_per_word"] == 3.5
+    assert abs(r["fre"] - round(206.835 - 1.015 * 2.0 - 84.6 * (3.5 / 3.0), 9)) < 1e-9
+    assert (got[2]["n_sents"], got[2]["n_words"]) == (1, 4)
+    assert (got[3]["n_sents"], got[3]["n_words"]) == (1, 1)
+    assert got[4]["n_sents"] == 0 and got[4]["n_words"] == 0
+    assert got[4]["words_per_sent"] is None and got[4]["fre"] is None
