@@ -238,6 +238,17 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_fiedler(spark, sf):
+    # decimal-pinned deflated power iteration on c*I - L: 10 unrolled
+    # rounds; integer-valued weights make c and k exact, per-round
+    # round-9 pins the trajectory, and side tests the ROUNDED f. Dense
+    # ids are non-negative, so % == pmod in the parity start.
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.fiedler_vector(
+        transcripts_to_edges(tr, strategy="dense"), n_iters=10
+    )
+
+
 def _q_transcript_onion(spark, sf):
     # onion decomposition of the transcript graph: 15 peel rounds at
     # sf-independent fixture size (measured); oracle unrolls 18 (no-op
@@ -1426,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_label_spread": _q_transcript_label_spread,
         "transcript_backbone": _q_transcript_backbone,
         "transcript_onion": _q_transcript_onion,
+        "transcript_fiedler": _q_transcript_fiedler,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
@@ -3180,6 +3192,58 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # Fiedler vector (normalized Laplacian): 10 unrolled rounds of the
+    # exact pinned schedule — loop-invariant fraction edges w/sqrt(ks*kd),
+    # per-round two-moment projection a = su/uu with uu = SUM(k) (exact for
+    # integer weights), norm = sqrt(sy2 - a^2*uu), round-9 direction
+    # pinning; the bisection side tests the rounded value.
+    _fi_ctes = [
+        """ffk AS MATERIALIZED (
+  SELECT src AS v, SUM(w) AS k FROM te WHERE src <> dst GROUP BY src
+)""",
+        "ffu AS MATERIALIZED (SELECT SUM(k) AS uu FROM ffk)",
+        """fff AS MATERIALIZED (
+  SELECT te.src, te.dst, te.w / sqrt(ks.k * kd.k) AS nw
+  FROM te
+  JOIN ffk ks ON ks.v = te.src
+  JOIN ffk kd ON kd.v = te.dst
+  WHERE te.src <> te.dst
+)""",
+        """ffr0 AS MATERIALIZED (
+  SELECT v, CASE WHEN v % 2 = 1 THEN 1.0 ELSE -1.0 END AS r FROM ffk
+)""",
+    ]
+    for _t in range(10):
+        _fi_ctes += [
+            f"""ffs{_t} AS MATERIALIZED (
+  SELECT fff.dst AS v, SUM(fff.nw * ffr{_t}.r) AS s
+  FROM fff JOIN ffr{_t} ON fff.src = ffr{_t}.v GROUP BY fff.dst
+)""",
+            f"""ffy{_t} AS MATERIALIZED (
+  SELECT ffk.v, ffk.k, ffr{_t}.r + COALESCE(ffs{_t}.s, 0.0) AS y
+  FROM ffk JOIN ffr{_t} USING (v) LEFT JOIN ffs{_t} USING (v)
+)""",
+            f"""ffm{_t} AS MATERIALIZED (
+  SELECT SUM(y * y) AS sy2, SUM(sqrt(k) * y) AS su FROM ffy{_t}
+)""",
+            f"""ffa{_t} AS MATERIALIZED (
+  SELECT (SELECT su FROM ffm{_t}) / (SELECT uu FROM ffu) AS a
+)""",
+            f"""ffr{_t + 1} AS MATERIALIZED (
+  SELECT v, ROUND((y - (SELECT a FROM ffa{_t}) * sqrt(k))
+                  / sqrt((SELECT sy2 FROM ffm{_t})
+                         - (SELECT a FROM ffa{_t}) * (SELECT a FROM ffa{_t})
+                           * (SELECT uu FROM ffu)), 9) AS r
+  FROM ffy{_t}
+)""",
+        ]
+    sql["transcript_fiedler"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_fi_ctes)
+        + """
+SELECT v, r AS f, CASE WHEN r >= 0 THEN 1 ELSE 0 END AS side FROM ffr10"""
     )
 
     # Onion decomposition: 18 unrolled peel rounds of the exact

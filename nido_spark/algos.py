@@ -370,6 +370,122 @@ def katz_centrality(
     return x
 
 
+def fiedler_vector(
+    edges: DataFrame,
+    n_iters: int = 12,
+    round_dp: int = 9,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(v, f, side) — approximate NORMALIZED-Laplacian Fiedler vector
+    (the eigenvector of the second-smallest eigenvalue of
+    L_norm = I - D^{-1/2} W D^{-1/2}) by deflated power iteration on
+    M = I + D^{-1/2} W D^{-1/2}: each round y = r + sum_u (w_uv /
+    sqrt(k_u k_v)) r_u, then y is re-projected orthogonal to M's
+    trivial top eigenvector u_v = sqrt(k_v) and L2-normalized. ``side``
+    = 1 where f >= 0 — the Shi-Malik spectral bisection, the classic
+    partitioning/embedding primitive. The NORMALIZED operator is used
+    deliberately: its spectrum lives in [0, 2], so the deflated gap
+    ratio (2 - lambda_2)/(2 - lambda_3) gives practical convergence
+    (~40 rounds on karate), where a shifted UNnormalized c*I - L
+    compresses the gap by 1/c and needs thousands.
+
+    Deterministic contract (the pca_power recipe): start vector is the
+    exact integer +-1 id-parity pattern (never the trivial direction),
+    and each round's output is ROUNDED to ``round_dp`` IN SPARK before
+    the next pass, so float-sum order cannot compound — the unrolled
+    SQL oracle replays the schedule to the rounding quantum. The
+    projection uses ONE two-moment pass: a = <u, y>/<u, u> with
+    <u, u> = sum k_v (exact for integer weights), and ||y - a u|| =
+    sqrt(sum y^2 - a^2 <u,u>) — mirrored term for term in SQL. ``side``
+    tests the ROUNDED f, so the bisection row set is engine-stable.
+    FIXED schedule: any n_iters replays exactly regardless of
+    convergence.
+
+    Vertex universe: endpoints of non-self-loop edges (every vertex
+    there has k_v > 0, so the normalization is total; self-loop-only /
+    isolated vertices are excluded — L_norm is undefined at k = 0).
+    Plan shape is eigenvector_centrality's: the fraction-weighted edge
+    table is built once and pinned on dst, V-row state broadcast below
+    the gate, ONE E-row aggregation + ONE V-row two-moment scalar
+    action per round."""
+    e2 = edges.where(F.col("src") != F.col("dst")).select("src", "dst", "w")
+    verts = truncate_lineage(_all_vertices(e2))
+    n = verts.count()
+    if n == 0:
+        raise ValueError("fiedler_vector: no non-self-loop edges")
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    kdf = truncate_lineage(
+        e2.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("k"))
+    )
+    uu_row = kdf.agg(F.sum("k")).first()
+    uu = float(uu_row[0])
+    frac = (
+        e2.join(kdf.select(F.col("v").alias("src"), F.col("k").alias("ks")), "src")
+        .join(kdf.select(F.col("v").alias("dst"), F.col("k").alias("kd")), "dst")
+        .select(
+            "src",
+            "dst",
+            (F.col("w") / F.sqrt(F.col("ks") * F.col("kd"))).alias("nw"),
+        )
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    frac.count()
+    bc = F.broadcast if n <= broadcast_threshold else (lambda df: df)
+    r = truncate_lineage(
+        verts.select(
+            "v",
+            F.when(F.pmod("v", F.lit(2)) == 1, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("r"),
+        )
+    )
+    for _ in range(n_iters):
+        contrib = (
+            frac.join(bc(r.select(F.col("v").alias("src"), "r")), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("nw") * F.col("r")).alias("s"))
+        )
+        y = truncate_lineage(
+            kdf.join(bc(r), "v")
+            .join(bc(contrib), "v", "left")
+            .select(
+                "v",
+                "k",
+                (F.col("r") + F.coalesce("s", F.lit(0.0))).alias("y"),
+            )
+        )
+        mom = y.agg(
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+            F.sum(F.sqrt("k") * F.col("y")).alias("su"),
+        ).first()
+        sy2, su = float(mom["sy2"]), float(mom["su"])
+        a = su / uu
+        sq = sy2 - a * a * uu
+        if sq <= 0.0:
+            frac.unpersist()
+            raise ValueError(
+                "fiedler_vector: iterate collapsed to the trivial "
+                "direction — degenerate input"
+            )
+        norm = sq**0.5
+        r = truncate_lineage(
+            y.select(
+                "v",
+                F.round(
+                    (F.col("y") - F.lit(a) * F.sqrt("k")) / F.lit(norm),
+                    round_dp,
+                ).alias("r"),
+            )
+        )
+    frac.unpersist()
+    return r.select(
+        "v",
+        F.col("r").alias("f"),
+        F.when(F.col("r") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("side"),
+    )
+
+
 def hits(
     edges: DataFrame,
     max_iters: int = 20,

@@ -1358,3 +1358,43 @@ def test_onion_decomposition_networkx_parity(spark, karate):
             assert got[v] == (want_core[v], want_layer[v]), v
         hidx = {r["v"]: r["core"] for r in A.k_core(edges).collect()}
         assert {v: c for v, (c, _) in got.items()} == hidx
+
+
+def test_fiedler_vector_numpy_replay_and_spectral_split(spark, karate):
+    """Spark == a NumPy replay of the exact pinned schedule (normalized
+    deflated power iteration, 9 dp per-round rounding); and at 60 rounds
+    the sign bisection on karate equals the true normalized-Laplacian
+    Fiedler split from eigh (up to global sign)."""
+    import numpy as np
+
+    edges, (src, dst, w) = karate
+    got = {r["v"]: r["f"] for r in A.fiedler_vector(edges, n_iters=12).collect()}
+
+    vs = sorted({int(x) for x in src})
+    idx = {v: i for i, v in enumerate(vs)}
+    n = len(vs)
+    W = np.zeros((n, n))
+    for a, b, x in zip(src, dst, w):
+        if a != b:
+            W[idx[int(a)], idx[int(b)]] = float(x)
+    k = W.sum(axis=1)
+    u = np.sqrt(k)
+    uu = k.sum()
+    Mn = np.diag(1 / u) @ W @ np.diag(1 / u)
+    r = np.array([1.0 if v % 2 == 1 else -1.0 for v in vs])
+    for _ in range(12):
+        y = r + Mn @ r
+        a_ = (u @ y) / uu
+        r = np.round((y - a_ * u) / np.sqrt((y * y).sum() - a_ * a_ * uu), 9)
+    for v in vs:
+        assert abs(got[v] - r[idx[v]]) < 1e-7, v
+
+    sides = {
+        r_["v"]: r_["side"]
+        for r_ in A.fiedler_vector(edges, n_iters=60).collect()
+    }
+    vals, vecs = np.linalg.eigh(np.eye(n) - Mn)
+    fied = vecs[:, 1]
+    want = {v: 1 if fied[idx[v]] >= 0 else 0 for v in vs}
+    flip = {v: 1 - s for v, s in want.items()}
+    assert sides == want or sides == flip
