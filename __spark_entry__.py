@@ -1076,6 +1076,15 @@ def _q_events_session_stats(spark, sf):
     return session_stats(_events(spark, sf), gap_seconds=1800)
 
 
+def _q_events_funnel(spark, sf):
+    # view -> click -> purchase ordered funnel: strictly-increasing first
+    # times per user, epoch-microsecond outputs, structural depth
+    # contiguity (t3 only computed from users that reached t2).
+    from nido_spark.relational import funnel
+
+    return funnel(_events(spark, sf), steps=["view", "click", "purchase"])
+
+
 def _q_events_zscore(spark, sf):
     # per-user rolling anomaly z-score over the 10 strictly-preceding
     # events in (ts, event_id) total order — frame contents are engine-
@@ -1424,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
         "events_zscore": _q_events_zscore,
+        "events_funnel": _q_events_funnel,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
@@ -2797,6 +2807,32 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Funnel: the identical sequential first-time chain — f_i joins only
+    # keys that reached f_{i-1} with a strict ts > bound; depth from
+    # NULL-ness; epoch_us == Spark's unix_micros.
+    sql["events_funnel"] = """
+WITH fu1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fu2 AS (
+  SELECT fu1.user_id, MIN(e.ts) AS t2
+  FROM fu1 JOIN events e ON e.user_id = fu1.user_id
+   AND e.event_type = 'click' AND e.ts > fu1.t1
+  GROUP BY fu1.user_id
+),
+fu3 AS (
+  SELECT fu2.user_id, MIN(e.ts) AS t3
+  FROM fu2 JOIN events e ON e.user_id = fu2.user_id
+   AND e.event_type = 'purchase' AND e.ts > fu2.t2
+  GROUP BY fu2.user_id
+)
+SELECT fu1.user_id,
+       (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS depth,
+       epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+FROM fu1 LEFT JOIN fu2 USING (user_id) LEFT JOIN fu3 USING (user_id)"""
 
     # Rolling z-score: the identical window spec (PARTITION BY user_id
     # ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING);

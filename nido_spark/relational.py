@@ -483,3 +483,57 @@ def rolling_zscore(
         F.round(sd, 9).alias("sigma"),
         F.round(z, 9).alias("z"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(key, depth, t1_us..tk_us) — ordered funnel analysis: for each
+    key, t1 = its first step-1 event, t_i = its first step-i event
+    STRICTLY AFTER t_{i-1}; ``depth`` = how many consecutive steps were
+    completed in order (1..k; keys that never performed step 1 emit
+    nothing). Step times are epoch microseconds (BIGINT) — NULL past
+    the reached depth, and contiguity is structural: t_i is only ever
+    computed from rows that reached t_{i-1}. Simultaneous events do NOT
+    count as progression (strict >): a view and a click on the same
+    microsecond is one funnel stage, not two — the deterministic
+    reading of "then".
+
+    The product-analytics conversion primitive (view -> click ->
+    purchase). k-step funnel = k key-partitioned join+min-aggregations
+    in sequence — each is one shuffle on the key, no window over the
+    full event stream, no per-key event arrays; hot keys are single
+    reduce keys. Depth counts and step-to-step conversion rates are a
+    trivial groupBy("depth") of this output."""
+    if len(steps) < 1:
+        raise ValueError("funnel: need at least one step")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .select(key, F.col(ts_col).alias("_ts"))
+            .join(cur.select(key, F.col(f"t{i - 1}").alias("_prev")), key)
+            .where(F.col("_ts") > F.col("_prev"))
+            .groupBy(key)
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, key, "left")
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t{i}").isNotNull().cast("int")
+    return cur.select(
+        key,
+        depth.cast("long").alias("depth"),
+        *[
+            F.unix_micros(F.col(f"t{i}").cast("timestamp")).alias(f"t{i}_us")
+            for i in range(1, len(steps) + 1)
+        ],
+    )

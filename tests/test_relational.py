@@ -419,3 +419,40 @@ def test_rolling_zscore_python_replay(spark):
     assert got[4]["sigma"] == 0.0 and got[4]["z"] is None
     # the spike over a varying history is a loud outlier
     assert got[11]["z"] > 10
+
+
+def test_funnel_ordered_steps_hand_cases(spark):
+    """Strictly-ordered funnel: full completion, out-of-order steps don't
+    count, same-instant events don't progress, steps can't be skipped,
+    users without step 1 emit nothing."""
+    import datetime as dt
+
+    from nido_spark.relational import funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, u, secs, typ):
+        return (eid, t0 + dt.timedelta(seconds=secs), u, typ)
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "purchase"),
+        ev(4, 2, 10, "view"), ev(5, 2, 5, "click"),          # click before view
+        ev(6, 3, 0, "view"), ev(7, 3, 0, "click"),           # same instant
+        ev(8, 4, 5, "view"), ev(9, 4, 0, "purchase"),        # skip click
+        ev(10, 5, 0, "click"), ev(11, 5, 1, "purchase"),     # never viewed
+        ev(12, 6, 0, "view"), ev(13, 6, 10, "click"), ev(14, 6, 5, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["depth"], r["t1_us"], r["t2_us"], r["t3_us"])
+        for r in funnel(events, ["view", "click", "purchase"]).collect()
+    }
+    us = lambda s: int((t0 + dt.timedelta(seconds=s)).timestamp() * 1_000_000)
+    assert got[1] == (3, us(0), us(10), us(20))
+    assert got[2] == (1, us(10), None, None)
+    assert got[3] == (1, us(0), None, None)
+    assert got[4] == (1, us(5), None, None)
+    assert 5 not in got
+    assert got[6] == (2, us(0), us(10), None)
