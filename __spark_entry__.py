@@ -1076,6 +1076,15 @@ def _q_events_session_stats(spark, sf):
     return session_stats(_events(spark, sf), gap_seconds=1800)
 
 
+def _q_events_retention(spark, sf):
+    # DAILY cohort retention (the fixture spans only weeks, so daily
+    # cohorts give a dense retention triangle to hash): date_trunc('day')
+    # on both engines, cohort as an epoch-day integer, exact offsets.
+    from nido_spark.relational import retention
+
+    return retention(_events(spark, sf), period="day")
+
+
 def _q_events_funnel(spark, sf):
     # view -> click -> purchase ordered funnel: strictly-increasing first
     # times per user, epoch-microsecond outputs, structural depth
@@ -1434,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": _q_events_session_stats,
         "events_zscore": _q_events_zscore,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
@@ -2807,6 +2817,21 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Retention: identical weekly cohort derivation — Monday-start
+    # date_trunc('week'), epoch-day cohort ints, distinct (key, week)
+    # activity, offset = day-diff / 7 (exact multiples of 7).
+    sql["events_retention"] = """
+WITH rwk AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS wk FROM events
+),
+rfirst AS (SELECT user_id, MIN(wk) AS cohort FROM rwk GROUP BY user_id),
+ract AS (SELECT DISTINCT user_id, wk FROM rwk)
+SELECT (cohort - DATE '1970-01-01')::INT AS cohort_day,
+       CAST((wk - cohort) / 1 AS BIGINT) AS period_offset,
+       COUNT(*)::BIGINT AS n_active
+FROM ract JOIN rfirst USING (user_id)
+GROUP BY 1, 2"""
 
     # Funnel: the identical sequential first-time chain — f_i joins only
     # keys that reached f_{i-1} with a strict ts > bound; depth from

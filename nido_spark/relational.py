@@ -537,3 +537,42 @@ def funnel(
             for i in range(1, len(steps) + 1)
         ],
     )
+
+
+def retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """(cohort_day, period_offset, n_active) — cohort retention at
+    ``period`` granularity ("week" = ISO Monday-start weeks, "day"):
+    each key's cohort is the period of its FIRST event; n_active counts
+    distinct keys of that cohort active ``period_offset`` periods later
+    (offset 0 = the cohort period itself, so every cohort's offset-0
+    row equals its size — the classic retention-triangle invariant).
+    ``cohort_day`` is the epoch-day integer of the cohort period's
+    start — pure integer output, no date-formatting divergence across
+    engines; offsets are exact (period starts differ by exact multiples
+    of the period length).
+
+    The companion analytics primitive to ``funnel``. Shape: one
+    (key -> first period) aggregation, one distinct (key, period) pass
+    (map-side combined), one broadcastable-or-shuffled key join, one
+    final small groupBy — counts are bounded by keys x active periods,
+    never by raw event volume."""
+    if period not in ("week", "day"):
+        raise ValueError(f"retention: period must be week|day, got {period!r}")
+    ndays = 7 if period == "week" else 1
+    wk = F.date_trunc(period, F.col(ts_col).cast("timestamp")).cast("date")
+    firsts = events.groupBy(key).agg(F.min(wk).alias("cohort"))
+    active = events.select(F.col(key), wk.alias("wk")).distinct()
+    j = active.join(firsts, key).select(
+        F.unix_date(F.col("cohort")).alias("cohort_day"),
+        (F.datediff(F.col("wk"), F.col("cohort")) / ndays)
+        .cast("long")
+        .alias("period_offset"),
+    )
+    return j.groupBy("cohort_day", "period_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )

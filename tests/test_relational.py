@@ -456,3 +456,50 @@ def test_funnel_ordered_steps_hand_cases(spark):
     assert got[4] == (1, us(5), None, None)
     assert 5 not in got
     assert got[6] == (2, us(0), us(10), None)
+
+
+def test_retention_triangle_hand_cases(spark):
+    """Offset-0 rows equal cohort sizes (the retention-triangle
+    invariant); a user active in multiple periods counts once per
+    period; weekly and daily granularities truncate correctly; bad
+    period raises."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from nido_spark.relational import retention
+
+    mon = dt.datetime(2026, 1, 5)  # a Monday
+    rows = [
+        # user 1: first week 0, active weeks 0 and 2
+        (1, mon),
+        (1, mon + dt.timedelta(days=1)),
+        (1, mon + dt.timedelta(days=15)),
+        # user 2: first week 0 only
+        (2, mon + dt.timedelta(days=3)),
+        # user 3: first week 1, active weeks 1 and 2
+        (3, mon + dt.timedelta(days=8)),
+        (3, mon + dt.timedelta(days=14)),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, u) for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = {
+        (r["cohort_day"], r["period_offset"]): r["n_active"]
+        for r in retention(events).collect()
+    }
+    d0 = (mon.date() - dt.date(1970, 1, 1)).days
+    assert got == {
+        (d0, 0): 2,          # users 1, 2 in cohort week 0
+        (d0, 2): 1,          # user 1 returns in week 2
+        (d0 + 7, 0): 1,      # user 3 cohort week 1
+        (d0 + 7, 1): 1,      # user 3 active week 2
+    }
+    daily = {
+        (r["cohort_day"], r["period_offset"]): r["n_active"]
+        for r in retention(events, period="day").collect()
+    }
+    assert daily[(d0, 0)] == 1 and daily[(d0, 1)] == 1  # users 1 and 2 split
+    with _pt.raises(ValueError):
+        retention(events, period="month")
