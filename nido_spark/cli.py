@@ -101,7 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         "-a", "--algo", default="louvain",
         choices=["louvain", "louvain-refined", "pagerank", "cc", "lpa",
                  "triangles", "k-core", "sssp", "hits", "betweenness", "msf",
-                 "scc"],
+                 "scc", "onion", "fiedler", "backbone"],
         help="algorithm to run (default: the reference's Louvain; "
              "louvain-refined chains the Leiden-style connected split)",
     )
@@ -219,6 +219,32 @@ def main(argv: list[str] | None = None) -> int:
         print(f"msf: {metrics['msf']['n_edges']} edges "
               f"total_w={metrics['msf']['total_weight']:.3f} "
               f"[{metrics['msf']['sec']}s]")
+    elif args.algo == "onion":
+        out_df = A.onion_decomposition(edges)
+        agg = out_df.agg(
+            F.max("core").alias("kmax"), F.max("layer").alias("lmax")
+        ).first()
+        metrics["onion"] = {"max_core": int(agg["kmax"]),
+                            "n_layers": int(agg["lmax"]),
+                            "sec": round(time.time() - t2, 2)}
+        print(f"onion: max core {metrics['onion']['max_core']}, "
+              f"{metrics['onion']['n_layers']} layers "
+              f"[{metrics['onion']['sec']}s]")
+    elif args.algo == "fiedler":
+        out_df = A.fiedler_vector(edges, n_iters=40)
+        n1 = out_df.where("side = 1").count()
+        n0 = out_df.where("side = 0").count()
+        metrics["fiedler"] = {"side1": n1, "side0": n0,
+                              "sec": round(time.time() - t2, 2)}
+        print(f"fiedler: bisection {n1}/{n0} [{metrics['fiedler']['sec']}s]")
+    elif args.algo == "backbone":
+        out_df = G.disparity_filter(edges, alpha=0.05)
+        n_kept = out_df.count()
+        n_all = edges.where("src < dst").count()
+        metrics["backbone"] = {"kept": n_kept, "of": n_all,
+                               "sec": round(time.time() - t2, 2)}
+        print(f"backbone: kept {n_kept}/{n_all} edges at alpha=0.05 "
+              f"[{metrics['backbone']['sec']}s]")
     elif args.algo == "betweenness":
         srcs = ([args.source] if args.source is not None
                 else [r["src"] for r in
