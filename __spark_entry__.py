@@ -685,6 +685,20 @@ def _q_emb_pca_proj(spark, sf):
     return S.pca_project(_emb(spark, sf), n_iters=6)
 
 
+def _q_emb_quantize(spark, sf):
+    # int8 scalar quantization + reconstruction, exploded to (vec_id, i,
+    # q, recon): the scaled value is >= 0 so HALF_UP == half-away; recon
+    # rounds to 9 dp. Validates dequantize_embeddings' algebra per cell.
+    qd = S.quantize_embeddings(_emb(spark, sf))
+    de = S.dequantize_embeddings(qd).select(
+        "id", F.posexplode("embedding").alias("i", "recon")
+    )
+    qx = qd.select("id", F.posexplode("qvec").alias("i", "q"))
+    return qx.join(de, ["id", "i"]).select(
+        "id", "i", "q", F.round("recon", 9).alias("recon")
+    )
+
+
 def _q_emb_silhouette(spark, sf):
     # simplified (centroid) silhouette over the same kmeans_fit centroids
     # the emb_kmeans oracle replays in NumPy; a/b are the rn=1/rn=2 rows
@@ -1497,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,
         "emb_pca_proj": _q_emb_pca_proj,
         "emb_silhouette": _q_emb_silhouette,
+        "emb_quantize": _q_emb_quantize,
         "emb_neighbor_mean": _q_emb_neighbor_mean,
         "doc_unigram_logloss": _q_doc_unigram_logloss,
         "doc_bigram_logloss": _q_doc_bigram_logloss,
@@ -2941,6 +2956,27 @@ SELECT w1, w2, n,
        + CASE WHEN k22 > 0 THEN k22 * ln(k22 / ((k21 + k22) * (k12 + k22) / nn)) ELSE 0.0 END
        ), 9) AS g2
 FROM cells"""
+
+    # int8 quantization: direct list-op rendering — per-vector min/max,
+    # ROUND((x-mn)/s*254)-127 (scaled value >= 0, so ROUND semantics
+    # coincide), reconstruction mn + (q+127)/254*s at 9 dp.
+    sql["emb_quantize"] = """
+WITH qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         list_max(v) - list_min(v) AS s
+  FROM qe
+),
+qx AS (SELECT vec_id, v, mn, mx, s, unnest(generate_series(1, len(v))) AS j FROM qs),
+qc AS (
+  SELECT vec_id, j - 1 AS i, mn, mx, s,
+         CASE WHEN s = 0 THEN 0
+              ELSE CAST(ROUND((v[j] - mn) / s * 254.0) - 127.0 AS INT) END AS q
+  FROM qx
+)
+SELECT vec_id AS id, i, q,
+       ROUND(mn + (q + 127.0) / 254.0 * s, 9) AS recon
+FROM qc"""
 
     # PCA power iteration: unrolled 6-round replay of pca_power's exact
     # schedule — all-ones start, per-round ROUND(·,9) direction pinning,

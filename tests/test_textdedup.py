@@ -1289,3 +1289,38 @@ def test_readability_hand_values(spark):
     assert (got[3]["n_sents"], got[3]["n_words"]) == (1, 1)
     assert got[4]["n_sents"] == 0 and got[4]["n_words"] == 0
     assert got[4]["words_per_sent"] is None and got[4]["fre"] is None
+
+
+def test_quantize_dequantize_roundtrip_and_bounds(spark):
+    """q in [-127, 127], endpoints reconstruct exactly, every cell
+    reconstructs within half a quantization level, constant vectors
+    quantize to all-zero with mn == mx, and the pure-Python replay of
+    the formula matches cell for cell."""
+    import numpy as np
+
+    from nido_spark.similarity import dequantize_embeddings, quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 2, size=(50, 16))
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(pts)]
+    rows.append((99, [5.0] * 16))  # constant vector
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qd = quantize_embeddings(vecs)
+    got = {r["id"]: (r["mn"], r["mx"], r["qvec"]) for r in qd.collect()}
+    de = {r["id"]: r["embedding"] for r in dequantize_embeddings(qd).collect()}
+
+    assert got[99][0] == got[99][1] == 5.0
+    assert got[99][2] == [0] * 16
+    for i, row in enumerate(pts):
+        mn, mx, q = got[i]
+        assert mn == row.min() and mx == row.max()
+        s = mx - mn
+        level = s / 254.0
+        for j, x in enumerate(row):
+            want_q = int(np.floor((x - mn) / s * 254.0 + 0.5)) - 127
+            assert q[j] == want_q, (i, j)
+            assert -127 <= q[j] <= 127
+            assert abs(de[i][j] - x) <= level / 2 + 1e-12
+        # range endpoints are exact
+        jmin, jmax = int(row.argmin()), int(row.argmax())
+        assert abs(de[i][jmin] - mn) < 1e-12 and abs(de[i][jmax] - mx) < 1e-12
