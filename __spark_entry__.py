@@ -238,6 +238,13 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_constraint(spark, sf):
+    # Burt's structural-holes constraint, uncapped (the fixture's wedge
+    # volume is bounded); exact integer-weight fractions, round-9 sums.
+    tr = synth_transcripts(spark, 500, seed=42)
+    return G.burt_constraint(transcripts_to_edges(tr, strategy="dense"))
+
+
 def _q_transcript_fiedler(spark, sf):
     # decimal-pinned deflated power iteration on c*I - L: 10 unrolled
     # rounds; integer-valued weights make c and k exact, per-round
@@ -1472,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_backbone": _q_transcript_backbone,
         "transcript_onion": _q_transcript_onion,
         "transcript_fiedler": _q_transcript_fiedler,
+        "transcript_constraint": _q_transcript_constraint,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
@@ -3289,6 +3297,29 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # Burt constraint: direct two-hop SQL rendering — normalized tie
+    # fractions, one fraction-table self-join for the indirect term,
+    # (p + ind)^2 summed per vertex ("constraint" quoted: SQL keyword).
+    sql["transcript_constraint"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + """bh AS (SELECT src, dst, w FROM te WHERE src <> dst),
+bs AS (SELECT src AS v, SUM(w) AS s FROM bh GROUP BY src),
+bf AS MATERIALIZED (
+  SELECT bh.src AS a, bh.dst AS b, bh.w / bs.s AS p
+  FROM bh JOIN bs ON bh.src = bs.v
+),
+bi AS MATERIALIZED (
+  SELECT f1.a AS v, f2.b AS j, SUM(f1.p * f2.p) AS ind
+  FROM bf f1 JOIN bf f2 ON f1.b = f2.a
+  WHERE f1.a <> f2.b
+  GROUP BY 1, 2
+)
+SELECT bf.a AS v,
+       ROUND(SUM(POWER(bf.p + COALESCE(bi.ind, 0.0), 2)), 9) AS "constraint"
+FROM bf LEFT JOIN bi ON bf.a = bi.v AND bf.b = bi.j
+GROUP BY bf.a"""
     )
 
     # Fiedler vector (normalized Laplacian): 10 unrolled rounds of the

@@ -1178,3 +1178,67 @@ def disparity_filter(
     )
     out = scored.select("a", "b", "w", F.round("alpha", 9).alias("alpha"))
     return out if keep_all else out.where(F.col("alpha") < alpha)
+
+
+def burt_constraint(
+    edges: DataFrame,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """(v, constraint) — Burt's network constraint (Burt 1992,
+    "Structural Holes"): with p_vj = w_vj / sum_k w_vk the normalized
+    tie strength, local constraint c_vj = (p_vj + sum_q p_vq * p_qj)^2
+    summed over v's neighbors j (q ranges over shared contacts; the
+    indirect term is how much of v's energy reaches j through third
+    parties). Low constraint = v brokers structural holes; high = v's
+    contacts are interlocked. networkx ``constraint`` semantics on the
+    weighted graph (isolated vertices excluded — constraint is
+    undefined without ties; self-loops dropped).
+
+    Scale shape: normalized fractions are one V-row aggregation + one
+    broadcastable join; the indirect term is ONE two-hop self-join of
+    the fraction table grouped back to (v, j) — the adamic_adar wedge
+    volume, bounded by sum_q deg(q)^2. ``max_wedge_degree`` caps it the
+    same way: wedges THROUGH contacts with degree above the cap are
+    skipped (a 10^6-degree hub contributes p_vq * p_qj ~ 1/10^12 per
+    path — numerically nothing, combinatorially everything), making
+    the metric hub-robust at 100 TB. Leave None only when the degree
+    distribution is known bounded."""
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst", "w")
+    strength = half.groupBy(F.col("src").alias("v")).agg(
+        F.sum("w").alias("s"), F.count(F.lit(1)).alias("deg")
+    )
+    frac = half.join(strength, half["src"] == strength["v"]).select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        (F.col("w") / F.col("s")).alias("p"),
+    )
+    mid = frac
+    if max_wedge_degree is not None:
+        keep = strength.where(F.col("deg") <= max_wedge_degree).select(
+            F.col("v").alias("b")
+        )
+        mid = frac.join(F.broadcast(keep), "b")
+    # indirect_vj = sum over q of p_vq * p_qj, q != j (q == v impossible:
+    # fractions exclude self-loops, so a path v->q->v has j = v only via
+    # a self tie, which was dropped)
+    indirect = (
+        mid.select(F.col("a").alias("v"), F.col("b").alias("q"), F.col("p").alias("p1"))
+        .join(
+            frac.select(
+                F.col("a").alias("q"), F.col("b").alias("j"), F.col("p").alias("p2")
+            ),
+            "q",
+        )
+        .where(F.col("v") != F.col("j"))
+        .groupBy("v", "j")
+        .agg(F.sum(F.col("p1") * F.col("p2")).alias("ind"))
+    )
+    local = (
+        frac.select(F.col("a").alias("v"), F.col("b").alias("j"), "p")
+        .join(indirect, ["v", "j"], "left")
+        .select(
+            "v",
+            ((F.col("p") + F.coalesce("ind", F.lit(0.0))) ** 2).alias("c"),
+        )
+    )
+    return local.groupBy("v").agg(F.round(F.sum("c"), 9).alias("constraint"))

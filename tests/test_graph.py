@@ -837,3 +837,62 @@ def test_disparity_filter_hand_star_and_karate_replay(spark, karate):
         want[key] = min(want.get(key, 1.0), side)
     survivors = {k: round(v, 9) for k, v in want.items() if round(v, 9) < 0.5}
     assert got == survivors and len(got) > 0
+
+
+def test_burt_constraint_networkx_parity(spark, karate):
+    """constraint == networkx.constraint on karate (unit weights) and on
+    a weighted toy graph; the hub cap excludes wedges through the capped
+    contact only (replayed in pure Python)."""
+    import networkx as nx
+
+    from nido_spark.graph import burt_constraint
+
+    kedges, (src, dst, w) = karate
+    got = {r["v"]: r["constraint"] for r in burt_constraint(kedges).collect()}
+    g = nx.Graph()
+    for a, b, x in zip(src, dst, w):
+        if a != b:
+            g.add_edge(int(a), int(b), weight=float(x))
+    want = nx.constraint(g, weight="weight")
+    assert set(got) == set(g.nodes)
+    for v in g.nodes:
+        assert abs(got[v] - want[v]) < 1e-7, v
+
+    # weighted triangle + pendant
+    pairs = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 3.0)]
+    rows = [(a, b, x) for a, b, x in pairs] + [(b, a, x) for a, b, x in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["v"]: r["constraint"] for r in burt_constraint(edges).collect()}
+    g2 = nx.Graph()
+    for a, b, x in pairs:
+        g2.add_edge(a, b, weight=x)
+    want2 = nx.constraint(g2, weight="weight")
+    for v in g2.nodes:
+        assert abs(got[v] - want2[v]) < 1e-9, v
+
+    # cap semantics: wedges through vertex 2 (deg 3) are dropped at cap 2
+    capped = {
+        r["v"]: r["constraint"]
+        for r in burt_constraint(edges, max_wedge_degree=2).collect()
+    }
+    frac = {}
+    deg, s = {}, {}
+    for a, b, x in rows:
+        deg[a] = deg.get(a, 0) + 1
+        s[a] = s.get(a, 0.0) + x
+    for a, b, x in rows:
+        frac[(a, b)] = x / s[a]
+    want_cap = {}
+    for v in s:
+        tot = 0.0
+        for (a, j), p in frac.items():
+            if a != v:
+                continue
+            ind = sum(
+                frac[(v, q)] * frac[(q, j)]
+                for q in s
+                if q != j and (v, q) in frac and (q, j) in frac and deg[q] <= 2
+            )
+            tot += (p + ind) ** 2
+        want_cap[v] = round(tot, 9)
+    assert capped == want_cap
