@@ -238,6 +238,23 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_role_transitions(spark, sf):
+    # the conversation role Markov chain: exact integer transition counts
+    # + one rounded division; oracle replays lead() over the VALUES
+    # literal of the same fixture.
+    from nido_spark.conversation import role_transitions
+
+    return role_transitions(synth_transcripts(spark, 500, seed=42))
+
+
+def _q_transcript_conv_stats(spark, sf):
+    # per-conversation shape statistics (one grouped aggregation);
+    # the NULL first_tool_turn path (tool-free convs) is value-checked.
+    from nido_spark.conversation import conversation_stats
+
+    return conversation_stats(synth_transcripts(spark, 500, seed=42))
+
+
 def _q_transcript_constraint(spark, sf):
     # Burt's structural-holes constraint, uncapped (the fixture's wedge
     # volume is bounded); exact integer-weight fractions, round-9 sums.
@@ -1480,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_onion": _q_transcript_onion,
         "transcript_fiedler": _q_transcript_fiedler,
         "transcript_constraint": _q_transcript_constraint,
+        "transcript_role_transitions": _q_transcript_role_transitions,
+        "transcript_conv_stats": _q_transcript_conv_stats,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
@@ -3298,6 +3317,35 @@ FROM allv LEFT JOIN per USING (v)"""
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
     )
+
+    # Role transitions + conversation stats: direct renderings over the
+    # same transcript VALUES literal the edge oracles use.
+    sql["transcript_role_transitions"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+rp AS (
+  SELECT role AS from_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_role
+  FROM tr
+),
+rc AS (
+  SELECT from_role, to_role, COUNT(*)::BIGINT AS n
+  FROM rp WHERE to_role IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT from_role, SUM(n) AS tot FROM rc GROUP BY from_role)
+SELECT rc.from_role, rc.to_role, rc.n,
+       ROUND(rc.n::DOUBLE / rt.tot::DOUBLE, 9) AS p
+FROM rc JOIN rt USING (from_role)"""
+
+    sql["transcript_conv_stats"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()})
+SELECT conv_id,
+       COUNT(*)::BIGINT AS n_turns,
+       SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+       COUNT(DISTINCT tool)::BIGINT AS n_distinct_tools,
+       MIN(CASE WHEN role = 'tool' THEN turn_idx END)::BIGINT AS first_tool_turn
+FROM tr GROUP BY conv_id"""
 
     # Burt constraint: direct two-hop SQL rendering — normalized tie
     # fractions, one fraction-table self-join for the indirect term,

@@ -1,0 +1,70 @@
+"""Conversation-level analytics over the transcripts table
+(conv_id, turn_idx, role, text, tool, ts) — the engine's production
+input shape (FIXTURES.md §1). These are the transcript-native
+complements of the graph derivation in io.transcripts_to_edges: they
+read the SAME table but aggregate per conversation / per role-pair
+instead of projecting to vertices.
+
+Both operators are single-pass: one window (per-conv lead) or one
+grouped aggregation, everything map-side-combinable; no self-joins, no
+per-conv collects — at 10^9 conversations each conv is one group/window
+partition and hot convs are capped by the 64-turn generation bound (or
+the producer's own cap in deployment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """(from_role, to_role, n, p) — the conversation's role Markov
+    chain: counts of consecutive (turn i -> turn i+1) role pairs within
+    each conversation in turn_idx order, and the per-from_role
+    transition probability p = n / sum_to(n) (rounded to 9 dp; exact
+    integer counts, one double division). The dialogue-structure
+    fingerprint: user->assistant should dominate, assistant->tool
+    measures tool-call rate, tool->tool flags chained calls."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.col("role").alias("from_role"),
+            F.lead("role").over(w).alias("to_role"),
+        )
+        .where(F.col("to_role").isNotNull())
+        .groupBy("from_role", "to_role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_role").agg(F.sum("n").alias("tot"))
+    return pairs.join(tot, "from_role").select(
+        "from_role",
+        "to_role",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 9).alias("p"),
+    )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_user, n_assistant, n_tool, n_distinct_tools,
+    first_tool_turn) — per-conversation shape statistics in ONE grouped
+    aggregation: turn counts per role (conditional counts, not a
+    pivot), distinct tools invoked, and the turn index of the first
+    tool call (NULL when the conversation never calls a tool). The
+    per-conv feature row for curriculum/filtering decisions over a
+    transcript corpus (drop tool-free convs, cap tool-heavy ones,
+    stratify by depth)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("int")).cast("long").alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("int"))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("int")).cast("long").alias("n_tool"),
+        F.count_distinct("tool").cast("long").alias("n_distinct_tools"),
+        F.min(F.when(F.col("role") == "tool", F.col("turn_idx")))
+        .cast("long")
+        .alias("first_tool_turn"),
+    )

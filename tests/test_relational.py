@@ -503,3 +503,42 @@ def test_retention_triangle_hand_cases(spark):
     assert daily[(d0, 0)] == 1 and daily[(d0, 1)] == 1  # users 1 and 2 split
     with _pt.raises(ValueError):
         retention(events, period="month")
+
+
+def test_conversation_analytics_hand_cases(spark):
+    """Role Markov chain counts/probabilities and per-conv shape stats on
+    a hand fixture; tool-free conversations get first_tool_turn NULL and
+    zero distinct tools."""
+    import datetime as dt
+
+    from nido_spark.conversation import conversation_stats, role_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("A", 0, "user", "x", None), ("A", 1, "assistant", "x", None),
+        ("A", 2, "tool", "x", "t1"), ("A", 3, "assistant", "x", None),
+        ("A", 4, "user", "x", None),
+        ("B", 0, "user", "x", None), ("B", 1, "assistant", "x", None),
+    ]
+    tr = spark.createDataFrame(
+        [(c, i, r, x, tl, t0 + dt.timedelta(seconds=i)) for c, i, r, x, tl in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        (r["from_role"], r["to_role"]): (r["n"], r["p"])
+        for r in role_transitions(tr).collect()
+    }
+    assert got == {
+        ("user", "assistant"): (2, 1.0),
+        ("assistant", "tool"): (1, 0.5),
+        ("assistant", "user"): (1, 0.5),
+        ("tool", "assistant"): (1, 1.0),
+    }
+    st = {r["conv_id"]: r.asDict() for r in conversation_stats(tr).collect()}
+    assert st["A"] == {
+        "conv_id": "A", "n_turns": 5, "n_user": 2, "n_assistant": 2,
+        "n_tool": 1, "n_distinct_tools": 1, "first_tool_turn": 2,
+    }
+    assert st["B"]["n_tool"] == 0
+    assert st["B"]["n_distinct_tools"] == 0
+    assert st["B"]["first_tool_turn"] is None
