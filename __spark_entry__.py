@@ -1142,6 +1142,16 @@ def _q_events_zscore(spark, sf):
     return rolling_zscore(_events(spark, sf), window_rows=10, min_obs=3)
 
 
+def _q_events_heavy_hitters(spark, sf):
+    # exact frequencies of users with share > 1/121, discovered via the
+    # per-partition Misra-Gries candidate sketch + exact verify pass;
+    # the output is partition-invariant exact, so the oracle is the
+    # direct groupBy-HAVING rendering
+    from nido_spark.relational import heavy_hitters
+
+    return heavy_hitters(_events(spark, sf), ["user_id"], k=120)
+
+
 def _q_events_sessionize_hotsplit(spark, sf):
     # the hot-key pre-split rendering (coarse time buckets + boundary
     # stitch) MUST produce byte-identical output — it shares
@@ -1482,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": _q_events_zscore,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_heavy_hitters": _q_events_heavy_hitters,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
@@ -2859,6 +2870,16 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Heavy hitters: the OUTPUT is exact (the MG sketch only bounds the
+    # candidate set and never reaches the answer — relational.py
+    # docstring), so the oracle is the plain exact rendering: keys whose
+    # count strictly exceeds N/(k+1), k=120.
+    sql["events_heavy_hitters"] = """
+SELECT user_id, COUNT(*)::BIGINT AS cnt
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * 121 > (SELECT COUNT(*) FROM events)"""
 
     # Retention: identical weekly cohort derivation — Monday-start
     # date_trunc('week'), epoch-day cohort ints, distinct (key, week)

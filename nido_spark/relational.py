@@ -576,3 +576,74 @@ def retention(
     return j.groupBy("cohort_day", "period_offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_active")
     )
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("user_id",),
+    k: int = 200,
+) -> DataFrame:
+    """(key..., cnt) — EXACT frequencies of every key whose share of the
+    table strictly exceeds 1/(k+1), found without ever shuffling the raw
+    rows by key. Two passes:
+
+    1. Candidates: a per-partition Misra-Gries summary of at most ``k``
+       counters, built Arrow-batch-vectorized inside ``mapInPandas``
+       (pandas groupby-size per batch; when the summary exceeds k
+       counters, subtract the (k+1)-th largest count from all and drop
+       the non-positive — each prune removes >= (k+1) x that count of
+       total weight, so the per-item undercount is <= n_partition/(k+1)).
+       MG summaries are MERGEABLE (Agarwal et al., PODS'12): the union
+       of the per-partition summaries still contains EVERY key with
+       global count > N/(k+1), for ANY partitioning of the input.
+    2. Verify: exact counts of the candidate keys only (broadcast semi
+       join + one map-side-combined groupBy over <= k x partitions
+       keys), filtered to cnt x (k+1) > N.
+
+    The output is therefore EXACT and partition-invariant — the sketch
+    only bounds the candidate set, it never appears in the answer. To
+    find all keys with share > s, pass k = ceil(1/s).
+
+    100 TB shape: pass 1 is map-only with O(k) state per task (no
+    per-partition dict of all distinct keys — the reason groupBy alone
+    doesn't solve this: a groupBy over 10^10 distinct keys shuffles
+    10^10 rows to answer a question about the top handful). Pass 2
+    shuffles only rows matching <= k x P candidate keys, partially
+    aggregated map-side. NULL keys are ignored (a NULL user is not an
+    entity). Companion to the reference's degree/max scans
+    (SURVEY.md S A1-A4) on the relational side."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if k < 1:
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
+    keys = list(key_cols)
+    narrow = df.select(*keys)
+    out_schema = StructType(
+        list(narrow.schema.fields) + [StructField("cand_w", LongType(), False)]
+    )
+
+    def mg(batches):
+        acc = None
+        for pdf in batches:
+            c = pdf.groupby(keys, sort=False, dropna=True).size()
+            acc = c if acc is None else acc.add(c, fill_value=0)
+            if len(acc) > k:
+                m = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - m
+                acc = acc[acc > 0]
+        if acc is None or acc.empty:
+            return
+        out = acc.reset_index()
+        out.columns = keys + ["cand_w"]
+        out["cand_w"] = out["cand_w"].astype("int64")
+        yield out
+
+    cands = narrow.mapInPandas(mg, schema=out_schema).select(*keys).distinct()
+    n = df.count()
+    return (
+        df.join(F.broadcast(cands), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") * F.lit(k + 1) > F.lit(n))
+    )

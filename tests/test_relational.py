@@ -542,3 +542,79 @@ def test_conversation_analytics_hand_cases(spark):
     assert st["B"]["n_tool"] == 0
     assert st["B"]["n_distinct_tools"] == 0
     assert st["B"]["first_tool_turn"] is None
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def _exact_heavies(rows, k):
+    from collections import Counter
+
+    c = Counter(r for r in rows if r is not None)
+    n = len([r for r in rows])
+    return {key: v for key, v in c.items() if v * (k + 1) > n}
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """Output == the exact groupBy-HAVING answer, for ANY partitioning —
+    the MG sketch only proposes candidates; the verify pass is exact."""
+    import random
+
+    from nido_spark.relational import heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish: key i drawn with weight ~ 1/(i+1)
+    keys = [int(rng.paretovariate(1.1)) % 50 for _ in range(5000)]
+    want = _exact_heavies(keys, k=8)
+    assert want, "fixture must produce at least one heavy hitter"
+    df = spark.createDataFrame([(x,) for x in keys], "user_id long")
+    for nparts in (1, 7, 32):
+        got = {
+            r["user_id"]: r["cnt"]
+            for r in heavy_hitters(
+                df.repartition(nparts), ["user_id"], k=8
+            ).collect()
+        }
+        assert got == want, f"nparts={nparts}"
+
+
+def test_heavy_hitters_majority_survives_tiny_k(spark):
+    """k=1 (the Boyer-Moore majority case): a strict-majority element is
+    guaranteed; minority elements must NOT appear."""
+    from nido_spark.relational import heavy_hitters
+
+    rows = [(1,)] * 60 + [(2,)] * 25 + [(3,)] * 15
+    df = spark.createDataFrame(rows, "user_id long").repartition(13)
+    got = heavy_hitters(df, ["user_id"], k=1).collect()
+    assert {(r["user_id"], r["cnt"]) for r in got} == {(1, 60)}
+
+
+def test_heavy_hitters_null_keys_ignored_and_composite(spark):
+    from nido_spark.relational import heavy_hitters
+
+    rows = (
+        [(None, "a")] * 40
+        + [(1, "a")] * 30
+        + [(1, "b")] * 20
+        + [(2, "a")] * 10
+    )
+    df = spark.createDataFrame(rows, "user_id long, et string").repartition(5)
+    got = {
+        (r["user_id"], r["et"]): r["cnt"]
+        for r in heavy_hitters(df, ["user_id", "et"], k=3).collect()
+    }
+    # N=100 (nulls still count toward N: they are rows of the table);
+    # threshold cnt*4 > 100 => cnt >= 26
+    assert got == {(1, "a"): 30}
+
+
+def test_heavy_hitters_k_contract(spark):
+    import pytest as _pt
+
+    from nido_spark.relational import heavy_hitters
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with _pt.raises(ValueError):
+        heavy_hitters(df, ["user_id"], k=0)
