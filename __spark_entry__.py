@@ -1142,6 +1142,16 @@ def _q_events_zscore(spark, sf):
     return rolling_zscore(_events(spark, sf), window_rows=10, min_obs=3)
 
 
+def _q_events_approx_users(spark, sf):
+    # deterministic HLL distinct-user sketch per event_type — registers
+    # AND estimate are engine-replayable (Feistel60 portable hash), so
+    # the oracle recomputes the identical sketch in DuckDB; only ln()
+    # touches libm (9 dp rounding absorbs sub-ulp divergence)
+    from nido_spark.relational import approx_distinct
+
+    return approx_distinct(_events(spark, sf), ["event_type"], "user_id")
+
+
 def _q_events_heavy_hitters(spark, sf):
     # exact frequencies of users with share > 1/121, discovered via the
     # per-partition Misra-Gries candidate sketch + exact verify pass;
@@ -1493,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_heavy_hitters": _q_events_heavy_hitters,
+        "events_approx_users": _q_events_approx_users,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
@@ -1785,6 +1796,51 @@ live{r + 1} AS MATERIALIZED (
     union = " UNION ALL ".join(f"SELECT * FROM col{r}" for r in range(rounds))
     parts.append(f"\nSELECT v, color FROM ({union})")
     return "".join(parts)
+
+
+def _hll_sql(b: int = 9, seed: int = 42) -> str:
+    """DuckDB replay of relational.approx_distinct on events.user_id per
+    event_type: the identical 4-round Feistel60 (all exact BIGINT ops —
+    a*R < 2^61 never overflows), identical register extraction and
+    estimate. The register sum is EXACT double on both engines (dyadic
+    terms, <= 41 mantissa bits total), so only LN() can differ sub-ulp
+    — absorbed by ROUND(..., 9)."""
+    m = 1 << b
+    wbits = 60 - b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    alphamm = repr(alpha * m * m)
+    ks = [(1103515245, 12345), (48271, 11213), (1583458089, 54321), (784588716, 98765)]
+    m30 = (1 << 30) - 1
+    rounds = "".join(
+        f""",
+f{i + 1} AS (SELECT event_type, R AS L,
+       xor(L, (({a} * R + {c}) >> 15) & {m30}) AS R FROM f{i})"""
+        for i, (a, c) in enumerate(ks)
+    )
+    bitlen = " + ".join(f"(w >= {1 << (e - 1)})::INT" for e in range(1, wbits + 1))
+    return f"""
+WITH hx AS (
+  SELECT event_type,
+         ((user_id + {seed}) % {1 << 60} + {1 << 60}) % {1 << 60} AS x
+  FROM events WHERE user_id IS NOT NULL
+),
+f0 AS (SELECT event_type, x >> 30 AS L, x & {m30} AS R FROM hx){rounds},
+hh AS (SELECT event_type, (L << 30) + R AS h FROM f{len(ks)}),
+wb AS (SELECT event_type, h >> {wbits} AS bkt,
+       h & {(1 << wbits) - 1} AS w FROM hh),
+bl AS (SELECT event_type, bkt,
+       CASE WHEN w = 0 THEN 32
+            ELSE LEAST({wbits} - ({bitlen}) + 1, 32) END AS rho FROM wb),
+reg AS (SELECT event_type, bkt, MAX(rho) AS M FROM bl GROUP BY 1, 2),
+agg AS (SELECT event_type, COUNT(*) AS present,
+        SUM((1.0::DOUBLE) / ((1::BIGINT << M)::DOUBLE)) AS s
+        FROM reg GROUP BY 1)
+SELECT event_type,
+       ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * LN({float(m)} / zeros)
+                  ELSE raw END, 9) AS est
+FROM (SELECT event_type, ({m} - present)::DOUBLE AS zeros,
+             {alphamm} / (s + ({m} - present)::DOUBLE) AS raw FROM agg)"""
 
 
 def _matching_sql(rounds: int = 6, seed: int = 42) -> str:
@@ -2870,6 +2926,14 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # approx_distinct: FULL sketch replay — the 4-round Feistel60 mix,
+    # register extraction (top-9-bit bucket, leading-zero rho via the
+    # same integer threshold-comparison bit-length, never log2), dyadic
+    # register sum (exact double on both engines — every partial sum of
+    # 2^-M terms fits 53 mantissa bits), and the identical alpha/linear-
+    # counting estimate. xor() is DuckDB's integer XOR.
+    sql["events_approx_users"] = _hll_sql()
 
     # Heavy hitters: the OUTPUT is exact (the MG sketch only bounds the
     # candidate set and never reaches the answer — relational.py

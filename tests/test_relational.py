@@ -618,3 +618,85 @@ def test_heavy_hitters_k_contract(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with _pt.raises(ValueError):
         heavy_hitters(df, ["user_id"], k=0)
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct (deterministic HLL on the Feistel mixer)
+# ---------------------------------------------------------------------------
+
+
+def _py_hll(values, b=9, seed=42):
+    """Bit-exact pure-Python replay of relational.approx_distinct's math."""
+    import math
+
+    KS = [(1103515245, 12345), (48271, 11213),
+          (1583458089, 54321), (784588716, 98765)]
+    M30 = (1 << 30) - 1
+    m = 1 << b
+    wbits = 60 - b
+    regs = {}
+    for v in values:
+        if v is None:
+            continue
+        x = (v + seed) % (1 << 60)
+        L, R = x >> 30, x & M30
+        for a, c in KS:
+            f = ((a * R + c) >> 15) & M30
+            L, R = R, L ^ f
+        h = (L << 30) + R
+        bkt = h >> wbits
+        w = h & ((1 << wbits) - 1)
+        rho = 32 if w == 0 else min(wbits - w.bit_length() + 1, 32)
+        regs[bkt] = max(regs.get(bkt, 0), rho)
+    V = m - len(regs)
+    s = sum(1.0 / (1 << M) for M in regs.values()) + float(V)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    raw = (alpha * m * m) / s
+    est = m * math.log(m / V) if (raw <= 2.5 * m and V > 0) else raw
+    return round(est, 9)
+
+
+def test_approx_distinct_bitexact_python_replay_and_invariance(spark):
+    from nido_spark.relational import approx_distinct
+
+    rows = [(i % 3, i * 7 % 997) for i in range(4000)] + [(0, None)] * 5
+    df = spark.createDataFrame(rows, "g int, v long")
+    want = {
+        g: _py_hll([v for gg, v in rows if gg == g]) for g in (0, 1, 2)
+    }
+    for nparts in (1, 32):
+        got = {
+            r["g"]: r["est"]
+            for r in approx_distinct(df.repartition(nparts), ["g"], "v").collect()
+        }
+        assert got == want, f"nparts={nparts}"
+
+
+def test_approx_distinct_accuracy_bands(spark):
+    """Relative error within 3 sigma (1.04/sqrt(m)) across regimes —
+    consecutive ids (the adversarial-lattice case the Feistel exists for),
+    strided ids, and large-n."""
+    from nido_spark.relational import approx_distinct
+
+    cases = [
+        (list(range(150)), 150),
+        (list(range(0, 97 * 3000, 97)), 3000),
+        ([i * 1000003 % (1 << 45) for i in range(20000)], 20000),
+    ]
+    for vals, exact in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
+            "g", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+        )
+        est = approx_distinct(df, ["g"], "v").collect()[0]["est"]
+        tol = 3 * 1.04 / (512 ** 0.5)
+        assert abs(est / exact - 1) < max(tol, 0.05), (exact, est)
+
+
+def test_approx_distinct_b_contract(spark):
+    import pytest as _pt
+
+    from nido_spark.relational import approx_distinct
+
+    df = spark.createDataFrame([(1, 1)], "g int, v long")
+    with _pt.raises(ValueError):
+        approx_distinct(df, ["g"], "v", b=3)
