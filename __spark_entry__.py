@@ -1142,6 +1142,37 @@ def _q_events_zscore(spark, sf):
     return rolling_zscore(_events(spark, sf), window_rows=10, min_obs=3)
 
 
+def _q_events_concurrent_sessions(spark, sf):
+    # bucketized interval self-join: cross-user pairs of gap-1800 sessions
+    # whose [start, end] spans overlap, reported once via the owner-bucket
+    # rule (no distinct pass); output is an exact pair set, so the oracle
+    # is the plain inequality self-join over the session table
+    from nido_spark.relational import interval_join, session_stats
+
+    sess = session_stats(_events(spark, sf), gap_seconds=1800).select(
+        "user_id", "session_idx", "t_start_us", "t_end_us"
+    )
+    pairs = interval_join(
+        sess,
+        sess,
+        left_start="t_start_us",
+        left_end="t_end_us",
+        right_start="t_start_us",
+        right_end="t_end_us",
+        bucket_seconds=3600,
+    )
+    return pairs.where(F.col("user_id") < F.col("user_id_r")).select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_idx").alias("session_a"),
+        F.col("user_id_r").alias("user_b"),
+        F.col("session_idx_r").alias("session_b"),
+        (
+            F.least("t_end_us", "t_end_us_r")
+            - F.greatest("t_start_us", "t_start_us_r")
+        ).alias("overlap_us"),
+    )
+
+
 def _q_events_approx_users(spark, sf):
     # deterministic HLL distinct-user sketch per event_type — registers
     # AND estimate are engine-replayable (Feistel60 portable hash), so
@@ -1504,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_approx_users": _q_events_approx_users,
+        "events_concurrent_sessions": _q_events_concurrent_sessions,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
@@ -2926,6 +2958,35 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Concurrent sessions: the interval_join output is an exact pair set
+    # (owner-bucket dedup is an implementation detail), so the oracle is
+    # the direct inequality self-join over the same gap-1800 session
+    # derivation the session_stats oracle uses.
+    sql["events_concurrent_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, us,
+         (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+  FROM flagged
+),
+stab AS (
+  SELECT user_id, session_idx, MIN(us) AS st, MAX(us) AS en
+  FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, a.session_idx AS session_a,
+       b.user_id AS user_b, b.session_idx AS session_b,
+       LEAST(a.en, b.en) - GREATEST(a.st, b.st) AS overlap_us
+FROM stab a JOIN stab b
+  ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id"""
 
     # approx_distinct: FULL sketch replay — the 4-round Feistel60 mix,
     # register extraction (top-9-bit bucket, leading-zero rho via the

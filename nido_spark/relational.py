@@ -751,3 +751,89 @@ def approx_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return per.select(*groups, F.round(est, 9).alias("est"))
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_seconds: int = 3600,
+    suffix: str = "_r",
+    max_buckets_per_row: int = 100_000,
+) -> DataFrame:
+    """All (left row, right row) pairs whose CLOSED intervals
+    [start, end] overlap — the general range/interval join Spark has no
+    native operator for (point-in-interval is the special case
+    left_start == left_end). Timestamp or numeric bounds both work
+    (temporal bounds compare as exact integer microseconds).
+
+    Plan shape (100 TB): a naive range join is a cross product with a
+    filter — O(|L| x |R|). Here each interval EXPLODES into the coarse
+    time buckets it touches (``bucket_seconds`` wide) and the join is an
+    EQUI-join on the bucket, so Spark hash-partitions both sides and
+    only temporally-near rows ever meet. A pair overlapping several
+    buckets is emitted ONCE without a distinct pass: the join keeps the
+    pair only in the bucket containing max(left_start, right_start) —
+    the overlap's first bucket, which both sides are guaranteed to have
+    exploded. Choose ``bucket_seconds`` near the typical interval length:
+    too small multiplies the explode fan-out (rows x interval/bucket),
+    too large degrades toward cross-join within a bucket. Rows whose
+    interval spans more than ``max_buckets_per_row`` buckets raise
+    loudly rather than silently exploding the stage (an open-ended
+    interval at a 1 s bucket is a job-killer, not a warning). NULL or
+    inverted (end < start) intervals never match (SQL comparison
+    semantics drop them at the explode).
+
+    Output: every left column + every right column, right-side names
+    suffixed with ``suffix`` on collision."""
+    if bucket_seconds <= 0:
+        raise ValueError("interval_join: bucket_seconds must be positive")
+    w_us = int(bucket_seconds) * 1_000_000
+
+    out_right = {
+        c: (c + suffix if c in left.columns else c) for c in right.columns
+    }
+    clash = set(out_right.values()) & {c + suffix for c in right.columns if c + suffix in left.columns}
+    if clash:
+        raise ValueError(f"interval_join: suffix collision on {sorted(clash)}")
+    bl, br = _free_names(
+        ["_bkt_l", "_bkt_r"], set(left.columns) | set(out_right.values())
+    )
+
+    def exploded(df: DataFrame, s: str, e: str, bname: str) -> DataFrame:
+        s_us, e_us = _ts_long(df, s), _ts_long(df, e)
+        b0, b1 = F.floor(s_us / w_us), F.floor(e_us / w_us)
+        b1g = F.when(b1 - b0 < max_buckets_per_row, b1).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"interval_join: an interval spans >= {max_buckets_per_row} "
+                    f"buckets at bucket_seconds={bucket_seconds}; widen the bucket"
+                )
+            ).cast("long")
+        )
+        return df.where(s_us <= e_us).withColumn(bname, F.explode(F.sequence(b0, b1g)))
+
+    lx = exploded(left, left_start, left_end, bl)
+    rx = exploded(
+        right.select([F.col(c).alias(out_right[c]) for c in right.columns]),
+        out_right[right_start],
+        out_right[right_end],
+        br,
+    )
+    cond = (
+        (F.col(bl) == F.col(br))
+        & (_ts_long(lx, left_start) <= _ts_long(rx, out_right[right_end]))
+        & (_ts_long(rx, out_right[right_start]) <= _ts_long(lx, left_end))
+        & (
+            F.floor(
+                F.greatest(
+                    _ts_long(lx, left_start), _ts_long(rx, out_right[right_start])
+                )
+                / w_us
+            )
+            == F.col(bl)
+        )
+    )
+    return lx.join(rx, cond).drop(bl, br)

@@ -700,3 +700,87 @@ def test_approx_distinct_b_contract(spark):
     df = spark.createDataFrame([(1, 1)], "g int, v long")
     with _pt.raises(ValueError):
         approx_distinct(df, ["g"], "v", b=3)
+
+
+# ---------------------------------------------------------------------------
+# interval_join (bucketized range join)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_bruteforce_any_bucket(spark):
+    """Exact pair-set equality with the O(n^2) filter join, across bucket
+    widths spanning 'interval >> bucket' to 'interval << bucket' — the
+    owner-bucket dedup must emit each pair exactly once."""
+    import random
+
+    from nido_spark.relational import interval_join
+
+    rng = random.Random(11)
+    us = 1_000_000
+    ivals = [
+        (i, rng.randrange(0, 4000) * us, 0)
+        for i in range(300)
+    ]
+    ivals = [(i, s, s + rng.randrange(0, 900) * us) for i, s, _ in ivals]
+    df = spark.createDataFrame(ivals, "id long, s long, e long")
+    brute = {
+        (a[0], b[0])
+        for a in ivals
+        for b in ivals
+        if a[1] <= b[2] and b[1] <= a[2]
+    }
+    for bsec in (60, 600, 7200):
+        got = {
+            (r["id"], r["id_r"])
+            for r in interval_join(
+                df, df, "s", "e", "s", "e", bucket_seconds=bsec
+            ).collect()
+        }
+        assert got == brute, f"bucket_seconds={bsec}"
+
+
+def test_interval_join_point_in_interval(spark):
+    from nido_spark.relational import interval_join
+
+    us = 1_000_000
+    pts = spark.createDataFrame(
+        [(1, 100 * us), (2, 250 * us), (3, 999 * us)], "pid long, t long"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 50 * us, 150 * us), (11, 240 * us, 260 * us)],
+        "iid long, s long, e long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, ivs, "t", "t", "s", "e", bucket_seconds=30
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 11)}
+
+
+def test_interval_join_inverted_and_null_never_match(spark):
+    from nido_spark.relational import interval_join
+
+    a = spark.createDataFrame(
+        [(1, 100, 50), (2, None, 200), (3, 100, 200)], "id long, s long, e long"
+    )
+    b = spark.createDataFrame([(9, 0, 1_000_000_000)], "id long, s long, e long")
+    got = {
+        r["id"]
+        for r in interval_join(a, b, "s", "e", "s", "e", bucket_seconds=1).collect()
+    }
+    assert got == {3}
+
+
+def test_interval_join_span_guard_raises(spark):
+    import pytest as _pt
+
+    from nido_spark.relational import interval_join
+
+    us = 1_000_000
+    a = spark.createDataFrame([(1, 0, 10_000_000 * us)], "id long, s long, e long")
+    with _pt.raises(Exception, match="interval_join"):
+        interval_join(
+            a, a, "s", "e", "s", "e", bucket_seconds=1, max_buckets_per_row=1000
+        ).count()
