@@ -596,6 +596,15 @@ def _q_transcript_inout_degree(spark, sf):
     )
 
 
+def _q_transcript_triads(spark, sf):
+    # directed-triangle motif census of the conversation-flow graph:
+    # ordered 2-paths, directed 3-cycles (turn-taking), feed-forward
+    # triples (pipeline fanout). Exact integer counts from one flagged
+    # aggregation — the oracle is the direct triple-join rendering.
+    tr = synth_transcripts(spark, 500, seed=42)
+    return G.triad_census(transcripts_to_directed_edges(tr, strategy="dense"))
+
+
 def _q_transcript_scc(spark, sf):
     # strongly connected components of the DIRECTED conversation-flow
     # graph (user/assistant turn-taking creates real cycles; conv: and
@@ -1536,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_approx_users": _q_events_approx_users,
         "events_concurrent_sessions": _q_events_concurrent_sessions,
+        "transcript_triads": _q_transcript_triads,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
         "events_asof_click_hotsplit": _q_events_asof_click_hotsplit,
         # Louvain kernels (L0-L9, C4)
@@ -2958,6 +2968,22 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Triad census: direct triple-join rendering over the directed
+    # transcript edges — closed-path count is an exact multiple of 3.
+    sql["transcript_triads"] = f"""
+WITH de AS MATERIALIZED ({_transcript_directed_edges_sql()}),
+e AS (SELECT DISTINCT src, dst FROM de WHERE src <> dst),
+p AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+)
+SELECT COUNT(*)::BIGINT AS n_paths,
+       (SUM(CASE WHEN cyc.src IS NOT NULL THEN 1 ELSE 0 END) // 3)::BIGINT AS n_cyclic,
+       SUM(CASE WHEN trn.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_transitive
+FROM p
+LEFT JOIN e cyc ON cyc.src = p.c AND cyc.dst = p.a
+LEFT JOIN e trn ON trn.src = p.a AND trn.dst = p.c"""
 
     # Concurrent sessions: the interval_join output is an exact pair set
     # (owner-bucket dedup is an implementation detail), so the oracle is

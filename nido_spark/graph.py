@@ -1242,3 +1242,71 @@ def burt_constraint(
         )
     )
     return local.groupBy("v").agg(F.round(F.sum("c"), 9).alias("constraint"))
+
+def triad_census(
+    directed_edges: DataFrame,
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """One-row ``(n_paths, n_cyclic, n_transitive)`` directed-triangle
+    motif census over a DIRECTED edge table
+    (``io.transcripts_to_directed_edges`` shape): n_paths counts ordered
+    2-paths a->b->c (a != c), n_cyclic counts directed 3-cycles
+    {a->b, b->c, c->a} (each cycle once — the closed-path count is an
+    exact multiple of 3 rotations), n_transitive counts ordered triples
+    {a->b, b->c, a->c} (the feed-forward motif, once per shortcut edge).
+    The cycle:feed-forward ratio is the classic flow-structure signal —
+    conversation graphs with real turn-taking (user<->assistant) carry
+    cycles; pipeline-like tool fanout is almost purely transitive.
+
+    Plan: distinct non-self edges, ONE path join (hash on the shared
+    middle vertex) and two LEFT joins flagging the closure edge — both
+    counts come from ONE final aggregation over the flagged path
+    relation; no per-triangle rows survive, no driver loop. The path
+    relation is sum_b in(b) x out(b) rows — on hub-heavy graphs pass
+    ``max_mid_degree`` to exclude middle vertices whose in x out product
+    exceeds it (the adamic_adar hub-cap convention: an explicit,
+    documented truncation — counts become a lower bound over the
+    non-hub structure — instead of a silent job-killer at 10^10 edges)."""
+    e = (
+        directed_edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    if max_mid_degree is not None:
+        deg = (
+            e.groupBy(F.col("dst").alias("v"))
+            .agg(F.count(F.lit(1)).alias("_in"))
+            .join(
+                e.groupBy(F.col("src").alias("v")).agg(
+                    F.count(F.lit(1)).alias("_out")
+                ),
+                "v",
+            )
+            .where(F.col("_in") * F.col("_out") <= max_mid_degree)
+            .select("v")
+        )
+        mid_ok = deg
+        e_in = e.join(mid_ok.withColumnRenamed("v", "dst"), "dst", "left_semi")
+    else:
+        e_in = e
+    p = (
+        e_in.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
+        .where(F.col("a") != F.col("c"))
+    )
+    cyc = e.select(
+        F.col("src").alias("c"), F.col("dst").alias("a"), F.lit(1).alias("_cyc")
+    )
+    trn = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.lit(1).alias("_trn")
+    )
+    flagged = p.join(cyc, ["a", "c"], "left").join(trn, ["a", "c"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.coalesce(F.sum("_cyc"), F.lit(0)).alias("_closed"),
+        F.coalesce(F.sum("_trn"), F.lit(0)).cast("long").alias("n_transitive"),
+    ).select(
+        "n_paths",
+        F.expr("_closed div 3").alias("n_cyclic"),
+        "n_transitive",
+    )

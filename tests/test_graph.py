@@ -896,3 +896,55 @@ def test_burt_constraint_networkx_parity(spark, karate):
             tot += (p + ind) ** 2
         want_cap[v] = round(tot, 9)
     assert capped == want_cap
+
+
+def _brute_triads(edges):
+    es = {(a, b) for a, b in edges if a != b}
+    paths = [(a, b, c) for a, b in es for b2, c in es if b2 == b and a != c]
+    n_cyc = sum(1 for a, b, c in paths if (c, a) in es) // 3
+    n_trn = sum(1 for a, b, c in paths if (a, c) in es)
+    return len(paths), n_cyc, n_trn
+
+
+def test_triad_census_bruteforce_random_digraph(spark):
+    import random
+
+    from nido_spark.graph import triad_census
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(160)})
+    want = _brute_triads(edges)
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, w double"
+    )
+    row = triad_census(df).collect()[0]
+    assert (row["n_paths"], row["n_cyclic"], row["n_transitive"]) == want
+
+
+def test_triad_census_hand_motifs(spark):
+    from nido_spark.graph import triad_census
+
+    # one 3-cycle + one feed-forward triangle, disjoint
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, w double"
+    )
+    row = triad_census(df).collect()[0]
+    # paths: cycle contributes 3 ordered 2-paths, ffw contributes 1 (10->11->12)
+    assert (row["n_paths"], row["n_cyclic"], row["n_transitive"]) == (4, 1, 1)
+
+
+def test_triad_census_mid_degree_cap_excludes_hub_paths(spark):
+    from nido_spark.graph import triad_census
+
+    # hub b=0: in {1..4}->0, out 0->{5..8}; plus a clean cycle 20->21->22->20
+    edges = [(i, 0) for i in range(1, 5)] + [(0, j) for j in range(5, 9)]
+    edges += [(20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, w double"
+    )
+    full = triad_census(df).collect()[0]
+    assert full["n_paths"] == 16 + 3
+    capped = triad_census(df, max_mid_degree=4).collect()[0]
+    # hub's in*out = 16 > 4 -> its 16 paths vanish; cycle middles are 1*1
+    assert (capped["n_paths"], capped["n_cyclic"]) == (3, 1)
