@@ -816,6 +816,15 @@ def _q_doc_textrank(spark, sf):
     return X.textrank_keywords(_docs(spark, sf), top_k=5, n_iters=8)
 
 
+def _q_doc_char_entropy(spark, sf):
+    # per-doc character Shannon entropy (compression-proxy quality
+    # signal) in the cancellation-free integer form log2(n) - sum(c
+    # log2 c)/n — only log2-of-exact-integers touches libm
+    from nido_spark.textops import char_entropy
+
+    return char_entropy(_docs(spark, sf))
+
+
 def _q_doc_readability(spark, sf):
     # syllable-free readability: sentence-boundary runs + trailing
     # fragment, letters/word, FRE proxy at 3 letters/syllable; the whole
@@ -1593,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textrank": _q_doc_textrank,
         "doc_collocations": _q_doc_collocations,
         "doc_readability": _q_doc_readability,
+        "doc_char_entropy": _q_doc_char_entropy,
         "edges_rich_club": _q_edges_rich_club,
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
@@ -2968,6 +2978,25 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # Char entropy: identical integer-count derivation; unnest of the
+    # empty-separator split (both engines emit per-codepoint chars;
+    # empties filtered on both sides), log2 over exact integers only.
+    sql["doc_char_entropy"] = """
+WITH chx AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+  ) WHERE c <> '' GROUP BY 1, 2
+),
+perdoc AS (
+  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS nd,
+         SUM(cnt::DOUBLE * log2(cnt)) AS clogc
+  FROM chx GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(n, 0)::BIGINT AS n_chars,
+       COALESCE(nd, 0)::BIGINT AS n_distinct_chars,
+       ROUND(CASE WHEN n > 0 THEN log2(n) - clogc / n END, 9) AS entropy_bits
+FROM documents d LEFT JOIN perdoc USING (doc_id)"""
 
     # Triad census: direct triple-join rendering over the directed
     # transcript edges — closed-path count is an exact multiple of 3.

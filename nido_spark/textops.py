@@ -1224,3 +1224,48 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(cpw, 9).alias("chars_per_word"),
         F.round(fre, 9).alias("fre"),
     )
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, entropy_bits) — Shannon
+    entropy of each document's character distribution, the classic
+    compression-proxy quality signal (CCNet/Gopher-family filters):
+    machine-generated or boilerplate text (repeated chars, base64 walls,
+    ascii-art) sits far from natural language's ~4.0-4.5 bits/char band,
+    in BOTH directions. Computed in the cancellation-free integer form
+    H = log2(n) - (sum c_i * log2(c_i)) / n over exact per-char counts
+    c_i, so the only float ops are log2 of exact integers (sub-ulp
+    engine differences absorbed by 9 dp rounding). Empty/NULL texts emit
+    n_chars = 0 with NULL entropy.
+
+    100 TB shape: explode + two-stage aggregation LOOKS like a
+    len(text)-row shuffle but is not — groupBy(doc_id, ch) partially
+    aggregates map-side, and a document's rows never span scan tasks, so
+    the exchange carries only sum_docs(distinct chars per doc) rows
+    (~alphabet-size per doc), orders of magnitude below corpus bytes.
+    The final per-doc rollup is the same key, second tiny shuffle.
+    Left-join back to the doc table is by doc_id only (no text moves)."""
+    ch = (
+        docs.select("doc_id", F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = ch.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c"))).alias("_clogc"),
+    )
+    n = F.col("n_chars")
+    ent = F.when(n > 0, F.log2(n) - F.col("_clogc") / n)
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(n, F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0)).cast("long").alias(
+                "n_distinct_chars"
+            ),
+            F.round(ent, 9).alias("entropy_bits"),
+        )
+    )

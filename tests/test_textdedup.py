@@ -1324,3 +1324,40 @@ def test_quantize_dequantize_roundtrip_and_bounds(spark):
         # range endpoints are exact
         jmin, jmax = int(row.argmin()), int(row.argmax())
         assert abs(de[i][jmin] - mn) < 1e-12 and abs(de[i][jmax] - mx) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_pure_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from nido_spark.textops import char_entropy
+
+    texts = {
+        1: "aaaa",                      # H = 0
+        2: "abab",                      # H = 1
+        3: "the quick brown fox jumps", # natural-ish
+        4: "",                          # empty -> NULL entropy
+        5: None,                        # NULL text -> NULL entropy
+        6: "abcd",                      # H = 2
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(got) == set(texts)
+    for d, t in texts.items():
+        if not t:
+            assert got[d]["n_chars"] == 0 and got[d]["entropy_bits"] is None
+            continue
+        c = Counter(t)
+        n = len(t)
+        want = round(math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n, 9)
+        assert got[d]["n_chars"] == n
+        assert got[d]["n_distinct_chars"] == len(c)
+        assert abs(got[d]["entropy_bits"] - want) <= 1e-9, (d, got[d], want)
+    assert got[1]["entropy_bits"] == 0.0
+    assert got[2]["entropy_bits"] == 1.0
+    assert got[6]["entropy_bits"] == 2.0
