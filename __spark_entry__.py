@@ -816,6 +816,15 @@ def _q_doc_textrank(spark, sf):
     return X.textrank_keywords(_docs(spark, sf), top_k=5, n_iters=8)
 
 
+def _q_emb_rproj(spark, sf):
+    # JL random projection 64 -> 16 dims (Achlioptas signs, Arrow matmul
+    # kernel, zero shuffle); exploded to (vec_id, j, y) for value-checking
+    out = S.random_projection(_emb(spark, sf), dim=64, dim_out=16)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "y")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), F.round("y", 9).alias("y"))
+
+
 def _q_doc_char_entropy(spark, sf):
     # per-doc character Shannon entropy (compression-proxy quality
     # signal) in the cancellation-free integer form log2(n) - sum(c
@@ -1603,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": _q_doc_collocations,
         "doc_readability": _q_doc_readability,
         "doc_char_entropy": _q_doc_char_entropy,
+        "emb_rproj": _q_emb_rproj,
         "edges_rich_club": _q_edges_rich_club,
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
@@ -1848,6 +1858,30 @@ live{r + 1} AS MATERIALIZED (
     union = " UNION ALL ".join(f"SELECT * FROM col{r}" for r in range(rounds))
     parts.append(f"\nSELECT v, color FROM ({union})")
     return "".join(parts)
+
+
+def _rproj_sql(dim: int = 64, dim_out: int = 16, seed: int = 42) -> str:
+    """JL projection replay: the +-1 sign matrix enters BOTH engines as
+    literals (driver-derived from the portable Feistel60 — neither engine
+    re-hashes), so the only float divergence is summation order of 64
+    +-x terms — sub-ulp, absorbed by ROUND 9. DuckDB's 1-based v[j]
+    realigned to 0-based i; scale 1/sqrt(16) = 0.25 exactly."""
+    from nido_spark.similarity import jl_sign_matrix
+
+    R = jl_sign_matrix(dim, dim_out, seed)
+    vals = ", ".join(
+        f"({i}, {j}, {int(R[i, j])}.0)"
+        for i in range(dim)
+        for j in range(dim_out)
+    )
+    return f"""
+WITH rp(i, j, s) AS (VALUES {vals}),
+rpe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+rpx AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS jj FROM rpe),
+rpf AS (SELECT vec_id, jj - 1 AS i, v[jj] AS x FROM rpx)
+SELECT vec_id, rp.j::INT AS j, ROUND(SUM(x * rp.s) * 0.25, 9) AS y
+FROM rpf JOIN rp USING (i)
+GROUP BY vec_id, rp.j"""
 
 
 def _hll_sql(b: int = 9, seed: int = 42) -> str:
@@ -2978,6 +3012,8 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    sql["emb_rproj"] = _rproj_sql()
 
     # Char entropy: identical integer-count derivation; unnest of the
     # empty-separator split (both engines emit per-codepoint chars;

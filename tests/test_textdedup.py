@@ -1361,3 +1361,60 @@ def test_char_entropy_pure_python_replay(spark):
     assert got[1]["entropy_bits"] == 0.0
     assert got[2]["entropy_bits"] == 1.0
     assert got[6]["entropy_bits"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# random_projection (JL)
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_numpy_replay_and_distance_preservation(spark):
+    import numpy as np
+
+    from nido_spark.similarity import jl_sign_matrix, random_projection
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: np.array(r["proj"]) for r in random_projection(df, dim=64).collect()}
+    R = jl_sign_matrix(64, 16)
+    want = (X.astype(np.float64) @ R) / 4.0
+    for i in range(200):
+        assert np.allclose(got[i], want[i], atol=1e-12), i
+    # JL property: pairwise distances preserved within ~3*sqrt(ln n / d')
+    pairs = [(0, 1), (5, 99), (42, 117), (150, 199)]
+    eps = 3 * np.sqrt(np.log(200) / 16)
+    for a, b in pairs:
+        d0 = np.linalg.norm(X[a].astype(np.float64) - X[b].astype(np.float64))
+        d1 = np.linalg.norm(want[a] - want[b])
+        assert abs(d1 / d0 - 1) < eps, (a, b, d0, d1)
+
+
+def test_random_projection_contracts(spark):
+    import pytest as _pt
+
+    from nido_spark.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with _pt.raises(Exception, match="random_projection"):
+        random_projection(df, dim=64).collect()
+    with _pt.raises(ValueError):
+        random_projection(df, dim=0)
+
+
+def test_jl_sign_matrix_balanced_and_deterministic():
+    import numpy as np
+
+    from nido_spark.similarity import jl_sign_matrix
+
+    R = jl_sign_matrix(64, 16, seed=42)
+    assert set(np.unique(R)) == {-1.0, 1.0}
+    # roughly balanced signs (binomial 3-sigma on 1024 entries)
+    assert abs(R.mean()) < 3 / np.sqrt(1024)
+    assert np.array_equal(R, jl_sign_matrix(64, 16, seed=42))
+    assert not np.array_equal(R, jl_sign_matrix(64, 16, seed=43))
