@@ -816,6 +816,14 @@ def _q_doc_textrank(spark, sf):
     return X.textrank_keywords(_docs(spark, sf), top_k=5, n_iters=8)
 
 
+def _q_emb_knn_graph(spark, sf):
+    # full kNN graph (every vector's top-5 among LSH candidates) — the
+    # shuffle-join twin of ann_lsh_topk; same banded replay, all ids as
+    # queries. dim pinned to 64 (oracle embeds 64-dim plane literals).
+    out = S.knn_graph(_emb(spark, sf), k=5, n_bits=16, n_bands=8, dim=64)
+    return out.select("src", "dst", F.round("cos", 6).alias("cos"), "rank")
+
+
 def _q_emb_rproj(spark, sf):
     # JL random projection 64 -> 16 dims (Achlioptas signs, Arrow matmul
     # kernel, zero shuffle); exploded to (vec_id, j, y) for value-checking
@@ -1613,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": _q_doc_readability,
         "doc_char_entropy": _q_doc_char_entropy,
         "emb_rproj": _q_emb_rproj,
+        "emb_knn_graph": _q_emb_knn_graph,
         "edges_rich_club": _q_edges_rich_club,
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
@@ -3319,6 +3328,30 @@ ranked AS (
 )
 SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # kNN graph: ann_lsh_topk's banded replay with EVERY id as a query
+    # (the Spark side is the broadcast-free shuffle-join rendering; the
+    # candidate set and ranking are identical by construction)
+    sql["emb_knn_graph"] = f"""
+WITH {_lsh_cte(n_bands=8, rows_per_band=2)},
+kcand AS (
+  SELECT DISTINCT q.vec_id AS src, c.vec_id AS dst
+  FROM banded q JOIN banded c USING (band, key)
+  WHERE q.vec_id <> c.vec_id
+),
+kscored AS (
+  SELECT kcand.src, kcand.dst, list_cosine_similarity(eq.v, ec.v) AS cos
+  FROM kcand
+  JOIN ev eq ON kcand.src = eq.vec_id
+  JOIN ev ec ON kcand.dst = ec.vec_id
+),
+kranked AS (
+  SELECT src, dst, cos,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
+  FROM kscored
+)
+SELECT src, dst, ROUND(cos, 6) AS cos, rank::INT AS rank
+FROM kranked WHERE rank <= 5"""
 
     sql["embedding_near_dups"] = f"""
 WITH {_lsh_cte(n_bands=4, rows_per_band=4)},

@@ -955,3 +955,77 @@ def random_projection(
             yield pd.DataFrame({id_col: pdf[id_col], "proj": list(Y)})
 
     return narrow.mapInPandas(kern, schema=out_schema)
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 10,
+    n_bits: int = 16,
+    n_bands: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """(src, dst, cos, rank) — approximate k-nearest-neighbor GRAPH over
+    the whole vector table: every vector's top-k cosine neighbors among
+    its LSH candidates. The construction step before graph-side
+    clustering of an embedding space (knn_graph -> normalize_edges ->
+    louvain/fiedler_vector is the distributed spectral-clustering
+    recipe); also the standard semantic-dedup preprocessing when
+    near_duplicates' fixed threshold is too blunt.
+
+    Unlike ``lsh_ann_topk`` (few queries vs huge corpus — the query side
+    is BROADCAST), here both sides are the full table, so everything is
+    a shuffle join: band once, self-join buckets on (band, key), and
+    rehydrate vectors for the deduplicated candidate pairs via two
+    id-keyed joins. No broadcast, no crossJoin — at 10^10 vectors the
+    candidate volume is sum_buckets s^2, bounded by ``max_bucket_size``
+    (the cap truncates mega-buckets loudly in the plan, same contract as
+    lsh_ann_topk — at self-join fan-out choose it ~sqrt of what a
+    query-side cap would tolerate). Recall rises with n_bands; vectors
+    sharing NO band with anything emit no edges (documented LSH
+    semantics — raise n_bands, not k, to fix).
+
+    ``dim`` pins the hyperplane literals without a .first() inference
+    job (ANN convention; required for oracle parity)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, seed)
+    rows_per_band = n_bits // n_bands
+
+    from nido_spark.plans import truncate_lineage
+
+    b = _cap_buckets(
+        truncate_lineage(
+            _banded_ids(vectors, planes, n_bands, rows_per_band, id_col, vec_col, "src")
+        ),
+        max_bucket_size,
+    )
+    b2 = b.select("band", "key", F.col("src").alias("dst"))
+    cand = (
+        b.join(b2, ["band", "key"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sv = vectors.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_sv"))
+    dv = vectors.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv"))
+    cos = _dot(F.col("_sv"), F.col("_dv")) / (
+        F.greatest(_norm(F.col("_sv")) * _norm(F.col("_dv")), F.lit(1e-12))
+    )
+    scored = (
+        cand.join(dv, "dst")
+        .join(sv, "src")
+        .select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("nbr_id"),
+            cos.alias("cos"),
+        )
+    )
+    return _topk_per_query(scored, k).select(
+        F.col("query_id").alias("src"),
+        F.col("nbr_id").alias("dst"),
+        "cos",
+        "rank",
+    )

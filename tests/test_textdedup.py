@@ -1418,3 +1418,49 @@ def test_jl_sign_matrix_balanced_and_deterministic():
     assert abs(R.mean()) < 3 / np.sqrt(1024)
     assert np.array_equal(R, jl_sign_matrix(64, 16, seed=42))
     assert not np.array_equal(R, jl_sign_matrix(64, 16, seed=43))
+
+
+# ---------------------------------------------------------------------------
+# knn_graph
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_matches_per_query_lsh_and_bruteforce_recall(spark):
+    import numpy as np
+
+    from nido_spark.similarity import knn_graph, lsh_ann_topk
+
+    rng = np.random.default_rng(7)
+    # clustered vectors so LSH buckets are meaningful
+    centers = rng.normal(size=(5, 32))
+    X = np.vstack([c + 0.05 * rng.normal(size=(40, 32)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    g = knn_graph(df, k=3, n_bits=16, n_bands=8, dim=32).collect()
+    got = {(r["src"], r["dst"], r["rank"]) for r in g}
+    # per-query equality with lsh_ann_topk run over ALL ids as queries
+    ref = lsh_ann_topk(df, df, k=3, n_bits=16, n_bands=8, dim=32).collect()
+    want = {(r["query_id"], r["nbr_id"], r["rank"]) for r in ref}
+    assert got == want
+    # same-cluster recall: top-1 neighbor should share the source cluster
+    top1 = {r["src"]: r["dst"] for r in g if r["rank"] == 1}
+    same = sum(1 for s, d in top1.items() if s // 40 == d // 40)
+    assert same / len(top1) > 0.95
+
+
+def test_knn_graph_rank_contract_and_no_self(spark):
+    from nido_spark.similarity import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, float(i % 2)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = knn_graph(df, k=2, n_bits=8, n_bands=8, dim=3).collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r["rank"])
+    for s, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), s
