@@ -816,6 +816,17 @@ def _q_doc_textrank(spark, sf):
     return X.textrank_keywords(_docs(spark, sf), top_k=5, n_iters=8)
 
 
+def _q_emb_mmr(spark, sf):
+    # diversity-aware greedy selection (5 picks, lam=0.7, all-ones
+    # query); oracle unrolls the identical 5 argmax rounds
+    from nido_spark.similarity import mmr_select
+
+    out = mmr_select(_emb(spark, sf), [1.0] * 64, k=5, lam=0.7)
+    return out.select(
+        "rank", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 def _q_emb_knn_graph(spark, sf):
     # full kNN graph (every vector's top-5 among LSH candidates) — the
     # shuffle-join twin of ann_lsh_topk; same banded replay, all ids as
@@ -1622,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_entropy": _q_doc_char_entropy,
         "emb_rproj": _q_emb_rproj,
         "emb_knn_graph": _q_emb_knn_graph,
+        "emb_mmr": _q_emb_mmr,
         "edges_rich_club": _q_edges_rich_club,
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
@@ -1867,6 +1879,39 @@ live{r + 1} AS MATERIALIZED (
     union = " UNION ALL ".join(f"SELECT * FROM col{r}" for r in range(rounds))
     parts.append(f"\nSELECT v, color FROM ({union})")
     return "".join(parts)
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, dim: int = 64) -> str:
+    """Unrolled k-round MMR replay: each pick CTE is the argmax of
+    lam*rel - (1-lam)*GREATEST(cos to prior picks) over the not-yet-
+    picked set (ORDER BY s DESC, vec_id ASC LIMIT 1 — Spark's
+    TakeOrderedAndProject order). lam and 1-lam enter as the same
+    binary64 literals Spark uses (repr round-trip)."""
+    L, M = repr(float(lam)), repr(1.0 - float(lam))
+    q = "[" + ", ".join(["1.0"] * dim) + "]::DOUBLE[]"
+    ctes = [
+        "mv AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"mrel AS MATERIALIZED (SELECT vec_id, v, "
+        f"list_cosine_similarity(v, {q}) AS rel FROM mv)",
+        f"p1 AS (SELECT vec_id, v, {L} * rel AS s FROM mrel "
+        f"ORDER BY s DESC, vec_id ASC LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prior = ", ".join(
+            f"list_cosine_similarity(m.v, (SELECT v FROM p{i}))" for i in range(1, r)
+        )
+        red = f"GREATEST({prior})" if r > 2 else prior
+        notin = " UNION ALL ".join(f"SELECT vec_id FROM p{i}" for i in range(1, r))
+        ctes.append(
+            f"p{r} AS (SELECT m.vec_id, m.v, {L} * m.rel - {M} * {red} AS s "
+            f"FROM mrel m WHERE m.vec_id NOT IN ({notin}) "
+            f"ORDER BY s DESC, m.vec_id ASC LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, ROUND(s, 6) AS score FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
 
 
 def _rproj_sql(dim: int = 64, dim_out: int = 16, seed: int = 42) -> str:
@@ -3023,6 +3068,7 @@ SELECT query_id, nbr_id, ROUND(cos, 6) AS cos, rank::INT AS rank
 FROM ranked WHERE rank <= 5"""
 
     sql["emb_rproj"] = _rproj_sql()
+    sql["emb_mmr"] = _mmr_sql()
 
     # Char entropy: identical integer-count derivation; unnest of the
     # empty-separator split (both engines emit per-codepoint chars;

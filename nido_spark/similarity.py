@@ -1029,3 +1029,71 @@ def knn_graph(
         "cos",
         "rank",
     )
+
+def mmr_select(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, score) — Maximal Marginal Relevance greedy
+    selection (Carbonell-Goldstein'98): pick k vectors maximizing
+    lam * cos(v, query) - (1-lam) * max_{p in picked} cos(v, p) — the
+    diversity-aware counterpart to plain top-k (which returns k copies
+    of the same neighborhood when the corpus has near-dups). The
+    deduplicated-eval-slice / diverse-exemplar selection primitive.
+
+    Execution: k driver rounds; each round is ONE full-scan
+    TakeOrderedAndProject (bounded heap argmax — no shuffle, no window)
+    with the picked vectors folded in as literal arrays (k x dim floats
+    on the driver — selection-sized, k <= tens by design; this is a
+    selection primitive, not a ranking pipeline). Ties break on id
+    ascending. Vectors are compared as float64 (parquet float32 widens
+    exactly, so an SQL replay sees identical inputs)."""
+    if k < 1:
+        raise ValueError("mmr_select: k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("mmr_select: lam must be in [0, 1]")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    rel = _dot(F.col("_v"), qlit) / F.greatest(
+        _norm(F.col("_v")) * _norm(qlit), F.lit(1e-12)
+    )
+    base = base.withColumn("_rel", rel)
+    picked: list[tuple] = []
+    rows_out = []
+    for r in range(1, k + 1):
+        cand = base
+        if picked:
+            cand = cand.where(~F.col("vec_id").isin([p[0] for p in picked]))
+            sims = [
+                _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in pv]))
+                / F.greatest(
+                    _norm(F.col("_v"))
+                    * F.lit(float(np.sqrt(np.dot(pv, pv)))),
+                    F.lit(1e-12),
+                )
+                for _, pv in picked
+            ]
+            red = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            red = F.lit(0.0)
+        score = F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * red
+        top = (
+            cand.select("vec_id", "_v", score.alias("_s"))
+            .orderBy(F.col("_s").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picked.append((row["vec_id"], list(row["_v"])))
+        rows_out.append((r, row["vec_id"], float(row["_s"])))
+    spark = vectors.sparkSession
+    return spark.createDataFrame(rows_out, "rank int, vec_id long, score double")

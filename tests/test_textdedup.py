@@ -1464,3 +1464,80 @@ def test_knn_graph_rank_contract_and_no_self(spark):
         by_src.setdefault(r["src"], []).append(r["rank"])
     for s, ranks in by_src.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), s
+
+
+# ---------------------------------------------------------------------------
+# mmr_select
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr(X, q, k, lam):
+    import numpy as np
+
+    X = X.astype(np.float64)
+    q = np.asarray(q, dtype=np.float64)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
+
+    rel = [cos(x, q) for x in X]
+    picked, out = [], []
+    for r in range(1, k + 1):
+        best = None
+        for i in range(len(X)):
+            if i in picked:
+                continue
+            red = max((cos(X[i], X[p]) for p in picked), default=0.0)
+            s = lam * rel[i] - (1 - lam) * red
+            key = (-s, i)
+            if best is None or key < best[0]:
+                best = (key, i, s)
+        picked.append(best[1])
+        out.append((r, best[1], best[2]))
+    return out
+
+
+def test_mmr_select_numpy_replay_and_diversity(spark):
+    import numpy as np
+
+    from nido_spark.similarity import mmr_select
+
+    rng = np.random.default_rng(9)
+    # three tight clusters: plain top-k would pick one cluster k times
+    centers = rng.normal(size=(3, 16))
+    X = np.vstack([c + 0.01 * rng.normal(size=(10, 16)) for c in centers])
+    q = X[:30].mean(axis=0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    Xd = np.array([np.asarray(X[i], dtype=np.float32) for i in range(30)])
+    want = _py_mmr(Xd, q, k=3, lam=0.5)
+    got = [
+        (r["rank"], r["vec_id"], r["score"])
+        for r in mmr_select(df, [float(v) for v in q], k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, s1), (_, _, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+    # diversity: the 3 picks land in 3 DIFFERENT clusters
+    assert len({v // 10 for _, v, _ in got}) == 3
+
+
+def test_mmr_select_contracts(spark):
+    import pytest as _pt
+
+    from nido_spark.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pt.raises(ValueError):
+        mmr_select(df, [1.0, 0.0], k=0)
+    with _pt.raises(ValueError):
+        mmr_select(df, [1.0, 0.0], lam=1.5)
+    # k > n stops at n picks
+    out = mmr_select(df, [1.0, 0.0], k=5, lam=1.0).collect()
+    assert len(out) == 2
