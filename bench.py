@@ -538,6 +538,118 @@ def _map_probe(sf_dir: str, cpus: int, replicate: int = 600) -> float:
     return n / dt
 
 
+
+def _sketch_probe(sf_dir: str, cpus: int, replicate: int = 64) -> float:
+    """Sketch-family scaling probe (round-5 heavy_hitters +
+    approx_distinct): one Misra-Gries candidate pass + exact verify and
+    one HLL register build over a ``replicate``-times user-id-offset copy
+    of the events table. Both are map-dominated (O(k)/O(m) state per
+    task, register-sized exchanges), so this should sit near the box's
+    pure-CPU ceiling, NOT the shuffle band. Prints events/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark.relational import approx_distinct, heavy_hitters
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_sketch_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    big = (
+        ev.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select(
+            (F.col("user_id") + F.col("off")).alias("user_id"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+
+    def once():
+        # 3 back-to-back sketch passes per measured run: grows measured
+        # work 3x without growing the (shuffle-heavy, unmeasured) cache
+        # build, so the probe stays inside the sandbox timeout at a
+        # replicate large enough to amortize stage dispatch.
+        for _ in range(3):
+            heavy_hitters(big, ["user_id"], k=200).count()
+            approx_distinct(big, ["event_type"], "user_id").count()
+
+    once()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        once()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    rate = 3 * n / dt  # 3 passes per measured run
+    print(json.dumps({"cpus": cpus, "events_per_sec": rate, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_events": n}))
+    spark.stop()
+    return rate
+
+
+def _interval_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
+    """Interval-join scaling probe (round-5 interval_join): gap-1800
+    sessions of a ``replicate``-times copy of events (user ids offset AND
+    timestamps shifted by 60 days per copy, so the overlap-pair volume
+    scales LINEARLY in replicate — cross-copy sessions can never overlap)
+    self-joined for cross-user concurrency. Prints sessions/sec over the
+    explode + equi-join + owner-bucket pass."""
+    from pyspark.sql import functions as F
+
+    from nido_spark.relational import interval_join, session_stats
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_ivl_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    big = (
+        ev.crossJoin(
+            spark.range(replicate).select(
+                (F.col("id") * 10_000_000).alias("off"),
+                (F.col("id") * 5_184_000_000_000).alias("tshift_us"),
+            )
+        )
+        .select(
+            (F.col("user_id") + F.col("off")).alias("user_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             + F.col("tshift_us")).alias("us"),
+            "event_id",
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("us")))
+        .drop("us")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    big.count()
+    sess = session_stats(big, gap_seconds=1800).select(
+        "user_id", "session_idx", "t_start_us", "t_end_us"
+    ).persist()
+    n = sess.count()
+
+    def once():
+        interval_join(
+            sess, sess,
+            left_start="t_start_us", left_end="t_end_us",
+            right_start="t_start_us", right_end="t_end_us",
+            bucket_seconds=3600,
+        ).where(F.col("user_id") < F.col("user_id_r")).count()
+
+    once()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        once()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "sessions_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_sessions": n}))
+    spark.stop()
+    return n / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -553,6 +665,16 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-louvain":
         _louvain_sweep_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-sketch":
+        _sketch_probe(sf_dir, int(sys.argv[2]),
+                      int(sys.argv[3]) if len(sys.argv) > 3 else 64)
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-interval":
+        _interval_probe(sf_dir, int(sys.argv[2]),
+                        int(sys.argv[3]) if len(sys.argv) > 3 else 8)
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-dedup":
