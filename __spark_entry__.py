@@ -1229,6 +1229,21 @@ def _q_events_approx_users(spark, sf):
     return approx_distinct(_events(spark, sf), ["event_type"], "user_id")
 
 
+def _q_events_count_min(spark, sf):
+    # count-min frequency estimates for every 13th user id: the d x 2^b
+    # register table AND the min-over-depths estimates replay register-
+    # for-register in DuckDB (same Feistel60 per-depth hashes), so the
+    # oracle checks the sketch itself, not a tolerance band
+    from nido_spark.relational import count_min_query, count_min_sketch
+
+    ev = _events(spark, sf)
+    sk = count_min_sketch(ev, "user_id", d=4, b=12, seed=42)
+    keys = ev.where(F.col("user_id") % 13 == 0)
+    return count_min_query(sk, keys, "user_id", d=4, b=12, seed=42).orderBy(
+        "user_id"
+    )
+
+
 def _q_events_heavy_hitters(spark, sf):
     # exact frequencies of users with share > 1/121, discovered via the
     # per-partition Misra-Gries candidate sketch + exact verify pass;
@@ -1581,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_approx_users": _q_events_approx_users,
+        "events_count_min": _q_events_count_min,
         "events_concurrent_sessions": _q_events_concurrent_sessions,
         "transcript_triads": _q_transcript_triads,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
@@ -1981,6 +1997,60 @@ SELECT event_type,
                   ELSE raw END, 9) AS est
 FROM (SELECT event_type, ({m} - present)::DOUBLE AS zeros,
              {alphamm} / (s + ({m} - present)::DOUBLE) AS raw FROM agg)"""
+
+
+def _cms_sql(d: int = 4, b: int = 12, seed: int = 42, stride: int = 1_000_003) -> str:
+    """DuckDB replay of relational.count_min_sketch + count_min_query on
+    events.user_id for keys divisible by 13: per depth j the identical
+    4-round Feistel60 with seed + j*stride (exact BIGINT ops), top-b-bit
+    bucket, COUNT(*) registers, then min-over-depths per key. All-integer
+    math — the match is exact, no rounding needed."""
+    ks = [(1103515245, 12345), (48271, 11213), (1583458089, 54321), (784588716, 98765)]
+    m30 = (1 << 30) - 1
+    two60 = 1 << 60
+
+    def chain(src: str, s: int, tag: str) -> list[str]:
+        ctes = [
+            f"""{tag}hx AS (SELECT user_id,
+        ((user_id + {s}) % {two60} + {two60}) % {two60} AS x FROM {src})""",
+            f"{tag}f0 AS (SELECT user_id, x >> 30 AS L, x & {m30} AS R FROM {tag}hx)",
+        ]
+        for i, (a, c) in enumerate(ks):
+            ctes.append(
+                f"""{tag}f{i + 1} AS (SELECT user_id, R AS L,
+       xor(L, (({a} * R + {c}) >> 15) & {m30}) AS R FROM {tag}f{i})"""
+            )
+        ctes.append(
+            f"""{tag}bk AS (SELECT user_id, ((L << 30) + R) >> {60 - b} AS bucket
+            FROM {tag}f{len(ks)})"""
+        )
+        return ctes
+
+    ctes = [
+        "base AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)",
+        """qk AS (SELECT DISTINCT user_id FROM events
+       WHERE user_id IS NOT NULL AND user_id % 13 = 0)""",
+    ]
+    for j in range(d):
+        s = seed + j * stride
+        ctes += chain("base", s, f"r{j}")
+        ctes.append(
+            f"""reg{j} AS (SELECT {j} AS depth, bucket, COUNT(*)::BIGINT AS cnt
+           FROM r{j}bk GROUP BY 2)"""
+        )
+        ctes += chain("qk", s, f"q{j}")
+        ctes.append(f"qb{j} AS (SELECT user_id, {j} AS depth, bucket FROM q{j}bk)")
+    regs = " UNION ALL ".join(f"SELECT * FROM reg{j}" for j in range(d))
+    qbs = " UNION ALL ".join(f"SELECT * FROM qb{j}" for j in range(d))
+    ctes.append(f"sketch AS ({regs})")
+    ctes.append(f"qrows AS ({qbs})")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT q.user_id,
+       MIN(COALESCE(s.cnt, 0))::BIGINT AS est
+FROM qrows q LEFT JOIN sketch s USING (depth, bucket)
+GROUP BY 1 ORDER BY 1"""
 
 
 def _matching_sql(rounds: int = 6, seed: int = 42) -> str:
@@ -3141,6 +3211,10 @@ FROM stab a JOIN stab b
     # 2^-M terms fits 53 mantissa bits), and the identical alpha/linear-
     # counting estimate. xor() is DuckDB's integer XOR.
     sql["events_approx_users"] = _hll_sql()
+
+    # count-min: FULL sketch replay, same Feistel60 family per depth —
+    # all-integer math, exact register-for-register match
+    sql["events_count_min"] = _cms_sql()
 
     # Heavy hitters: the OUTPUT is exact (the MG sketch only bounds the
     # candidate set and never reaches the answer — relational.py

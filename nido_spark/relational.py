@@ -752,6 +752,107 @@ def approx_distinct(
     ).otherwise(raw)
     return per.select(*groups, F.round(est, 9).alias("est"))
 
+
+# Per-depth hash seeds for the count-min sketch are spaced by a large odd
+# stride so the d Feistel instances are independent permutations of the key
+# space; any fixed stride works because the mix avalanches the seed too.
+_CMS_SEED_STRIDE = 1_000_003
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    b: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """(depth, bucket, cnt) — a count-min sketch of ``value_col``
+    occurrence frequencies: d independent hash rows of 2^b counters.
+    Point estimates (via ``count_min_query``) are one-sided: est >= true
+    count always, and est <= true + 2N/2^b with probability 1 - 2^-d
+    (Cormode-Muthukrishnan bounds with w = 2^b registers over N rows).
+
+    Like ``approx_distinct``, the hash is the engine's portable
+    ``_feistel60`` (depth j uses seed + j*stride), so the sketch — every
+    register value — is bit-identical when replayed in any SQL dialect:
+    the sketch itself is the auditable artifact a deployment ships
+    between systems, not just the estimates.
+
+    100 TB shape: the d bucket ids are computed in ONE scan pass (an
+    explode of d (depth, bucket) structs, partially aggregated map-side
+    to <= d*2^b counter cells per task), so the exchange carries at most
+    d*2^b register rows per task regardless of input size — the whole
+    point of sketching at 10^12 rows, where exact per-key counts
+    (heavy_hitters' verify pass) shuffle O(distinct keys). NULLs are
+    ignored; the value column must be integral (hash strings first with
+    dedup._portable_token_hash)."""
+    if not (1 <= d <= 8):
+        raise ValueError(f"count_min_sketch: d must be in [1, 8], got {d}")
+    if not (4 <= b <= 20):
+        raise ValueError(f"count_min_sketch: b must be in [4, 20], got {b}")
+    rows = [
+        F.struct(
+            F.lit(j).alias("depth"),
+            F.shiftright(
+                _feistel60(F.col(value_col) + F.lit(seed + j * _CMS_SEED_STRIDE)),
+                60 - b,
+            ).alias("bucket"),
+        )
+        for j in range(d)
+    ]
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.explode(F.array(*rows)).alias("_r"))
+        .select(F.col("_r.depth").alias("depth"), F.col("_r.bucket").alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    b: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """(key, est) — count-min point estimates for each distinct key in
+    ``keys``: min over the d register rows the key hashes to. (d, b,
+    seed) MUST match the ``count_min_sketch`` call that built the
+    sketch — there is no way to validate that from the register table
+    alone, so a mismatch silently yields garbage estimates; keep the
+    parameters with the sketch. A key hashing to an absent register
+    estimates 0 (the register was never touched), preserving the
+    one-sided guarantee for absent keys exactly.
+
+    The sketch is at most d*2^b rows by construction, so it is
+    broadcast: the lookup is a map-side join against the (usually
+    large) key set — no shuffle of the keys."""
+    rows = [
+        F.struct(
+            F.lit(j).alias("depth"),
+            F.shiftright(
+                _feistel60(F.col(key_col) + F.lit(seed + j * _CMS_SEED_STRIDE)),
+                60 - b,
+            ).alias("bucket"),
+        )
+        for j in range(d)
+    ]
+    q = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+        .select(key_col, F.explode(F.array(*rows)).alias("_r"))
+        .select(key_col, F.col("_r.depth").alias("depth"), F.col("_r.bucket").alias("bucket"))
+    )
+    return (
+        q.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -784,3 +784,60 @@ def test_interval_join_span_guard_raises(spark):
         interval_join(
             a, a, "s", "e", "s", "e", bucket_seconds=1, max_buckets_per_row=1000
         ).count()
+
+
+def test_count_min_one_sided_and_collisions(spark):
+    """CMS guarantee: est >= true count for EVERY key, for any
+    partitioning; with b=4 (16 registers) over 40 distinct keys
+    collisions are forced, so at least one key must strictly
+    over-count — pinning that the sketch is genuinely lossy, not an
+    exact count in disguise."""
+    import random
+    from collections import Counter
+
+    from nido_spark.relational import count_min_query, count_min_sketch
+
+    rng = random.Random(11)
+    keys = [rng.randrange(40) for _ in range(3000)]
+    true = Counter(keys)
+    df = spark.createDataFrame([(x,) for x in keys], "k long")
+    for nparts in (1, 13):
+        sk = count_min_sketch(df.repartition(nparts), "k", d=3, b=4, seed=5)
+        got = {
+            r["k"]: r["est"]
+            for r in count_min_query(sk, df, "k", d=3, b=4, seed=5).collect()
+        }
+        assert set(got) == set(true)
+        assert all(got[k] >= true[k] for k in true)
+        assert any(got[k] > true[k] for k in true), "b=4 must collide"
+
+
+def test_count_min_absent_and_null_keys(spark):
+    """Keys absent from the data estimate via untouched-register zeros
+    (possibly inflated by collisions, never negative); NULLs are ignored
+    on both build and query sides; registers never exceed d*2^b rows."""
+    from nido_spark.relational import count_min_query, count_min_sketch
+
+    df = spark.createDataFrame([(1,)] * 10 + [(2,)] * 5 + [(None,)] * 3, "k long")
+    sk = count_min_sketch(df, "k", d=4, b=12, seed=42)
+    assert sk.count() <= 4 * (1 << 12)
+    probe = spark.createDataFrame([(1,), (2,), (999_999,), (None,)], "k long")
+    got = {
+        r["k"]: r["est"]
+        for r in count_min_query(sk, probe, "k", d=4, b=12, seed=42).collect()
+    }
+    assert got[1] == 10 and got[2] == 5
+    assert got[999_999] == 0  # 4096 buckets, 2 keys: no collision
+    assert None not in got
+
+
+def test_count_min_params_validated(spark):
+    import pytest as _pt
+
+    from nido_spark.relational import count_min_sketch
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pt.raises(ValueError):
+        count_min_sketch(df, "k", d=0)
+    with _pt.raises(ValueError):
+        count_min_sketch(df, "k", b=3)
