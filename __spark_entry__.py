@@ -1229,6 +1229,18 @@ def _q_events_approx_users(spark, sf):
     return approx_distinct(_events(spark, sf), ["event_type"], "user_id")
 
 
+def _q_events_bloom_semi(spark, sf):
+    # Bloom-prefiltered semi join: map-side broadcast word-table probes
+    # discard non-members before the exact semi join's exchange; output
+    # is EXACTLY the plain semi join (the filter only reduces shuffle),
+    # so the oracle is the plain IN-subquery rendering
+    from nido_spark.relational import bloom_semi_join
+
+    ev = _events(spark, sf)
+    keys = ev.where(F.col("user_id") % 29 == 0).select("user_id")
+    return bloom_semi_join(ev, "user_id", keys).select("event_id", "user_id")
+
+
 def _q_events_count_min(spark, sf):
     # count-min frequency estimates for every 13th user id: the d x 2^b
     # register table AND the min-over-depths estimates replay register-
@@ -1597,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_approx_users": _q_events_approx_users,
         "events_count_min": _q_events_count_min,
+        "events_bloom_semi": _q_events_bloom_semi,
         "events_concurrent_sessions": _q_events_concurrent_sessions,
         "transcript_triads": _q_transcript_triads,
         "events_sessionize_hotsplit": _q_events_sessionize_hotsplit,
@@ -3215,6 +3228,13 @@ FROM stab a JOIN stab b
     # count-min: FULL sketch replay, same Feistel60 family per depth —
     # all-integer math, exact register-for-register match
     sql["events_count_min"] = _cms_sql()
+
+    # bloom semi join: output is EXACT (the Bloom pass only prunes the
+    # exchange), so the oracle is the plain semi join
+    sql["events_bloom_semi"] = """
+SELECT event_id, user_id FROM events
+WHERE user_id IN (SELECT user_id FROM events
+                  WHERE user_id IS NOT NULL AND user_id % 29 = 0)"""
 
     # Heavy hitters: the OUTPUT is exact (the MG sketch only bounds the
     # candidate set and never reaches the answer — relational.py

@@ -853,6 +853,106 @@ def count_min_query(
     )
 
 
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    b: int = 22,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(word, bits) — a Bloom filter of the distinct keys as packed
+    64-bit words: 2^b bits total, each key setting k bit positions
+    (per-depth-seeded Feistel60, the same mixer family as the CMS/HLL
+    sketches). Only words with at least one set bit materialize, so the
+    table is at most min(2^(b-6), k * |keys|) rows — e.g. b=22 is 512 KiB
+    dense, broadcastable everywhere. Built in ONE scan pass (k-struct
+    explode, map-side partial bit_or)."""
+    if not (6 <= b <= 30):
+        raise ValueError(f"bloom_bits: b must be in [6, 30], got {b}")
+    if not (1 <= k <= 8):
+        raise ValueError(f"bloom_bits: k must be in [1, 8], got {k}")
+    rows = [
+        F.struct(
+            F.shiftright(
+                _feistel60(F.col(key_col) + F.lit(seed + j * _CMS_SEED_STRIDE)),
+                60 - b,
+            ).alias("pos")
+        )
+        for j in range(k)
+    ]
+    return (
+        keys.where(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*rows)).alias("_r"))
+        .select(
+            F.shiftright(F.col("_r.pos"), 6).alias("word"),
+            F.col("_r.pos").bitwiseAND(F.lit(63)).alias("_bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("bits")
+        )
+    )
+
+
+def bloom_semi_join(
+    df: DataFrame,
+    col: str,
+    keys: DataFrame,
+    key_col: str | None = None,
+    b: int = 22,
+    k: int = 4,
+    seed: int = 42,
+    exact: bool = True,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` appears in ``keys[key_col]`` — a
+    semi join with a BROADCAST BLOOM PREFILTER in front of it, the
+    standard 10^12-row join-reduction pattern: the k probe lookups are
+    map-side joins against the <= 2^(b-6)-row word table (no shuffle of
+    ``df``), so rows that cannot match never reach the exact semi
+    join's exchange. With the defaults (2^22 bits, k=4) and 10^5 keys
+    the false-positive rate is ~1e-6 — at 10^12 rows against a small
+    key set, the exchange shrinks by ~the selectivity of the filter.
+
+    ``exact=True`` (default) keeps the verifying semi join, so the
+    OUTPUT is exactly the plain semi join's — the Bloom pass only
+    reduces what the exchange carries (same contract as heavy_hitters:
+    the sketch proposes, the exact pass decides). ``exact=False`` skips
+    the verify and returns the prefiltered superset (false positives
+    possible, never false negatives) — the mode a pipeline uses when a
+    downstream exact join re-checks anyway. NULL probe values never
+    match (SQL semi-join convention)."""
+    kc = key_col or col
+    words = bloom_bits(keys, kc, b=b, k=k, seed=seed)
+    aux: list[str] = []
+    out = df
+    cond = None
+    for j in range(k):
+        pos = F.shiftright(
+            _feistel60(F.col(col) + F.lit(seed + j * _CMS_SEED_STRIDE)), 60 - b
+        )
+        wn, bn = f"_bf_w{j}", f"_bf_b{j}"
+        aux += [wn, bn]
+        out = out.withColumn(wn, F.shiftright(pos, 6)).withColumn(
+            bn, pos.bitwiseAND(F.lit(63))
+        )
+        w_j = words.select(F.col("word").alias(wn), F.col("bits").alias(f"_bits{j}"))
+        aux.append(f"_bits{j}")
+        out = out.join(F.broadcast(w_j), wn, "left")
+        hit = (
+            F.coalesce(F.col(f"_bits{j}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {bn})")
+            )
+            != 0
+        )
+        cond = hit if cond is None else (cond & hit)
+    out = out.where(cond).drop(*aux)
+    if exact:
+        out = out.join(
+            keys.select(F.col(kc).alias(col)).distinct(), col, "left_semi"
+        )
+    return out
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

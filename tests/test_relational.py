@@ -841,3 +841,60 @@ def test_count_min_params_validated(spark):
         count_min_sketch(df, "k", d=0)
     with _pt.raises(ValueError):
         count_min_sketch(df, "k", b=3)
+
+
+def test_bloom_semi_join_exact_equals_plain_semi(spark):
+    """exact=True output == the plain left_semi join, for any
+    partitioning and for probe values far outside the key range
+    (negative, huge) — the Bloom pass must be output-invisible."""
+    import random
+
+    from nido_spark.relational import bloom_semi_join
+
+    rng = random.Random(3)
+    vals = [rng.randrange(-1000, 1000) * 9999 for _ in range(2000)] + [None] * 5
+    keyset = sorted({v for v in vals[:200] if v is not None})
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    keys = spark.createDataFrame([(x,) for x in keyset], "v long")
+    want = {
+        (r["i"], r["v"])
+        for r in df.join(keys, "v", "left_semi").select("i", "v").collect()
+    }
+    for nparts in (1, 11):
+        got = {
+            (r["i"], r["v"])
+            for r in bloom_semi_join(df.repartition(nparts), "v", keys)
+            .select("i", "v")
+            .collect()
+        }
+        assert got == want, f"nparts={nparts}"
+
+
+def test_bloom_prefilter_superset_and_no_false_negatives(spark):
+    """exact=False returns a SUPERSET of the true members (never drops a
+    member), and with b=22/k=4 over a tiny key set it should pass
+    nothing else here (fp ~ 1e-6)."""
+    from nido_spark.relational import bloom_semi_join
+
+    df = spark.createDataFrame([(v,) for v in range(10_000)], "v long")
+    keys = spark.createDataFrame([(v,) for v in range(0, 10_000, 500)], "v long")
+    got = {r["v"] for r in bloom_semi_join(df, "v", keys, exact=False).collect()}
+    member = set(range(0, 10_000, 500))
+    assert member <= got
+    assert len(got) <= len(member) + 2  # fp budget at these sizes
+
+
+def test_bloom_bits_word_bound_and_params(spark):
+    import pytest as _pt
+
+    from nido_spark.relational import bloom_bits
+
+    keys = spark.createDataFrame([(v,) for v in range(100)], "v long")
+    wt = bloom_bits(keys, "v", b=10, k=3)
+    rows = wt.collect()
+    assert len(rows) <= 1 << (10 - 6)
+    assert all(r["bits"] != 0 for r in rows)
+    with _pt.raises(ValueError):
+        bloom_bits(keys, "v", b=40)
+    with _pt.raises(ValueError):
+        bloom_bits(keys, "v", k=0)
