@@ -1464,6 +1464,18 @@ def _q_lpa_full(spark, sf):
     return A.label_propagation(lineitem_edges(spark, sf), nbatches=4, max_iters=8)
 
 
+def _q_doc_jaccard_join(spark, sf):
+    # EXACT set-similarity join (AllPairs prefix filter): guaranteed
+    # recall at any threshold — unlike the banded-LSH entry below, whose
+    # equality to the exhaustive oracle leans on the fixture's bimodal
+    # invariant. t=0.35 sits in the fixture's measured gap (planted dups
+    # at J >= 0.99, background < 0.31), but the operator's recall needs
+    # no such luck: the prefix filter is provably lossless.
+    return D.jaccard_join(_docs(spark, sf), threshold=0.35).select(
+        "a", "b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
 def _q_minhash_near_dups(spark, sf):
     return D.minhash_dedup(_docs(spark, sf), threshold=0.6).select(
         "a", "b", F.round("jaccard", 9).alias("jaccard")
@@ -1692,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "doc_winnow_fingerprints": _q_doc_winnow,
         "minhash_near_dups": _q_minhash_near_dups,
+        "doc_jaccard_join": _q_doc_jaccard_join,
         "fuzzy_dedup_survivors": _q_fuzzy_dedup_survivors,
         "corpus_prepare": _q_corpus_prepare,
         "corpus_sample": _q_corpus_sample,
@@ -3435,6 +3448,10 @@ FROM pex JOIN pr6 USING (i) GROUP BY pex.vec_id"""
 
     sql["minhash_near_dups"] = f"""
 WITH {_jaccard_pairs_cte()}
+SELECT a, b, ROUND(jaccard, 9) AS jaccard FROM jpairs"""
+
+    sql["doc_jaccard_join"] = f"""
+WITH {_jaccard_pairs_cte(threshold=0.35)}
 SELECT a, b, ROUND(jaccard, 9) AS jaccard FROM jpairs"""
 
     sql["fuzzy_dedup_survivors"] = f"""

@@ -1541,3 +1541,83 @@ def test_mmr_select_contracts(spark):
     # k > n stops at n picks
     out = mmr_select(df, [1.0, 0.0], k=5, lam=1.0).collect()
     assert len(out) == 2
+
+
+def _brute_jaccard_pairs(texts, k, t):
+    """Exhaustive shingle-set Jaccard over a {doc_id: text} dict."""
+    sets = {}
+    for d, txt in texts.items():
+        s = txt.strip().lower()
+        sets[d] = {s[i : i + k] for i in range(max(len(s) - k + 1, 0))}
+        sets[d] = {g for g in sets[d] if len(g) == k}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sets[a] | sets[b]
+            if not u:
+                continue
+            j = len(sets[a] & sets[b]) / len(u)
+            if j >= t:
+                out[(a, b)] = j
+    return out
+
+
+def test_jaccard_join_exact_recall_mid_band(spark):
+    """EVERY pair at J >= t is returned, including the mid-band pairs
+    (J in [0.3, 0.7)) that banded MinHash misses with material
+    probability — the operator's reason to exist. Values match the
+    brute-force Jaccard to 1e-9."""
+    import random
+
+    from nido_spark.dedup import jaccard_join
+
+    rng = random.Random(19)
+    base = ["the quick brown fox jumps over the lazy dog " * 3,
+            "pack my box with five dozen liquor jugs " * 3,
+            "how vexingly quick daft zebras jump " * 3]
+    texts = {}
+    did = 0
+    for b in base:
+        for _ in range(6):
+            # random perturbation: drop / duplicate / mutate chunks, so
+            # pair similarities spread across the whole (0, 1] range
+            words = b.split()
+            m = rng.randrange(0, len(words) // 2)
+            for _ in range(m):
+                op = rng.randrange(3)
+                i = rng.randrange(len(words))
+                if op == 0:
+                    words[i] = words[i][::-1]
+                elif op == 1:
+                    words.insert(i, "w%d" % rng.randrange(50))
+                else:
+                    del words[i]
+            texts[did] = " ".join(words)
+            did += 1
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    for t in (0.35, 0.6):
+        want = _brute_jaccard_pairs(texts, 5, t)
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_join(df, threshold=t).collect()
+        }
+        assert set(got) == set(want), f"t={t}: missing {set(want) - set(got)}"
+        assert all(abs(got[p] - want[p]) < 1e-9 for p in want)
+        assert any(0.3 <= j < 0.7 for j in want.values()) or t > 0.55, \
+            "fixture must exercise the mid band"
+
+
+def test_jaccard_join_threshold_one_and_validation(spark):
+    import pytest as _pt
+
+    from nido_spark.dedup import jaccard_join
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]) for r in jaccard_join(df, threshold=1.0).collect()}
+    assert got == {(1, 2)}
+    with _pt.raises(ValueError):
+        jaccard_join(df, threshold=0.0)
