@@ -948,3 +948,32 @@ def test_triad_census_mid_degree_cap_excludes_hub_paths(spark):
     capped = triad_census(df, max_mid_degree=4).collect()[0]
     # hub's in*out = 16 > 4 -> its 16 paths vanish; cycle middles are 1*1
     assert (capped["n_paths"], capped["n_cyclic"]) == (3, 1)
+
+
+def test_transcript_per_turn_text_equality_under_stable_order(spark):
+    """The input-table per-row invariant (BASELINE input_hint): every
+    (conv_id, turn_idx) row of the DISTRIBUTED transcript generator —
+    including the TEXT payload and timestamp — equals the driver-side
+    reference rendering, under the stable (conv_id, turn_idx) order,
+    for ANY partitioning. This is the 'per-turn text equality under
+    stable turn ordering' contract every downstream edge derivation
+    rests on."""
+    from nido_spark.io import synth_transcripts, synth_transcripts_pandas
+
+    ref = (
+        synth_transcripts_pandas(40, seed=9)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for parts in (1, 7):
+        got = (
+            synth_transcripts(spark, 40, seed=9, partitions=parts)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == list(ref.columns)
+        for c in ("conv_id", "turn_idx", "role", "text", "tool"):
+            assert got[c].where(got[c].notna(), None).tolist() == \
+                   ref[c].where(ref[c].notna(), None).tolist(), (parts, c)
+        assert (got["ts"].astype("int64") == ref["ts"].astype("int64")).all()
