@@ -141,6 +141,18 @@ def _run_queries(sf_dir: str, cpus: int) -> dict:
         ).count(),
     )
 
+    # q20 (new in round 5): exact set-similarity join — prefix-filtered
+    # AllPairs with guaranteed recall. Half the corpus at t=0.8: the
+    # synthetic documents are templated (tiny shared vocabulary), so
+    # candidate density is near the operator's worst case — full-corpus
+    # mid-band thresholds belong in the focused probe, not the headline.
+    timed(
+        "q20_jaccard_join",
+        lambda: D.jaccard_join(
+            docs.where(F.col("doc_id") % 2 == 0), threshold=0.8
+        ).count(),
+    )
+
     # throughput: edges-processed/sec over the PageRank loop (10 iterations
     # touch each directed edge once per iteration)
     eps = ne * 10 / timings["q5_pagerank_10it"]
@@ -650,6 +662,59 @@ def _interval_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     return n / dt
 
 
+def _jaccard_probe(sf_dir: str, cpus: int, replicate: int = 1) -> float:
+    """Exact set-similarity join scaling probe (round-5 jaccard_join):
+    AllPairs prefix-filtered join at t=0.9 over documents. The synthetic
+    corpus is templated (tiny shared vocabulary), so candidate density is
+    near the operator's worst case and the millions of candidate pairs —
+    not the 5k doc count — are the probed load. ``replicate`` > 1 copies
+    are id-offset AND vowel-substituted with a copy-specific token, so
+    cross-copy shingle overlap collapses to ~0 and pair volume stays
+    LINEAR in replicate (id-offset alone would square it — every doc is
+    its own cross-copy exact dup). Probes the explode -> global-frequency
+    groupBy -> per-doc rank window -> prefix self-join (positional
+    filter) -> intersect verify chain. Prints docs/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import dedup as D
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_jj_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit("[aeiouAEIOU]"),
+                F.concat(F.lit("<"), (F.col("off") / 10_000_000).cast("long").cast("string"), F.lit(">")),
+            ).alias("text"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+
+    def once():
+        return D.jaccard_join(big, threshold=0.9).count()
+
+    npairs = once()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        once()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs],
+                      "n_docs": n, "n_pairs": npairs}))
+    spark.stop()
+    return n / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -670,6 +735,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-sketch":
         _sketch_probe(sf_dir, int(sys.argv[2]),
                       int(sys.argv[3]) if len(sys.argv) > 3 else 64)
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-jaccard":
+        _jaccard_probe(sf_dir, int(sys.argv[2]),
+                       int(sys.argv[3]) if len(sys.argv) > 3 else 1)
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-interval":

@@ -236,18 +236,27 @@ def jaccard_join(
     (``jaccard_verify``), so the output is exactly the exhaustive
     answer — the prefix filter only bounds which pairs are examined.
 
-    100 TB shape: the exchange carries (doc_id, fp, n) PREFIX rows —
-    a t=0.8 doc ships ~20% of its distinct shingles, never text. The
-    frequency ordering is the fan-out control: boilerplate shingles
+    100 TB shape: the exchange carries (doc_id, fp, n, rank) PREFIX
+    rows — a t=0.8 doc ships ~20% of its distinct shingles, never text.
+    The frequency ordering is the fan-out control: boilerplate shingles
     (shared by millions of docs) sort LAST and fall outside prefixes
     except for tiny sets, so the quadratic blow-up an LSH bucket cap
     guards against is structurally avoided rather than capped — no
     recall exception to document. The per-doc rank window is a bounded
-    per-doc sort (shingle count, not corpus). A size filter
-    (min(n) >= t * max(n), necessary for J >= t) prunes cross-size
-    pairs at the join. Epsilon guards keep ceil/multiply float error
-    from SHORTENING a prefix or dropping a boundary pair (recall-safe
-    direction only)."""
+    per-doc sort (shingle count, not corpus). Three sound filters prune
+    before the exact verify: (1) size — min(n) >= t*max(n), necessary
+    for J >= t; (2) PPJoin positional — both sets are sorted by the SAME
+    global order, so the pair's FIRST shared token at ranks (i, j) bounds
+    |A∩B| <= 1 + min(n_a - i, n_b - j) (a shared token before rank i in A
+    would itself be an earlier first match), which must reach the overlap
+    requirement alpha = ceil(t/(1+t) * (n_a+n_b)); since i and j both
+    grow along the order, MAX over matches of that bound IS the
+    first-match bound, so it folds into the same groupBy that dedups
+    matches into candidate pairs; (3) verify computes only the
+    intersection size — the union is n_a + n_b - common from the sizes
+    already in hand, not an array_union. Epsilon guards keep
+    ceil/multiply float error on the recall-safe side only (prefixes
+    never shorten, alpha never rounds up, boundary pairs never drop)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"jaccard_join: threshold must be in (0, 1], got {threshold}")
     sets = docs.select(
@@ -267,19 +276,55 @@ def jaccard_join(
     prefix = ranked.where(
         F.col("rank")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
-    ).select("doc_id", "fp", "n")
+    ).select("doc_id", "fp", "n", "rank")
+    na, nb = F.col("l.n"), F.col("r.n")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb).cast("double") - F.lit(1e-9)
+    )
     cands = (
         prefix.alias("l")
         .join(prefix.alias("r"), "fp")
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .where(
-            F.least(F.col("l.n"), F.col("r.n"))
-            >= F.lit(threshold) * F.greatest(F.col("l.n"), F.col("r.n")) - F.lit(1e-9)
+        .where(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9))
+        .groupBy(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            alpha.alias("alpha"),
         )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
+        .agg(
+            F.max(
+                F.lit(1) + F.least(na - F.col("l.rank"), nb - F.col("r.rank"))
+            ).alias("ub")
+        )
+        .where(F.col("ub") >= F.col("alpha"))
+        .select("a", "b", "n_a", "n_b")
     )
-    return jaccard_verify(docs, cands, text_col, k, threshold)
+    sh = docs.select(
+        F.col("doc_id"),
+        F.transform(
+            _char_shingles(F.col(text_col), k), lambda g: F.xxhash64(g)
+        ).alias("sh"),
+    )
+    return (
+        cands.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.lit(1),
+                )
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_dedup(
