@@ -785,7 +785,15 @@ def count_min_sketch(
     point of sketching at 10^12 rows, where exact per-key counts
     (heavy_hitters' verify pass) shuffle O(distinct keys). NULLs are
     ignored; the value column must be integral (hash strings first with
-    dedup._portable_token_hash)."""
+    dedup._portable_token_hash).
+
+    Streaming: works AS-IS on a streaming DataFrame (complete/update
+    output modes) — it is a pure groupBy over an exploded probe set, so
+    the streaming state is bounded at d*2^b register rows FOREVER, no
+    watermark needed, regardless of how many distinct keys flow past
+    (the unbounded-cardinality case where an exact per-key streaming
+    count cannot run at all). Stream==batch register parity is
+    test-pinned (test_streaming)."""
     if not (1 <= d <= 8):
         raise ValueError(f"count_min_sketch: d must be in [1, 8], got {d}")
     if not (4 <= b <= 20):

@@ -351,3 +351,47 @@ def test_streaming_dedup_first_arrival_within_watermark(spark, tmp_path):
         "doc_id long, ts timestamp, fp string",
     )
     assert ST.streaming_dedup(batch).count() == 2
+
+
+def test_count_min_sketch_streams_with_bounded_state(spark, tmp_path):
+    """relational.count_min_sketch is streaming-compatible AS-IS: it is a
+    pure groupBy over an exploded probe set, so in complete mode its
+    state is bounded at d*2^b register rows FOREVER regardless of how
+    many distinct keys flow past — the sketch's whole point, and the
+    contrast with an exact per-key streaming count (unbounded state).
+    Stream registers over two file waves == the batch sketch over the
+    union, bit for bit."""
+    from nido_spark.relational import count_min_sketch
+
+    df = spark.createDataFrame(
+        [(i, (i * i) % 97) for i in range(4000)], "event_id long, user_id long"
+    )
+    path = str(tmp_path / "cms_events")
+    df.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(path + "/w1")
+    df.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(path + "/w2")
+
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(
+        path + "/w*"
+    )
+    sk = count_min_sketch(stream, "user_id", d=3, b=8, seed=7)
+    q = (
+        sk.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_regs")
+        .option("checkpointLocation", str(tmp_path / "ck_cms"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM cms_regs").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(df, "user_id", d=3, b=8, seed=7).collect()
+    }
+    assert got == want
+    assert len(got) <= 3 * (1 << 8)
