@@ -247,6 +247,17 @@ def _q_transcript_role_transitions(spark, sf):
     return role_transitions(synth_transcripts(spark, 500, seed=42))
 
 
+def _q_transcript_latency(spark, sf):
+    # per-role-pair response-time distribution: exact integer mean sum +
+    # EXACT p50/p95 on the distinct-gap axis (PERCENTILE_DISC rule);
+    # oracle replays lead()/quantile_disc over the ts-bearing VALUES
+    # literal of the same fixture (fixture gaps are the generator's
+    # constant 7 s — the pytest covers random-gap semantics)
+    from nido_spark.conversation import response_latency
+
+    return response_latency(synth_transcripts(spark, 500, seed=42))
+
+
 def _q_transcript_conv_stats(spark, sf):
     # per-conversation shape statistics (one grouped aggregation);
     # the NULL first_tool_turn path (tool-free convs) is value-checked.
@@ -1640,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_fiedler": _q_transcript_fiedler,
         "transcript_constraint": _q_transcript_constraint,
         "transcript_role_transitions": _q_transcript_role_transitions,
+        "transcript_latency": _q_transcript_latency,
         "transcript_conv_stats": _q_transcript_conv_stats,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
@@ -2635,6 +2647,21 @@ def _transcript_values_sql() -> str:
         f"('{r.conv_id}',{r.turn_idx},'{r.role}',"
         + ("NULL" if r.tool is None else f"'{r.tool}'")
         + ")"
+        for r in pdf.itertuples()
+    )
+
+
+def _transcript_values_ts_sql() -> str:
+    """Like _transcript_values_sql but with the ts column as exact epoch
+    MICROSECONDS (BIGINT) — for latency/temporal oracles."""
+    from nido_spark.io import synth_transcripts_pandas
+
+    pdf = synth_transcripts_pandas(500, seed=42)[
+        ["conv_id", "turn_idx", "role", "ts"]
+    ].copy()
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    return ",".join(
+        f"('{r.conv_id}',{r.turn_idx},'{r.role}',{r.us})"
         for r in pdf.itertuples()
     )
 
@@ -3762,6 +3789,20 @@ rt AS (SELECT from_role, SUM(n) AS tot FROM rc GROUP BY from_role)
 SELECT rc.from_role, rc.to_role, rc.n,
        ROUND(rc.n::DOUBLE / rt.tot::DOUBLE, 9) AS p
 FROM rc JOIN rt USING (from_role)"""
+
+    sql["transcript_latency"] = f"""
+WITH tr(conv_id, turn_idx, role, us) AS (VALUES {_transcript_values_ts_sql()}),
+sq AS (
+  SELECT role AS from_role,
+         lead(role) OVER w AS to_role,
+         lead(us) OVER w - us AS gap_us
+  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT from_role, to_role, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(gap_us)::DOUBLE / COUNT(*)::DOUBLE, 9) AS mean_us,
+       quantile_disc(gap_us, 0.5)::BIGINT AS p50_us,
+       quantile_disc(gap_us, 0.95)::BIGINT AS p95_us
+FROM sq WHERE to_role IS NOT NULL GROUP BY 1, 2"""
 
     sql["transcript_conv_stats"] = f"""
 WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()})

@@ -47,6 +47,66 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def response_latency(transcripts: DataFrame) -> DataFrame:
+    """(from_role, to_role, n, mean_us, p50_us, p95_us) — response-time
+    distribution per consecutive role pair: the gap in microseconds
+    between turn i and turn i+1 within each conversation in turn_idx
+    order, aggregated per (from_role, to_role) with the count, the mean
+    (exact integer sum, one double division, 9 dp), and EXACT p50/p95
+    (PERCENTILE_DISC semantics: the smallest gap whose cumulative count
+    reaches the quantile — the textops.exact_quantiles rule, here per
+    group). The operational dashboard staple: how fast does the
+    assistant answer, how long do tool calls take.
+
+    100 TB shape: one per-conv lead window (bounded by the turn cap),
+    then everything runs on the DISTINCT-GAP axis — groupBy
+    (pair, gap) counts map-side, and the cumulative window sorts
+    O(distinct gaps) rows per role pair (at most 9ish pairs), never
+    O(turns). The quantile comparison is cum/n >= p, the exact
+    cume_dist rule — never ceil(p*n), whose float representation error
+    returns the wrong quantile (the r5 exact_quantiles review
+    finding)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = transcripts.select(
+        F.col("role").alias("from_role"),
+        F.lead("role").over(w).alias("to_role"),
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    ).where(F.col("to_role").isNotNull())
+    counts = seq.groupBy("from_role", "to_role", "gap_us").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair = Window.partitionBy("from_role", "to_role")
+    cum = counts.select(
+        "from_role",
+        "to_role",
+        "gap_us",
+        "c",
+        F.sum("c")
+        .over(pair.orderBy("gap_us").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            pair.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+
+    def q(p: float):
+        return F.min(F.when(F.col("cum") / F.col("n") >= p, F.col("gap_us")))
+
+    return cum.groupBy("from_role", "to_role").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.sum(F.col("gap_us") * F.col("c")) / F.max("n"), 9).alias(
+            "mean_us"
+        ),
+        q(0.5).alias("p50_us"),
+        q(0.95).alias("p95_us"),
+    )
+
+
 def conversation_stats(transcripts: DataFrame) -> DataFrame:
     """(conv_id, n_turns, n_user, n_assistant, n_tool, n_distinct_tools,
     first_tool_turn) — per-conversation shape statistics in ONE grouped

@@ -898,3 +898,56 @@ def test_bloom_bits_word_bound_and_params(spark):
         bloom_bits(keys, "v", b=40)
     with _pt.raises(ValueError):
         bloom_bits(keys, "v", k=0)
+
+
+def test_response_latency_exact_quantiles_random_gaps(spark):
+    """Per-role-pair p50/p95 match a pure-Python PERCENTILE_DISC replay
+    over RANDOM turn gaps (the driver fixture's gaps are constant, so
+    the quantile machinery is only exercised here), and the mean is the
+    exact integer-sum mean."""
+    import math
+    import random
+
+    from nido_spark.conversation import response_latency
+
+    rng = random.Random(31)
+    rows = []
+    for c in range(40):
+        t = rng.randrange(10**9)
+        roles = ["user"]
+        while len(roles) < rng.randrange(3, 12):
+            roles.append("assistant" if roles[-1] != "assistant" else
+                         rng.choice(["user", "tool"]))
+        for i, r in enumerate(roles):
+            rows.append((f"c{c}", i, r, t))
+            if i + 1 < len(roles):
+                t += rng.randrange(1, 10**7)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, us long"
+    ).selectExpr("conv_id", "turn_idx", "role", "timestamp_micros(us) AS ts")
+    got = {
+        (r["from_role"], r["to_role"]): r
+        for r in response_latency(df).collect()
+    }
+    want = {}
+    by_conv = {}
+    for conv, i, role, us in rows:
+        by_conv.setdefault(conv, []).append((i, role, us))
+    for conv, ts in by_conv.items():
+        ts.sort()
+        for (i, r1, u1), (_, r2, u2) in zip(ts, ts[1:]):
+            want.setdefault((r1, r2), []).append(u2 - u1)
+    assert set(got) == set(want)
+    for pair, gaps in want.items():
+        gaps.sort()
+        n = len(gaps)
+        def pdisc(p):
+            for idx, g in enumerate(gaps, 1):
+                if idx / n >= p:
+                    return g
+        row = got[pair]
+        assert row["n"] == n
+        assert row["p50_us"] == pdisc(0.5), pair
+        assert row["p95_us"] == pdisc(0.95), pair
+        assert math.isclose(row["mean_us"], round(sum(gaps) / n, 9),
+                            rel_tol=0, abs_tol=1e-9)
