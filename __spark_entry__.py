@@ -1511,6 +1511,15 @@ def _q_ann_ivf_topk(spark, sf):
     return out.select("query_id", "nbr_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def _q_ann_pq_topk(spark, sf):
+    # product-quantization ADC top-k: codes, LUTs, fold sums, and ranks
+    # all reproduce exactly in DuckDB (_pq_ann_sql trains the same
+    # seeded NumPy sub-quantizers and embeds them as literals)
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") < 3)
+    return S.pq_ann_topk(emb, queries, k=5, m=8, nbits=4, seed=42)
+
+
 def _q_ann_lsh_topk(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") < 3)
@@ -1724,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_repetition_stats": _q_doc_repetition_stats,
@@ -2413,6 +2423,67 @@ SELECT vec_id AS id, cid,
        ROUND(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
                   ELSE (b - a) / GREATEST(a, b) END, 9) AS s
 FROM ab"""
+
+
+def _pq_ann_sql(k: int = 5, m: int = 8, nbits: int = 4, dim: int = 64) -> str:
+    """Exact mirror of similarity.pq_ann_topk: the seeded per-subspace
+    NumPy k-means trainers are replayed on the same id-sorted embedding
+    table (byte-identical codebooks) and embedded as DOUBLE[] literals;
+    encoding argmin uses the same (d, code) tie-break, LUT entries and
+    the ADC sum use the same sequential left folds (list_reduce ==
+    Spark's aggregate; 0-init + x1 == x1 exactly in IEEE), so codes,
+    distances and ranks all reproduce."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from nido_spark.similarity import pq_codebooks_numpy
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pdf = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    cb = pq_codebooks_numpy(X, m=m, nbits=nbits, seed=42)
+    nc = 1 << nbits
+    sub = dim // m
+    cb_rows = ",\n".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in cb[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(nc)
+    )
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        f"i -> (ev.v[cb.j * {sub} + i] - cb.cv[i]) * "
+        f"(ev.v[cb.j * {sub} + i] - cb.cv[i])), (a, x) -> a + x)"
+    )
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb(j, c, cv) AS (VALUES {cb_rows}),
+ed AS (SELECT ev.vec_id, cb.j, cb.c, {sq} AS d FROM ev CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+    FROM ed) WHERE rn = 1 GROUP BY vec_id),
+qlut AS (
+  SELECT vec_id AS query_id, list(d ORDER BY j, c) AS lut
+  FROM ed WHERE vec_id < 3 GROUP BY vec_id),
+scored AS (
+  SELECT q.query_id, cd.vec_id AS nbr_id,
+         list_reduce(list_transform(generate_series(1, {m}),
+             j -> q.lut[(j - 1) * {nc} + cd.codes[j] + 1]),
+             (a, x) -> a + x) AS adist
+  FROM qlut q CROSS JOIN codes cd WHERE cd.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, nbr_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, nbr_id ASC) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, ROUND(adist, 6) AS adist, rank::INT AS rank
+FROM ranked WHERE rank <= {k}"""
 
 
 def _ivf_ann_sql(k: int = 5, n_lists: int = 8, n_probe: int = 3, dim: int = 64) -> str:
@@ -3649,6 +3720,8 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["louvain_full"] = _louvain_full_values_sql()
     sql["simhash_near_pairs"] = _simhash_near_pairs_sql(max_dist=3)
     sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
+
+    sql["ann_pq_topk"] = _pq_ann_sql(k=5, m=8, nbits=4, dim=64)
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
     sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()

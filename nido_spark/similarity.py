@@ -870,6 +870,191 @@ def dequantize_embeddings(quantized: DataFrame) -> DataFrame:
         ).alias("embedding"),
     )
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: float | None = None,
+    max_train_rows: int = 500_000,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. '11): split the
+    vector into ``m`` contiguous subspaces and k-means each slice to
+    2^nbits centroids — returns an ``m x 2^nbits x (dim/m)`` nested list
+    (json-serializable; persist next to the job config and reuse, same
+    contract as train_ivf_centroids). Same bounded-collect discipline:
+    the driver never sees more than ``max_train_rows`` rows (raises on
+    overflow; pass ``train_sample`` at corpus scale), and the id-sorted
+    sample makes the codebooks byte-stable. Subspace j trains with
+    seed + j so the sub-quantizers are independent."""
+    train = corpus if train_sample is None else corpus.sample(
+        fraction=train_sample, seed=seed
+    )
+    pdf = (
+        train.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_train_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_train_rows:
+        raise ValueError(
+            f"PQ training set exceeds max_train_rows={max_train_rows}; "
+            "pass train_sample=<fraction> to bound the driver-side k-means"
+        )
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return pq_codebooks_numpy(X, m=m, nbits=nbits, seed=seed)
+
+
+def pq_codebooks_numpy(X, m: int = 8, nbits: int = 4, seed: int = 42):
+    """Driver-side PQ trainer over an (n, dim) float64 array — shared by
+    train_pq_codebooks and the DuckDB oracle (which reads the same
+    id-sorted sample through DuckDB and must get byte-identical
+    codebooks)."""
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks_numpy: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    nc = 1 << nbits
+    return [
+        [list(map(float, c)) for c in _kmeans_numpy(X[:, j * sub:(j + 1) * sub], nc, seed=seed + j)]
+        for j in range(m)
+    ]
+
+
+def _pq_shape(codebooks) -> tuple[int, int, int]:
+    m = len(codebooks)
+    nc = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    return m, nc, sub
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — PQ-encode each vector: per subspace the index of its
+    nearest codebook centroid (ties to the smallest code, NumPy argmin).
+    dim float32/64 lanes compress to m small ints — 16x at (m=8, nbits=4)
+    over 64 float32 lanes — the at-rest layout that makes billion-vector
+    ANN fit in memory. One Arrow mapInPandas pass, no shuffle; the
+    squared distances accumulate dimension-by-dimension (a sequential
+    left fold), bit-matching the DuckDB oracle's list_reduce so codes
+    reproduce across engines."""
+    import pandas as pd
+
+    m, nc, sub = _pq_shape(codebooks)
+    B = np.asarray(codebooks, dtype=np.float64)
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                    "codes": pd.Series(dtype="object")})
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                acc = np.zeros((len(pdf), nc))
+                for d in range(sub):
+                    diff = X[:, j * sub + d][:, None] - B[j][:, d][None, :]
+                    acc += diff * diff
+                codes[:, j] = acc.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
+                                "codes": list(codes.tolist())})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kern, schema="id long, codes array<int>"
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    codebooks=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, nbr_id, adist, rank) — approximate nearest neighbours
+    by PQ asymmetric distance (ADC): the query stays exact, each corpus
+    vector is its m codebook codes, and distance is the sum of m lookup-
+    table entries (LUT[j][code_j] = squared L2 between the query's j-th
+    slice and that centroid). Per-pair cost is m ADDS instead of dim
+    multiply-adds — with (m=8, nbits=4) over dim=64 that is 8 table adds
+    vs 64 fma, the standard memory-bound billion-scale ANN kernel.
+
+    Plan: LUTs (m*2^nbits doubles per query) come from one Arrow pass
+    over the queries and BROADCAST; the scored join is map-side over the
+    codes table (no corpus shuffle), then the salted two-stage exact
+    top-k. Pass ``codebooks`` from train_pq_codebooks to skip the
+    training scan (deployment mode — train once, serve many); omitted,
+    they train on the corpus itself, bounded. At 10^9+ corpus rows,
+    compose with the IVF router (ivf_ann_topk's cell assignment) to
+    prune candidates before ADC — classic IVF-PQ; the ADC kernel here is
+    that composition's inner loop. Approximation is quantization-only:
+    rank order reproduces EXACTLY across engines (sequential-fold sums,
+    (adist, nbr_id) tie-break), which is what the value-checked oracle
+    pins."""
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    m, nc, sub = _pq_shape(codebooks)
+    B = np.asarray(codebooks, dtype=np.float64)
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def lut_kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                    "lut": pd.Series(dtype="object")})
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            lut = np.zeros((len(pdf), m * nc))
+            for j in range(m):
+                acc = np.zeros((len(pdf), nc))
+                for d in range(sub):
+                    diff = Q[:, j * sub + d][:, None] - B[j][:, d][None, :]
+                    acc += diff * diff
+                lut[:, j * nc:(j + 1) * nc] = acc
+            yield pd.DataFrame({"query_id": pdf[id_col].to_numpy(),
+                                "lut": list(lut.tolist())})
+
+    luts = queries.select(id_col, vec_col).mapInPandas(
+        lut_kern, schema="query_id long, lut array<double>"
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"),
+            (j * nc + F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("id").alias("nbr_id"), (-adist).alias("cos")
+        )
+    )
+    return _topk_per_query(scored, k).select(
+        "query_id", "nbr_id", F.round(-F.col("cos"), 6).alias("adist"), "rank"
+    )
+
+
 # pure-Python replay of relational._feistel60 (the engine's avalanche
 # portable hash) — used to derive the deterministic JL sign matrix on the
 # driver; the Spark/DuckDB sides consume the resulting +-1 LITERALS, so no
