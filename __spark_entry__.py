@@ -1520,6 +1520,17 @@ def _q_ann_pq_topk(spark, sf):
     return S.pq_ann_topk(emb, queries, k=5, m=8, nbits=4, seed=42)
 
 
+def _q_ann_ivfpq_topk(spark, sf):
+    # the composed billion-scale path: IVF routing + PQ asymmetric
+    # distance over the m-code compressed corpus; cells, probes, codes,
+    # fold sums and ranks all replay exactly in DuckDB (_ivfpq_ann_sql)
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") < 3)
+    return S.ivfpq_ann_topk(
+        emb, queries, k=5, n_lists=8, n_probe=3, m=8, nbits=4, seed=42
+    )
+
+
 def _q_ann_lsh_topk(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") < 3)
@@ -1734,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_repetition_stats": _q_doc_repetition_stats,
@@ -2477,6 +2489,92 @@ scored AS (
              j -> q.lut[(j - 1) * {nc} + cd.codes[j] + 1]),
              (a, x) -> a + x) AS adist
   FROM qlut q CROSS JOIN codes cd WHERE cd.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, nbr_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, nbr_id ASC) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, ROUND(adist, 6) AS adist, rank::INT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _ivfpq_ann_sql(k: int = 5, n_lists: int = 8, n_probe: int = 3,
+                   m: int = 8, nbits: int = 4, dim: int = 64) -> str:
+    """Exact mirror of similarity.ivfpq_ann_topk: the IVF cell argmin /
+    probe CTEs of _ivf_ann_sql composed with the PQ codes / LUT / ADC
+    fold CTEs of _pq_ann_sql — candidates are rows whose assigned cell
+    is among the query's probes; distances, codes and ranks replay
+    exactly (sequential folds, (d, cell)/(d, code)/(adist, nbr_id)
+    tie-breaks)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from nido_spark.similarity import _kmeans_numpy, pq_codebooks_numpy
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pdf = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C = _kmeans_numpy(X, n_lists, seed=42)
+    cb = pq_codebooks_numpy(X, m=m, nbits=nbits, seed=42)
+    nc = 1 << nbits
+    sub = dim // m
+    cent_rows = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in C[j])}]::DOUBLE[])"
+        for j in range(n_lists)
+    )
+    cb_rows = ",\n".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in cb[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(nc)
+    )
+    csq = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> (ev.v[i] - cent.c[i]) * (ev.v[i] - cent.c[i])), (a, x) -> a + x)"
+    )
+    psq = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        f"i -> (ev.v[cb.j * {sub} + i] - cb.cv[i]) * "
+        f"(ev.v[cb.j * {sub} + i] - cb.cv[i])), (a, x) -> a + x)"
+    )
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(j, c) AS (VALUES {cent_rows}),
+cd AS (SELECT ev.vec_id, cent.j, {csq} AS d FROM ev CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
+    FROM cd) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, j AS cell FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
+    FROM cd WHERE vec_id < 3) WHERE rn <= {n_probe}),
+cb(j, c, cv) AS (VALUES {cb_rows}),
+ed AS (SELECT ev.vec_id, cb.j, cb.c, {psq} AS d FROM ev CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+    FROM ed) WHERE rn = 1 GROUP BY vec_id),
+qlut AS (
+  SELECT vec_id AS query_id, list(d ORDER BY j, c) AS lut
+  FROM ed WHERE vec_id < 3 GROUP BY vec_id),
+scored AS (
+  SELECT p.query_id, a.vec_id AS nbr_id,
+         list_reduce(list_transform(generate_series(1, {m}),
+             j -> q.lut[(j - 1) * {nc} + cd2.codes[j] + 1]),
+             (a, x) -> a + x) AS adist
+  FROM probes p
+  JOIN assigned a USING (cell)
+  JOIN codes cd2 ON a.vec_id = cd2.vec_id
+  JOIN qlut q ON p.query_id = q.query_id
+  WHERE a.vec_id <> p.query_id),
 ranked AS (
   SELECT query_id, nbr_id, adist,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3722,6 +3820,9 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["ann_ivf_topk"] = _ivf_ann_sql(k=5, n_lists=8, n_probe=3, dim=64)
 
     sql["ann_pq_topk"] = _pq_ann_sql(k=5, m=8, nbits=4, dim=64)
+
+    sql["ann_ivfpq_topk"] = _ivfpq_ann_sql(k=5, n_lists=8, n_probe=3,
+                                           m=8, nbits=4, dim=64)
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
     sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()

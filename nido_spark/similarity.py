@@ -464,6 +464,47 @@ def train_ivf_centroids(
     return [list(map(float, c)) for c in _kmeans_numpy(X, n_lists, seed=seed)]
 
 
+# squared L2 distance to a literal centroid: sequential left-fold over
+# dims — the same evaluation order the oracle's list_reduce uses, so cell
+# argmins agree bit-for-bit (shared by IVF and IVF-PQ).
+def _sqdist_lit(vec, center):
+    arr = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cell(vec, centers):
+    return F.element_at(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(_sqdist_lit(vec, c).alias("d"), F.lit(j).alias("cell"))
+                    for j, c in enumerate(centers)
+                ]
+            )
+        ),
+        1,
+    )["cell"]
+
+
+def _probe_cells(vec, centers, n_probe: int):
+    return F.slice(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(_sqdist_lit(vec, c).alias("d"), F.lit(j).alias("cell"))
+                    for j, c in enumerate(centers)
+                ]
+            )
+        ),
+        1,
+        n_probe,
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -514,49 +555,11 @@ def ivf_ann_topk(
             max_train_rows=max_train_rows,
         )
 
-    # squared L2 distance to a centroid as a literal-array expression:
-    # sequential left-fold over dims — the same evaluation order the
-    # oracle's list_reduce uses, so cell argmins agree bit-for-bit
-    def sqdist(vec, center):
-        arr = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def argmin_cell(vec):
-        return F.element_at(
-            F.sort_array(
-                F.array(
-                    *[
-                        F.struct(sqdist(vec, c).alias("d"), F.lit(j).alias("cell"))
-                        for j, c in enumerate(centers)
-                    ]
-                )
-            ),
-            1,
-        )["cell"]
-
     assigned = corpus.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
-    ).withColumn("cell", argmin_cell(F.col("nbr_vec")))
+    ).withColumn("cell", _argmin_cell(F.col("nbr_vec"), centers))
 
-    probes = F.slice(
-        F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        sqdist(F.col("query_vec"), c).alias("d"),
-                        F.lit(j).alias("cell"),
-                    )
-                    for j, c in enumerate(centers)
-                ]
-            )
-        ),
-        1,
-        n_probe,
-    )
+    probes = _probe_cells(F.col("query_vec"), centers, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     ).select(
@@ -935,6 +938,7 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, codes) — PQ-encode each vector: per subspace the index of its
     nearest codebook centroid (ties to the smallest code, NumPy argmin).
@@ -948,12 +952,19 @@ def pq_encode(
 
     m, nc, sub = _pq_shape(codebooks)
     B = np.asarray(codebooks, dtype=np.float64)
+    keep = list(keep_cols or [])
+    keep_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}" for c in keep
+    )
 
     def kern(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                    "codes": pd.Series(dtype="object")})
+                out = {"id": pd.Series(dtype="int64"),
+                       "codes": pd.Series(dtype="object")}
+                for c in keep:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
                 continue
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             codes = np.empty((len(pdf), m), dtype=np.int32)
@@ -963,11 +974,13 @@ def pq_encode(
                     diff = X[:, j * sub + d][:, None] - B[j][:, d][None, :]
                     acc += diff * diff
                 codes[:, j] = acc.argmin(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
-                                "codes": list(codes.tolist())})
+            out = {"id": pdf[id_col].to_numpy(), "codes": list(codes.tolist())}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        kern, schema="id long, codes array<int>"
+    return corpus.select(id_col, vec_col, *keep).mapInPandas(
+        kern, schema="id long, codes array<int>" + keep_schema
     )
 
 
@@ -1049,6 +1062,121 @@ def pq_ann_topk(
         .select(
             "query_id", F.col("id").alias("nbr_id"), (-adist).alias("cos")
         )
+    )
+    return _topk_per_query(scored, k).select(
+        "query_id", "nbr_id", F.round(-F.col("cos"), 6).alias("adist"), "rank"
+    )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks=None,
+) -> DataFrame:
+    """(query_id, nbr_id, adist, rank) — the composed billion-scale ANN
+    path, IVF-PQ: the IVF coarse quantizer routes each query to its
+    ``n_probe`` nearest cells (candidates drop to ~n_probe/n_lists of
+    the corpus, inverted lists bucketable at rest by the cell key), and
+    within candidates the PQ asymmetric-distance kernel ranks them (m
+    table adds per pair over the m-code compressed corpus — the corpus
+    vectors themselves are never touched at query time). This is the
+    FAISS IVFPQ layout re-expressed as one equi-join on cell plus a
+    Catalyst fold; both trainers follow the train-once/serve-many
+    contract (pass ``centroids``/``codebooks``; omitted, they train
+    inline, bounded).
+
+    This variant quantizes RAW vectors (IVFPQ \"no-residual\" flavor):
+    codes are cell-independent, so ONE codes table serves any routing
+    config and re-sharding never re-encodes. Classic residual encoding
+    (quantize x - centroid[cell]) buys finer resolution per cell at the
+    cost of cell-coupled codes; with this engine's exact-replay
+    discipline it would also need per-cell oracle folds — the accuracy
+    dial to pull when a deployment needs it, orthogonal to the plan
+    shape pinned here.
+
+    One corpus scan computes BOTH the cell (Catalyst literal argmin) and
+    the codes (Arrow kernel) — pq_encode's keep_cols passthrough — so
+    the at-rest index build touches each vector once. adist folds are
+    sequential, ranks tie-break (adist, nbr_id): exact cross-engine
+    replay, same as pq_ann_topk."""
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    if len(centroids) != n_lists:
+        raise ValueError(
+            f"centroids has {len(centroids)} cells but n_lists={n_lists}"
+        )
+    centers = [list(map(float, c)) for c in centroids]
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    m, nc, sub = _pq_shape(codebooks)
+    B = np.asarray(codebooks, dtype=np.float64)
+
+    inv = pq_encode(
+        corpus.withColumn("cell", _argmin_cell(F.col(vec_col), centers)),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=["cell"],
+    ).withColumnRenamed("id", "nbr_id")
+
+    def lut_kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                    "lut": pd.Series(dtype="object")})
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            lut = np.zeros((len(pdf), m * nc))
+            for j in range(m):
+                acc = np.zeros((len(pdf), nc))
+                for d in range(sub):
+                    diff = Q[:, j * sub + d][:, None] - B[j][:, d][None, :]
+                    acc += diff * diff
+                lut[:, j * nc:(j + 1) * nc] = acc
+            yield pd.DataFrame({"query_id": pdf[id_col].to_numpy(),
+                                "lut": list(lut.tolist())})
+
+    luts = queries.select(id_col, vec_col).mapInPandas(
+        lut_kern, schema="query_id long, lut array<double>"
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_probe_cells(F.col(vec_col), centers, n_probe)).alias("p"),
+        )
+        .select("query_id", F.col("p.cell").alias("cell"))
+        .join(luts, "query_id")
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"),
+            (j * nc + F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "cell")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", (-adist).alias("cos"))
     )
     return _topk_per_query(scored, k).select(
         "query_id", "nbr_id", F.round(-F.col("cos"), 6).alias("adist"), "rank"

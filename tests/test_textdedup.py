@@ -1728,3 +1728,59 @@ def test_pq_dim_divisibility_validated(spark):
     )
     with _pt.raises(ValueError):
         S.train_pq_codebooks(df, m=2)
+
+
+def test_ivfpq_matches_numpy_replay_with_routing(spark):
+    """IVF-PQ == the NumPy replay of (cell argmin -> n_probe routing ->
+    ADC within probed cells), partition-invariant, and identical when
+    both trainers' outputs are passed precomputed (train-once path)."""
+    import numpy as np
+
+    from nido_spark import similarity as S
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(240, 32)).round(4)
+    ids = np.arange(240)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    n_lists, n_probe, m, nbits, k = 6, 2, 4, 4, 5
+    cents = S.train_ivf_centroids(df, n_lists=n_lists, seed=3)
+    cb = S.train_pq_codebooks(df, m=m, nbits=nbits, seed=3)
+    C = np.asarray(cents)
+    B = np.asarray(cb)
+    sub = 32 // m
+    nc = 1 << nbits
+    # replay: cells, codes, luts, routing, adc — engine fold order
+    def sq_seq(v, c):
+        acc = 0.0
+        for a, b in zip(v, c):
+            acc += (a - b) * (a - b)
+        return acc
+    cells = np.array([min(range(n_lists), key=lambda j: (sq_seq(X[i], C[j]), j))
+                      for i in ids])
+    codes = np.empty((len(ids), m), dtype=int)
+    for j in range(m):
+        for i in ids:
+            codes[i, j] = min(range(nc),
+                              key=lambda c: (sq_seq(X[i, j*sub:(j+1)*sub], B[j][c]), c))
+    want = {}
+    for q in (0, 1):
+        probed = sorted(range(n_lists), key=lambda j: (sq_seq(X[q], C[j]), j))[:n_probe]
+        lut = [[sq_seq(X[q, j*sub:(j+1)*sub], B[j][c]) for c in range(nc)]
+               for j in range(m)]
+        # rank on the UNROUNDED fold (the engine rounds only for output)
+        cand = [(sum(lut[j][codes[i, j]] for j in range(m)), int(i))
+                for i in ids if i != q and cells[i] in probed]
+        want[q] = [(i, round(d, 6)) for d, i in sorted(cand)[:k]]
+    for nparts in (1, 5):
+        out = S.ivfpq_ann_topk(
+            df.repartition(nparts), df.where("vec_id < 2"),
+            k=k, n_lists=n_lists, n_probe=n_probe, m=m, nbits=nbits,
+            centroids=cents, codebooks=cb,
+        ).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+            got.setdefault(r["query_id"], []).append((r["nbr_id"], r["adist"]))
+        assert got == want, f"nparts={nparts}"
