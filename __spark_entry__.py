@@ -153,6 +153,14 @@ def _q_transcript_triangles(spark, sf):
     return A.triangle_count_per_vertex(transcripts_to_edges(tr, strategy="dense"))
 
 
+def _q_transcript_four_cliques(spark, sf):
+    # per-vertex 4-clique participation on the transcript actor graph —
+    # the Chiba-Nishizeki oriented enumeration one motif up from
+    # transcript_triangles (same dense derivation)
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.four_clique_counts(transcripts_to_edges(tr, strategy="dense"))
+
+
 def _q_transcript_clustering(spark, sf):
     # local clustering coefficient on the transcript actor graph (same
     # dense derivation as transcript_triangles; cc rounded to 9 dp on
@@ -264,6 +272,15 @@ def _q_transcript_conv_stats(spark, sf):
     from nido_spark.conversation import conversation_stats
 
     return conversation_stats(synth_transcripts(spark, 500, seed=42))
+
+
+def _q_transcript_tool_chains(spark, sf):
+    # tool-call sequence mining: consecutive tool-invocation bigrams per
+    # conversation (non-tool turns skipped) with occurrence + distinct-
+    # conversation counts — the agent-behavior staple over transcripts.
+    from nido_spark.conversation import tool_chains
+
+    return tool_chains(synth_transcripts(spark, 500, seed=42))
 
 
 def _q_transcript_constraint(spark, sf):
@@ -1623,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "transcript_triangles": _q_transcript_triangles,
         "transcript_clustering": _q_transcript_clustering,
+        "transcript_four_cliques": _q_transcript_four_cliques,
         "transcript_jaccard": _q_transcript_jaccard,
         "transcript_eigenvector": _q_transcript_eigenvector,
         "transcript_katz": _q_transcript_katz,
@@ -1673,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_role_transitions": _q_transcript_role_transitions,
         "transcript_latency": _q_transcript_latency,
         "transcript_conv_stats": _q_transcript_conv_stats,
+        "transcript_tool_chains": _q_transcript_tool_chains,
         "transcript_hits": _q_transcript_hits,
         "transcript_landmarks": _q_transcript_landmarks,
         "transcript_closeness": _q_transcript_closeness,
@@ -3885,6 +3904,50 @@ allv AS (SELECT DISTINCT src AS v FROM te)
 SELECT allv.v, COALESCE(per.triangles, 0)::BIGINT AS triangles
 FROM allv LEFT JOIN per USING (v)"""
 
+    # 4-cliques: same und/deg/orientation derivation, then the rank-ordered
+    # triangle (p,q,r) — the (q,r) edge itself oriented — extended by one
+    # oriented out-edge r->s with closure checks p->s, q->s (each 4-clique
+    # counted exactly once, Chiba-Nishizeki orientation argument).
+    sql["transcript_four_cliques"] = f"""
+WITH te AS MATERIALIZED ({_transcript_edges_sql()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM te WHERE src <> dst
+),
+deg AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS a,
+         CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS b
+  FROM und u JOIN deg d1 ON u.a = d1.v JOIN deg d2 ON u.b = d2.v
+),
+tri AS MATERIALIZED (
+  SELECT w1.a AS p, w1.b AS q, w2.b AS r
+  FROM o w1
+  JOIN o w2 ON w1.a = w2.a AND w1.b <> w2.b
+  WHERE EXISTS (SELECT 1 FROM o oo WHERE oo.a = w1.b AND oo.b = w2.b)
+),
+quad AS MATERIALIZED (
+  SELECT tri.p, tri.q, tri.r, rs.b AS s
+  FROM tri JOIN o rs ON rs.a = tri.r
+  WHERE EXISTS (SELECT 1 FROM o oo WHERE oo.a = tri.p AND oo.b = rs.b)
+    AND EXISTS (SELECT 1 FROM o oo WHERE oo.a = tri.q AND oo.b = rs.b)
+),
+per AS (
+  SELECT v, COUNT(*)::BIGINT AS quads FROM (
+    SELECT p AS v FROM quad UNION ALL SELECT q FROM quad
+    UNION ALL SELECT r FROM quad UNION ALL SELECT s FROM quad
+  ) GROUP BY 1
+),
+allv AS (SELECT DISTINCT src AS v FROM te)
+SELECT allv.v, COALESCE(per.quads, 0)::BIGINT AS quads
+FROM allv LEFT JOIN per USING (v)"""
+
     # Katz: unrolled linear recurrence x_i = alpha*A x_{i-1} + beta
     _katz_ctes = ["verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM te)",
                   "k0 AS MATERIALIZED (SELECT v, 1.0 AS x FROM verts)"]
@@ -3988,6 +4051,21 @@ SELECT conv_id,
        COUNT(DISTINCT tool)::BIGINT AS n_distinct_tools,
        MIN(CASE WHEN role = 'tool' THEN turn_idx END)::BIGINT AS first_tool_turn
 FROM tr GROUP BY conv_id"""
+
+    # Tool chains: lead window over the tool-turns-only subsequence per
+    # conversation — consecutive tool-invocation bigrams with occurrence
+    # and distinct-conversation counts.
+    sql["transcript_tool_chains"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+tt AS (SELECT conv_id, turn_idx, tool FROM tr WHERE tool IS NOT NULL),
+sq AS (
+  SELECT conv_id, tool AS t1,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t2
+  FROM tt
+)
+SELECT t1, t2, COUNT(*)::BIGINT AS n,
+       COUNT(DISTINCT conv_id)::BIGINT AS n_convs
+FROM sq WHERE t2 IS NOT NULL GROUP BY 1, 2"""
 
     # Burt constraint: direct two-hop SQL rendering — normalized tie
     # fractions, one fraction-table self-join for the indirect term,

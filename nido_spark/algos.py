@@ -2061,6 +2061,62 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
+def four_clique_counts(edges: DataFrame) -> DataFrame:
+    """(v, quads) — per-vertex 4-clique participation counts, each
+    4-clique credited to all four corners; vertices in none get 0. The
+    next motif up from ``triangle_count_per_vertex`` (the reference's
+    motif surface stops at triangles, louvain_gpu.cpp): dense-subgroup
+    signal for community post-analysis (4-clique-rich vertices sit in
+    near-clique cores the modularity optimizer may merge or split).
+
+    Chiba–Nishizeki-style oriented enumeration: vertices are totally
+    ordered by (degree, id); every undirected edge is oriented low->high
+    by ``_oriented``, so each 4-clique {p<q<r<s} (rank order) is
+    enumerated EXACTLY once as a rank-ordered triangle (p,q,r) extended
+    by one oriented out-edge r->s and two existence checks p->s, q->s.
+
+    100 TB shape: out-degree in the oriented DAG is bounded by
+    O(sqrt(E)) (the same arboricity argument the triangle join relies
+    on), so the wedge join and the triangle->quad extension are each
+    bounded by sum over vertices of outdeg^2 — no hub pair explosion;
+    the two closure checks are left-semi joins on the oriented edge
+    set, never row-multiplying. Four E-shaped shuffles total, all on
+    id-only rows.
+
+    PRECONDITION: canonical SYMMETRIC edge table (both directions
+    present — graph.normalize_edges output); the undirected pair set is
+    taken from src < dst, same as edge_jaccard/k_truss."""
+    o = truncate_lineage(_oriented(edges))
+    # rank-ordered triangles (p, q, r): q and r are both out-neighbors
+    # of p AND the edge between them is itself oriented q -> r
+    w1 = o.select(F.col("a").alias("p"), F.col("b").alias("q"))
+    w2 = o.select(F.col("a").alias("p"), F.col("b").alias("r"))
+    qr = o.select(F.col("a").alias("q"), F.col("b").alias("r"))
+    tri = (
+        w1.join(w2, "p")
+        .where(F.col("q") != F.col("r"))
+        .join(qr, ["q", "r"], "left_semi")
+    )
+    # extend by the top vertex s: oriented r -> s plus closure p -> s, q -> s
+    rs = o.select(F.col("a").alias("r"), F.col("b").alias("s"))
+    ps = o.select(F.col("a").alias("p"), F.col("b").alias("s"))
+    qs = o.select(F.col("a").alias("q"), F.col("b").alias("s"))
+    quads = (
+        tri.join(rs, "r")
+        .join(ps, ["p", "s"], "left_semi")
+        .join(qs, ["q", "s"], "left_semi")
+    )
+    per = (
+        quads.select(F.explode(F.array("p", "q", "r", "s")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("quads"))
+    )
+    all_v = edges.select(F.col("src").alias("v")).distinct()
+    return all_v.join(per, "v", "left").select(
+        "v", F.coalesce("quads", F.lit(0)).cast("long").alias("quads")
+    )
+
+
 def edge_jaccard(edges: DataFrame) -> DataFrame:
     """(a, b, common, jaccard) per undirected edge a<b: Jaccard vertex
     similarity |N(a) n N(b)| / |N(a) u N(b)| computed for CONNECTED pairs

@@ -128,3 +128,47 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("first_tool_turn"),
     )
+
+
+def tool_chains(
+    transcripts: DataFrame, max_turn_gap: int | None = None
+) -> DataFrame:
+    """(t1, t2, n, n_convs) — tool-call sequence mining: for each
+    conversation, the sequence of tool invocations in turn_idx order
+    (non-tool turns skipped), counted as consecutive-invocation bigrams
+    t1 -> t2 with the total occurrence count and the number of distinct
+    conversations exhibiting the pair. The agent-behavior staple the
+    transcript corpus exists to answer (which tool follows which —
+    retrieval->code? search->search loops?); the reference has no
+    transcript-native analytics, so this derives from the same table
+    its edge projection reads (io.transcripts_to_edges).
+
+    ``max_turn_gap`` (optional): only count a bigram when the second
+    call happens within that many turns of the first — separates
+    actual chains from distant re-use inside long conversations.
+
+    100 TB shape: one filter (tool IS NOT NULL — pushed to the scan),
+    one per-conv lead window over the FILTERED rows (tool turns only,
+    a small fraction of the corpus and bounded by the per-conv turn
+    cap), one map-side-combinable groupBy over (t1, t2) pairs whose
+    cardinality is O(n_tools^2), not O(rows). count_distinct(conv_id)
+    is the only non-combinable term; tool-pair cardinality keeps the
+    final exchange tiny."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("tool").alias("t1"),
+            F.lead("tool").over(w).alias("t2"),
+            (F.lead("turn_idx").over(w) - F.col("turn_idx")).alias("gap"),
+        )
+        .where(F.col("t2").isNotNull())
+    )
+    if max_turn_gap is not None:
+        seq = seq.where(F.col("gap") <= int(max_turn_gap))
+    return seq.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+    )

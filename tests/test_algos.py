@@ -1398,3 +1398,94 @@ def test_fiedler_vector_numpy_replay_and_spectral_split(spark, karate):
     want = {v: 1 if fied[idx[v]] >= 0 else 0 for v in vs}
     flip = {v: 1 - s for v, s in want.items()}
     assert sides == want or sides == flip
+
+
+def test_four_clique_counts_k5_plus_pendant(spark):
+    """K5: C(4,3)=4 quads per member; the pendant vertex gets 0."""
+    import itertools
+
+    from nido_spark.graph import normalize_edges
+
+    pairs = list(itertools.combinations(range(5), 2)) + [(0, 5)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, w double"
+    )
+    got = {
+        r["v"]: r["quads"]
+        for r in A.four_clique_counts(normalize_edges(e)).collect()
+    }
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 0}
+
+
+def test_four_clique_counts_brute_force_random(spark):
+    """Exact parity with an adjacency-set brute force over all C(n,4)
+    quadruples on a seeded G(40, 0.25) — every count, including zeros."""
+    import itertools
+    import random
+
+    from nido_spark.graph import normalize_edges
+
+    random.seed(7)
+    n = 40
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if random.random() < 0.25
+    ]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, w double"
+    )
+    adj: dict[int, set[int]] = {i: set() for i in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {i: 0 for i in range(n)}
+    for c in itertools.combinations(range(n), 4):
+        if all(y in adj[x] for x, y in itertools.combinations(c, 2)):
+            for v in c:
+                exp[v] += 1
+    got = {
+        r["v"]: r["quads"]
+        for r in A.four_clique_counts(normalize_edges(e)).collect()
+    }
+    assert got == {v: q for v, q in exp.items() if v in got}
+    # every vertex with an edge is present (zeros included)
+    assert set(got) == {v for v in range(n) if adj[v]}
+
+
+def test_tool_chains_hand_case(spark):
+    """Bigrams skip non-tool turns; n_convs counts distinct convs; the
+    max_turn_gap filter drops distant re-use (B's c->s gap of 4)."""
+    import datetime as dt
+
+    from nido_spark.conversation import tool_chains
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("A", 0, "user", None), ("A", 1, "tool", "s"),
+        ("A", 2, "assistant", None), ("A", 3, "tool", "c"),
+        ("A", 4, "tool", "c"),
+        ("B", 0, "tool", "s"), ("B", 1, "tool", "c"), ("B", 5, "tool", "s"),
+    ]
+    tr = spark.createDataFrame(
+        [
+            (c, i, r, "x", tl, t0 + dt.timedelta(seconds=i))
+            for c, i, r, tl in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {
+        (r["t1"], r["t2"]): (r["n"], r["n_convs"])
+        for r in tool_chains(tr).collect()
+    }
+    assert got == {
+        ("s", "c"): (2, 2),
+        ("c", "c"): (1, 1),
+        ("c", "s"): (1, 1),
+    }
+    gapped = {
+        (r["t1"], r["t2"]): r["n"]
+        for r in tool_chains(tr, max_turn_gap=2).collect()
+    }
+    assert gapped == {("s", "c"): 2, ("c", "c"): 1}
