@@ -1115,6 +1115,15 @@ def _q_modularity_mod10(spark, sf):
     return spark.createDataFrame([(round(q, 9),)], "q double")
 
 
+def _q_modularity_gamma(spark, sf):
+    # Reichardt-Bornholdt resolution: Q at gamma=2.5 under the same
+    # deterministic pmod-10 labeling as modularity_mod10 — value-checks
+    # the scaled null-model term end to end.
+    edges = lineitem_edges(spark, sf)
+    q = L.modularity(edges, _mod10_labels(edges), G.mass(edges), gamma=2.5)
+    return spark.createDataFrame([(round(q, 9),)], "q double")
+
+
 def _q_louvain_gain_step(spark, sf):
     edges = lineitem_edges(spark, sf)
     verts = G.vertices(edges)
@@ -1778,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "singleton_modularity": _q_singleton_modularity,
         "modularity_mod10": _q_modularity_mod10,
+        "modularity_gamma": _q_modularity_gamma,
         "doc_token_count": _q_doc_token_count,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3053,6 +3063,16 @@ m AS (SELECT SUM(w) / 2.0 AS m FROM e),
 a AS (SELECT v % 10 AS comm, SUM(k) AS a_c FROM k GROUP BY 1),
 i AS (SELECT COALESCE(SUM(w), 0) AS iw FROM e WHERE src % 10 = dst % 10)
 SELECT ROUND(i.iw / (2 * m.m) - (SELECT SUM(a_c * a_c) FROM a) / (4 * m.m * m.m), 9) AS q
+FROM i, m"""
+
+    sql["modularity_gamma"] = f"""{_E},
+k AS (SELECT src AS v, SUM(w) AS k FROM e GROUP BY src),
+m AS (SELECT SUM(w) / 2.0 AS m FROM e),
+a AS (SELECT v % 10 AS comm, SUM(k) AS a_c FROM k GROUP BY 1),
+i AS (SELECT COALESCE(SUM(w), 0) AS iw FROM e WHERE src % 10 = dst % 10)
+SELECT ROUND(
+  i.iw / (2 * m.m) - 2.5 * (SELECT SUM(a_c * a_c) FROM a) / (4 * m.m * m.m), 9
+) AS q
 FROM i, m"""
 
     sql["neighbor_comm_agg"] = f"""{_E}

@@ -96,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--output", help="labels parquet output dir")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--gamma", type=float, default=1.0,
+                   help="Louvain resolution (Reichardt-Bornholdt; 1.0 = classic Q)")
     p.add_argument("--json", action="store_true", help="emit one JSON line of metrics")
     p.add_argument(
         "-a", "--algo", default="louvain",
@@ -151,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.algo in ("louvain", "louvain-refined"):
         res = L.louvain(
             edges, nbatches=args.nbatches, tol=args.tau,
-            max_loops=args.max_loops, tol_phase=args.tau,
+            max_loops=args.max_loops, tol_phase=args.tau, gamma=args.gamma,
         )
         metrics["louvain"] = {
             "modularity": res.modularity,

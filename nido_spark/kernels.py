@@ -41,6 +41,7 @@ def _block_argmax(pdf: pd.DataFrame) -> pd.DataFrame:
     a_dst = pdf["a_dst"].to_numpy(np.float64)
     a_my = pdf["a_my"].to_numpy(np.float64)
     m = float(pdf["m"].iloc[0]) if len(pdf) else 0.0
+    gamma = float(pdf["gamma"].iloc[0]) if len(pdf) else 1.0
 
     is_self = dst_comm == my
     # self weight per src (gather-scatter: add.at == atomic scatter-add)
@@ -58,7 +59,7 @@ def _block_argmax(pdf: pd.DataFrame) -> pd.DataFrame:
         )
     gs, gc, ge = src[ext], dst_comm[ext], e_vc[ext]
     gk, ga = k[ext], a_dst[ext]
-    gain = (ge - gk * ga / (2.0 * m)) / m
+    gain = (ge - gamma * gk * ga / (2.0 * m)) / m
     # segment argmax with deterministic tie-break: (src asc, gain desc, comm asc)
     o = np.lexsort((gc, -gain, gs))
     gs_o, gc_o, gain_o = gs[o], gc[o], gain[o]
@@ -75,7 +76,7 @@ def _block_argmax(pdf: pd.DataFrame) -> pd.DataFrame:
     my_of[idx_of] = my
     amy_of[idx_of] = a_my
     self_term = (
-        self_w[pos] - k_of[pos] * (amy_of[pos] - k_of[pos]) / (2.0 * m)
+        self_w[pos] - gamma * k_of[pos] * (amy_of[pos] - k_of[pos]) / (2.0 * m)
     ) / m
     return pd.DataFrame(
         {
@@ -94,11 +95,14 @@ def louvain_move_candidates_arrow(
     a_c: DataFrame,
     m: float,
     n_blocks: int = 64,
+    gamma: float = 1.0,
 ) -> DataFrame:
     """Arrow-block rendering of louvain_move_candidates: same output schema
     (v, cur_comm, best_comm, gain) for every vertex with >=1 candidate."""
     state = labels.join(verts.select("v", "k"), "v")
-    return louvain_move_candidates_arrow_state(edges, state, a_c, m, n_blocks)
+    return louvain_move_candidates_arrow_state(
+        edges, state, a_c, m, n_blocks, gamma=gamma
+    )
 
 
 def louvain_move_candidates_arrow_state(
@@ -108,6 +112,7 @@ def louvain_move_candidates_arrow_state(
     m: float,
     n_blocks: int = 64,
     broadcast_state: bool = False,
+    gamma: float = 1.0,
 ) -> DataFrame:
     """Arrow kernel over the combined (v, comm, k) state table (one V-row
     join attaches my_comm and k together — see louvain._move_candidates_state;
@@ -130,6 +135,7 @@ def louvain_move_candidates_arrow_state(
         .join(bc(a_dst), "dst_comm")
         .join(bc(a_my), "my_comm")
         .withColumn("m", F.lit(m))
+        .withColumn("gamma", F.lit(float(gamma)))
         .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(n_blocks)))
     )
     return scored.groupBy("block").applyInPandas(

@@ -70,8 +70,11 @@ def modularity(
     m: float,
     verts: DataFrame | None = None,
     broadcast_labels: bool = False,
+    gamma: float = 1.0,
 ) -> float:
-    """Q = internal/(2m) - sum(a_c^2)/(4m^2); self-loops count as internal.
+    """Q = internal/(2m) - gamma*sum(a_c^2)/(4m^2); self-loops count as
+    internal. ``gamma`` is the Reichardt-Bornholdt resolution parameter
+    (1.0 = classic Newman-Girvan modularity).
 
     Both scalar reductions run as ONE Spark job (union of two tagged
     aggregates) — Q is evaluated once per sweep, so action count here is a
@@ -96,7 +99,7 @@ def modularity(
         .select(F.lit("acc").alias("part"), "s")
     )
     parts = {r["part"]: float(r["s"] or 0.0) for r in internal.unionByName(acc).collect()}
-    return parts["internal"] / (2 * m) - parts["acc"] / (4 * m * m)
+    return parts["internal"] / (2 * m) - gamma * parts["acc"] / (4 * m * m)
 
 
 def singleton_labels(edges: DataFrame) -> DataFrame:
@@ -105,7 +108,8 @@ def singleton_labels(edges: DataFrame) -> DataFrame:
 
 
 def louvain_move_candidates(
-    edges: DataFrame, labels: DataFrame, verts: DataFrame, a_c: DataFrame, m: float
+    edges: DataFrame, labels: DataFrame, verts: DataFrame, a_c: DataFrame, m: float,
+    gamma: float = 1.0,
 ) -> DataFrame:
     """Per-vertex best move: (v, cur_comm, best_comm, gain) for every vertex
     with at least one edge in ``edges`` (callers pre-filter to a batch).
@@ -115,12 +119,12 @@ def louvain_move_candidates(
     :1450-1540 argmax) as one aggregation pipeline.
     """
     state = labels.join(verts.select("v", "k"), "v")
-    return _move_candidates_state(edges, state, a_c, m)
+    return _move_candidates_state(edges, state, a_c, m, gamma=gamma)
 
 
 def _move_candidates_state(
     edges: DataFrame, state: DataFrame, a_c: DataFrame, m: float,
-    broadcast_state: bool = False,
+    broadcast_state: bool = False, gamma: float = 1.0,
 ) -> DataFrame:
     """Inner kernel over the combined (v, comm, k) state table: one V-row
     join attaches (my_comm, k) together, instead of separate labels + verts
@@ -154,7 +158,9 @@ def _move_candidates_state(
         .join(bc(a_my), "my_comm")
     )
     two_m = 2.0 * m
-    gain_col = (F.col("e_vc") - F.col("k") * F.col("a_dst") / F.lit(two_m)) / F.lit(m)
+    gain_col = (
+        F.col("e_vc") - F.lit(gamma) * F.col("k") * F.col("a_dst") / F.lit(two_m)
+    ) / F.lit(m)
     per_v = scored.groupBy("src").agg(
         F.first("my_comm").alias("cur_comm"),
         F.first("k").alias("k"),
@@ -174,7 +180,8 @@ def _move_candidates_state(
         ).alias("best"),
     )
     self_term = (
-        F.col("self_e") - F.col("k") * (F.col("a_my") - F.col("k")) / F.lit(two_m)
+        F.col("self_e")
+        - F.lit(gamma) * F.col("k") * (F.col("a_my") - F.col("k")) / F.lit(two_m)
     ) / F.lit(m)
     return per_v.select(
         F.col("src").alias("v"),
@@ -192,6 +199,7 @@ def louvain_sweep(
     nbatches: int,
     kernel: str = "sql",
     broadcast_state: bool = False,
+    gamma: float = 1.0,
 ) -> DataFrame:
     """One block-synchronous sweep over all batches; returns new labels DF.
 
@@ -223,7 +231,10 @@ def louvain_sweep(
             edges if nbatches == 1 else edges.where(F.pmod(F.col("src"), F.lit(nbatches)) == b)
         )
         moves = (
-            cand_fn(batch_edges, state, a_c, m, broadcast_state=broadcast_state)
+            cand_fn(
+                batch_edges, state, a_c, m,
+                broadcast_state=broadcast_state, gamma=gamma,
+            )
             .where(F.col("gain") > 0)
             .select("v", F.col("best_comm").alias("new_comm"))
         )
@@ -293,10 +304,20 @@ def louvain(
     broadcast_threshold: int = 8_000_000,
     durable_edges_prefix: str | None = None,
     durable_buckets: int | None = None,
+    gamma: float = 1.0,
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
     nido_spark.checkpoint.LouvainCheckpointer for durable resume.
+
+    ``gamma``: Reichardt-Bornholdt resolution parameter (the standard
+    Louvain knob the reference binary lacks but cuGraph's public
+    ``louvain(resolution=...)`` exposes): the gain and modularity null-model
+    terms are scaled by gamma, so gamma > 1 favors more/smaller communities
+    and gamma < 1 fewer/larger; 1.0 is classic Newman-Girvan modularity and
+    reproduces the reference trajectory bit-for-bit. Applied identically in
+    the SQL kernel, the Arrow kernel, and the NumPy oracle (including the
+    ``local_threshold`` tail), so parity tests hold at any gamma.
 
     ``dense_relabel``: renumber super-vertices densely (0..ncomm-1) at every
     phase transition — the reference's C1 kernel. Sparse 64-bit ids stay
@@ -408,7 +429,7 @@ def louvain(
             res = _finish_local(
                 edges, flat, n_phases, total_sweeps, history,
                 nbatches, tol, max_loops, tol_phase, max_phases, checkpointer,
-                dense_relabel,
+                dense_relabel, gamma=gamma,
             )
             if pinned is not None:
                 pinned.unpersist()
@@ -423,7 +444,7 @@ def louvain(
         m = m_first if m_first is not None else G.mass(edges)
         m_first = None
         labels = truncate_lineage(singleton_labels(edges))
-        Q = modularity(edges, labels, m, verts, broadcast_labels=bcast)
+        Q = modularity(edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma)
         Q_phase_start = Q
 
         dQ = float("inf")
@@ -432,9 +453,11 @@ def louvain(
             labels_prev = labels
             labels = louvain_sweep(
                 edges, labels, verts, m, nbatches, kernel=kernel,
-                broadcast_state=bcast,
+                broadcast_state=bcast, gamma=gamma,
             )
-            Qtmp = modularity(edges, labels, m, verts, broadcast_labels=bcast)
+            Qtmp = modularity(
+                edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma
+            )
             dQ = Qtmp - Q
             loops += 1
             if dQ < 0:
@@ -508,6 +531,7 @@ def _finish_local(
     max_phases: int,
     checkpointer,
     dense_relabel: bool = False,
+    gamma: float = 1.0,
 ) -> LouvainRunResult:
     """Finish the dendrogram tail on the driver via the NumPy oracle
     (identical schedule/semantics; see louvain(local_threshold=...))."""
@@ -519,7 +543,7 @@ def _finish_local(
         pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
         nbatches=nbatches, tol=tol, max_loops=max_loops,
         tol_phase=tol_phase, max_phases=max_phases - n_phases,
-        dense_relabel=dense_relabel,
+        dense_relabel=dense_relabel, gamma=gamma,
     )
     for h in res.history:
         history.append({**h, "phase": h["phase"] + n_phases})

@@ -57,10 +57,12 @@ def _vertex_index(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndar
 
 
 def modularity_numpy(
-    src: np.ndarray, dst: np.ndarray, w: np.ndarray, labels: dict[int, int] | None = None
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+    labels: dict[int, int] | None = None, gamma: float = 1.0,
 ) -> float:
     """Q of a labeling over a symmetric edge table (labels: vertex id -> comm
-    id; None = singleton partition)."""
+    id; None = singleton partition). ``gamma`` is the Reichardt-Bornholdt
+    resolution parameter scaling the null-model term (1.0 = classic Q)."""
     uids, s, d = _vertex_index(src, dst)
     nv = len(uids)
     k = np.bincount(s, weights=w, minlength=nv)
@@ -72,7 +74,7 @@ def modularity_numpy(
         _, comm = np.unique(lab_ids, return_inverse=True)
     a_c = np.bincount(comm, weights=k)
     internal = w[comm[s] == comm[d]].sum()
-    return float(internal / (2 * m) - (a_c**2).sum() / (4 * m * m))
+    return float(internal / (2 * m) - gamma * (a_c**2).sum() / (4 * m * m))
 
 
 @dataclass
@@ -93,6 +95,7 @@ def _one_sweep(
     m: float,
     comm: np.ndarray,
     nbatches: int,
+    gamma: float = 1.0,
 ) -> np.ndarray:
     """One batched sweep; mutates and returns ``comm`` (indices into uids)."""
     nv = len(uids)
@@ -121,7 +124,7 @@ def _one_sweep(
         ext = ~is_self
         if ext.any():
             gs, gc, ge = cs[ext], cc[ext], e_vc[ext]
-            gain = (ge - k[gs] * a_c[gc] / (2 * m)) / m
+            gain = (ge - gamma * k[gs] * a_c[gc] / (2 * m)) / m
             # argmax per src: sort by (src, -gain, comm_id) and take first
             order = np.lexsort((uids[gc], -gain, gs))
             gs_o, gc_o, gain_o = gs[order], gc[order], gain[order]
@@ -131,7 +134,8 @@ def _one_sweep(
             top_comm = gc_o[first]
             top_gain = gain_o[first]
             self_term = (
-                self_w[top_src] - k[top_src] * (a_c[comm[top_src]] - k[top_src]) / (2 * m)
+                self_w[top_src]
+                - gamma * k[top_src] * (a_c[comm[top_src]] - k[top_src]) / (2 * m)
             ) / m
             move = top_gain - self_term > 0
             comm[top_src[move]] = top_comm[move]
@@ -148,8 +152,10 @@ def louvain_numpy(
     tol_phase: float = 1e-6,
     max_phases: int = 200,
     dense_relabel: bool = False,
+    gamma: float = 1.0,
 ) -> LouvainResult:
     """Full multi-phase batched Louvain. Input: symmetric edge arrays.
+    ``gamma``: Reichardt-Bornholdt resolution (see louvain.louvain).
 
     ``dense_relabel`` mirrors louvain(dense_relabel=True): order-preserving
     renumbering of super-vertices to 0..ncomm-1 at every phase transition
@@ -174,15 +180,15 @@ def louvain_numpy(
         k = np.bincount(s, weights=w, minlength=nv)
         m = w.sum() / 2.0
         comm = np.arange(nv)  # singleton: community id == own vertex id
-        Q = _modularity_idx(s, d, w, k, m, comm, nv)
+        Q = _modularity_idx(s, d, w, k, m, comm, nv, gamma)
         Q_phase_start = Q
 
         dQ = np.inf
         loops = 0
         while tol < dQ and loops < max_loops:
             comm_prev = comm.copy()
-            comm = _one_sweep(uids, s, d, w, k, m, comm, nbatches)
-            Qtmp = _modularity_idx(s, d, w, k, m, comm, nv)
+            comm = _one_sweep(uids, s, d, w, k, m, comm, nbatches, gamma)
+            Qtmp = _modularity_idx(s, d, w, k, m, comm, nv, gamma)
             dQ = Qtmp - Q
             loops += 1
             if dQ < 0:
@@ -227,10 +233,10 @@ def louvain_numpy(
     return LouvainResult(labels, float(Q_final), n_phases, total_sweeps, history)
 
 
-def _modularity_idx(s, d, w, k, m, comm, nv) -> float:
+def _modularity_idx(s, d, w, k, m, comm, nv, gamma: float = 1.0) -> float:
     a_c = np.bincount(comm, weights=k, minlength=nv)
     internal = w[comm[s] == comm[d]].sum()
-    return float(internal / (2 * m) - (a_c**2).sum() / (4 * m * m))
+    return float(internal / (2 * m) - gamma * (a_c**2).sum() / (4 * m * m))
 
 
 # ---------------------------------------------------------------------------

@@ -366,3 +366,46 @@ def test_community_stats_matches_pure_python(spark, karate):
     for c, r in got.items():
         self_w = sum(ww for s, d, ww in und if s == d and comm(s) == c)
         assert abs(r["volume"] - (2 * r["internal_w"] - self_w + r["cut_w"])) < 1e-9
+
+
+@pytest.mark.parametrize("gamma", [0.5, 2.5])
+def test_louvain_resolution_matches_oracle(karate, gamma):
+    """Reichardt-Bornholdt resolution: Spark trajectory (distributed path,
+    local tail disabled) matches the NumPy oracle at gamma != 1 exactly —
+    partition up to relabeling, Q to 1e-9 — and the community count moves
+    the documented direction (gamma<1 coarser, gamma>1 finer than the 6
+    classic-karate communities at nbatches=4)."""
+    edges, (src, dst, w) = karate
+    got = L.louvain(edges, nbatches=4, local_threshold=0, gamma=gamma)
+    ref = O.louvain_numpy(src, dst, w, nbatches=4, gamma=gamma)
+    glab = {r["v"]: r["comm"] for r in got.labels.collect()}
+    assert labels_equivalent(glab, ref.labels)
+    assert got.modularity == pytest.approx(ref.modularity, abs=1e-9)
+    n_comms = len(set(glab.values()))
+    assert (n_comms < 6) if gamma < 1 else (n_comms > 6)
+
+
+def test_louvain_resolution_kernel_parity_and_tail(karate):
+    """At gamma != 1 the Arrow and SQL sweep renderings still agree
+    move-for-move, and the hybrid local tail (NumPy finish) carries gamma
+    instead of silently reverting to classic modularity."""
+    edges, (src, dst, w) = karate
+    labels = L.singleton_labels(edges)
+    verts = G.vertices(edges)
+    m = G.mass(edges)
+    s_sql = {
+        (r["v"], r["comm"])
+        for r in L.louvain_sweep(
+            edges, labels, verts, m, 2, kernel="sql", gamma=2.5
+        ).collect()
+    }
+    s_arr = {
+        (r["v"], r["comm"])
+        for r in L.louvain_sweep(
+            edges, labels, verts, m, 2, kernel="arrow", gamma=2.5
+        ).collect()
+    }
+    assert s_sql == s_arr
+    got = L.louvain(edges, nbatches=4, local_threshold=100_000, gamma=2.5)
+    ref = O.louvain_numpy(src, dst, w, nbatches=4, gamma=2.5)
+    assert got.modularity == pytest.approx(ref.modularity, abs=1e-9)
