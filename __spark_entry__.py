@@ -1124,6 +1124,17 @@ def _q_modularity_gamma(spark, sf):
     return spark.createDataFrame([(round(q, 9),)], "q double")
 
 
+def _q_labels_agreement(spark, sf):
+    # ARI + NMI between the deterministic pmod-10 and pmod-7 labelings of
+    # the lineitem vertex set — value-checks the full contingency /
+    # pair-count / entropy algebra of partition_agreement.
+    edges = lineitem_edges(spark, sf)
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    a = verts.select("v", F.pmod(F.col("v"), F.lit(10)).alias("comm"))
+    b = verts.select("v", F.pmod(F.col("v"), F.lit(7)).alias("comm"))
+    return L.partition_agreement(a, b)
+
+
 def _q_louvain_gain_step(spark, sf):
     edges = lineitem_edges(spark, sf)
     verts = G.vertices(edges)
@@ -1788,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "singleton_modularity": _q_singleton_modularity,
         "modularity_mod10": _q_modularity_mod10,
         "modularity_gamma": _q_modularity_gamma,
+        "labels_agreement": _q_labels_agreement,
         "doc_token_count": _q_doc_token_count,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3074,6 +3086,37 @@ SELECT ROUND(
   i.iw / (2 * m.m) - 2.5 * (SELECT SUM(a_c * a_c) FROM a) / (4 * m.m * m.m), 9
 ) AS q
 FROM i, m"""
+
+    # partition agreement: contingency pair-counts (ARI) + entropies (NMI,
+    # sqrt normalization, natural log) over the pmod-10 / pmod-7 labelings
+    sql["labels_agreement"] = f"""{_E},
+verts AS (SELECT DISTINCT src AS v FROM e),
+cont AS (
+  SELECT v % 10 AS ca, v % 7 AS cb, COUNT(*)::DOUBLE AS nij
+  FROM verts GROUP BY 1, 2
+),
+rowm AS (SELECT ca, SUM(nij) AS ai FROM cont GROUP BY ca),
+colm AS (SELECT cb, SUM(nij) AS bj FROM cont GROUP BY cb),
+sc AS (
+  SELECT (SELECT SUM(nij * (nij - 1) / 2) FROM cont) AS s_ij,
+         (SELECT SUM(nij) FROM cont) AS n,
+         (SELECT SUM(ai * (ai - 1) / 2) FROM rowm) AS s_a,
+         (SELECT COUNT(*) FROM rowm)::BIGINT AS n_comms_a,
+         (SELECT SUM(bj * (bj - 1) / 2) FROM colm) AS s_b,
+         (SELECT COUNT(*) FROM colm)::BIGINT AS n_comms_b,
+         (SELECT SUM((c.nij / s2.n) * LN(s2.n * c.nij / (r.ai * cl.bj)))
+          FROM cont c JOIN rowm r USING (ca) JOIN colm cl USING (cb),
+               (SELECT SUM(nij) AS n FROM cont) s2) AS mi,
+         (SELECT -SUM((ai / s2.n) * LN(ai / s2.n))
+          FROM rowm, (SELECT SUM(nij) AS n FROM cont) s2) AS ha,
+         (SELECT -SUM((bj / s2.n) * LN(bj / s2.n))
+          FROM colm, (SELECT SUM(nij) AS n FROM cont) s2) AS hb
+)
+SELECT n::BIGINT AS n, n_comms_a, n_comms_b,
+       ROUND((s_ij - s_a * s_b / (n * (n - 1) / 2))
+             / ((s_a + s_b) / 2 - s_a * s_b / (n * (n - 1) / 2)), 9) AS ari,
+       ROUND(mi / SQRT(ha * hb), 9) AS nmi
+FROM sc"""
 
     sql["neighbor_comm_agg"] = f"""{_E}
 SELECT src, dst % 10 AS dst_comm,

@@ -641,3 +641,93 @@ def community_stats(
             F.when(denom > 0, F.col("cut_w") / denom).otherwise(F.lit(None)),
         )
     )
+
+
+def partition_agreement(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One-row (n, n_comms_a, n_comms_b, ari, nmi) — agreement between two
+    labelings of the same vertex set (each ``(v, comm)``), label-invariant:
+    the quantitative form of the north rule's "labels exact up to
+    relabeling" acceptance criterion (ARI = NMI = 1.0 iff the partitions
+    are identical up to renaming). Standard definitions: Adjusted Rand
+    Index (Hubert & Arabie 1985) over pair counts C(n,2), and NMI with
+    sqrt(H(A)*H(B)) normalization (natural log), the sklearn default.
+    Use it to compare a Louvain run against a reference labeling, two
+    gamma settings, or LPA vs Louvain. Both scores rounded to 9 dp.
+
+    100 TB shape: ONE V-row equi-join on v, one grouped aggregation to the
+    contingency table (O(communities^2) worst case but O(matched pairs)
+    rows in practice — each vertex contributes one cell), marginals and
+    entropies reduce the contingency rows, and the final algebra runs on
+    a handful of one-row DataFrames (broadcast-joined scalars, no
+    collect). Vertices present in only one labeling are dropped by the
+    inner join (count them upstream if that matters)."""
+    pa = a.select("v", F.col("comm").alias("ca"))
+    pb = b.select("v", F.col("comm").alias("cb"))
+    cont = (
+        pa.join(pb, "v")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+    )
+
+    def comb2(c):
+        return c * (c - F.lit(1.0)) / F.lit(2.0)
+
+    row = cont.groupBy("ca").agg(F.sum("nij").alias("ai"))
+    col = cont.groupBy("cb").agg(F.sum("nij").alias("bj"))
+    s_ij = cont.agg(
+        F.sum(comb2(F.col("nij"))).alias("s_ij"),
+        F.sum("nij").alias("n"),
+    )
+    s_a = row.agg(
+        F.sum(comb2(F.col("ai"))).alias("s_a"),
+        F.count(F.lit(1)).cast("long").alias("n_comms_a"),
+    )
+    s_b = col.agg(
+        F.sum(comb2(F.col("bj"))).alias("s_b"),
+        F.count(F.lit(1)).cast("long").alias("n_comms_b"),
+    )
+    # mutual information and marginal entropies (natural log, p = x/n)
+    with_m = (
+        cont.join(F.broadcast(row), "ca")
+        .join(F.broadcast(col), "cb")
+        .crossJoin(F.broadcast(s_ij.select("n")))
+    )
+    mi = with_m.agg(
+        F.sum(
+            (F.col("nij") / F.col("n"))
+            * F.log(F.col("n") * F.col("nij") / (F.col("ai") * F.col("bj")))
+        ).alias("mi")
+    )
+    ha = row.crossJoin(F.broadcast(s_ij.select("n"))).agg(
+        (-F.sum((F.col("ai") / F.col("n")) * F.log(F.col("ai") / F.col("n"))))
+        .alias("ha")
+    )
+    hb = col.crossJoin(F.broadcast(s_ij.select("n"))).agg(
+        (-F.sum((F.col("bj") / F.col("n")) * F.log(F.col("bj") / F.col("n"))))
+        .alias("hb")
+    )
+    scalars = (
+        s_ij.crossJoin(s_a).crossJoin(s_b)
+        .crossJoin(mi).crossJoin(ha).crossJoin(hb)
+    )
+    t = comb2(F.col("n"))
+    expected = F.col("s_a") * F.col("s_b") / t
+    max_idx = (F.col("s_a") + F.col("s_b")) / F.lit(2.0)
+    ari = F.when(
+        max_idx - expected == 0, F.lit(1.0)  # both trivial partitions
+    ).otherwise((F.col("s_ij") - expected) / (max_idx - expected))
+    nmi = F.when(
+        (F.col("ha") == 0) | (F.col("hb") == 0),
+        # convention: a constant labeling agrees perfectly only with
+        # another constant labeling (then MI = H = 0 and we define 1.0)
+        F.when((F.col("ha") == 0) & (F.col("hb") == 0), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
+    ).otherwise(F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")))
+    return scalars.select(
+        F.col("n").cast("long").alias("n"),
+        "n_comms_a",
+        "n_comms_b",
+        F.round(ari, 9).alias("ari"),
+        F.round(nmi, 9).alias("nmi"),
+    )

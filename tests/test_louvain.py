@@ -409,3 +409,55 @@ def test_louvain_resolution_kernel_parity_and_tail(karate):
     got = L.louvain(edges, nbatches=4, local_threshold=100_000, gamma=2.5)
     ref = O.louvain_numpy(src, dst, w, nbatches=4, gamma=2.5)
     assert got.modularity == pytest.approx(ref.modularity, abs=1e-9)
+
+
+def test_partition_agreement_reference_and_edge_cases(spark):
+    """ARI/NMI match an independent driver-side implementation on a seeded
+    correlated pair of labelings; identical-up-to-relabeling scores 1.0/1.0
+    (the north rule's acceptance criterion, quantified); the degenerate
+    constant-labeling conventions hold (const==const -> 1.0, const vs
+    varied -> 0.0)."""
+    import math
+    from collections import Counter
+
+    rng = np.random.default_rng(11)
+    n = 500
+    la = rng.integers(0, 7, n)
+    lb = np.where(rng.random(n) < 0.7, la, rng.integers(0, 9, n))
+
+    def ref(a, b):
+        cont = Counter(zip(a.tolist(), b.tolist()))
+        ai, bj = Counter(a.tolist()), Counter(b.tolist())
+        comb2 = lambda x: x * (x - 1) / 2  # noqa: E731
+        s_ij = sum(comb2(v) for v in cont.values())
+        s_a = sum(comb2(v) for v in ai.values())
+        s_b = sum(comb2(v) for v in bj.values())
+        exp = s_a * s_b / comb2(n)
+        ari = (s_ij - exp) / ((s_a + s_b) / 2 - exp)
+        mi = sum(
+            (v / n) * math.log(n * v / (ai[x] * bj[y]))
+            for (x, y), v in cont.items()
+        )
+        ha = -sum((v / n) * math.log(v / n) for v in ai.values())
+        hb = -sum((v / n) * math.log(v / n) for v in bj.values())
+        return ari, mi / math.sqrt(ha * hb)
+
+    A = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in enumerate(la)], "v long, comm long"
+    )
+    B = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in enumerate(lb)], "v long, comm long"
+    )
+    got = L.partition_agreement(A, B).first()
+    exp_ari, exp_nmi = ref(la, lb)
+    assert got["n"] == n
+    assert got["ari"] == pytest.approx(exp_ari, abs=1e-8)
+    assert got["nmi"] == pytest.approx(exp_nmi, abs=1e-8)
+
+    r2 = L.partition_agreement(A, A.selectExpr("v", "comm + 100 AS comm")).first()
+    assert (r2["ari"], r2["nmi"]) == (1.0, 1.0)
+    c1 = A.selectExpr("v", "0 AS comm")
+    r3 = L.partition_agreement(c1, A.selectExpr("v", "5 AS comm")).first()
+    assert (r3["ari"], r3["nmi"]) == (1.0, 1.0)
+    r4 = L.partition_agreement(c1, A).first()
+    assert r4["nmi"] == 0.0
