@@ -418,3 +418,71 @@ def incremental_edges_stateful(
         .outputMode("update")
         .start()
     )
+
+
+_CHAIN_INC_SCHEMA = "conv_id string, t1 string, t2 string, w long"
+_CHAIN_STATE_SCHEMA = "last_turn integer, last_tool string"
+
+
+def _chain_conv(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-conversation state function for tool-chain mining: the input is
+    pre-filtered to tool turns; the last (turn_idx, tool) is carried in
+    group state so a chain spanning a micro-batch boundary still yields its
+    bigram (same boundary-carry contract as _make_reassemble). Out-of-order
+    or replayed turns (turn_idx <= last seen) are dropped, not
+    double-counted."""
+    (conv_id,) = key
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame(
+        {"conv_id": [], "turn_idx": [], "tool": []}
+    )
+    empty = pd.DataFrame({"conv_id": [], "t1": [], "t2": [], "w": []}).astype(
+        {"conv_id": "string", "t1": "string", "t2": "string", "w": "int64"}
+    )
+    if len(rows) == 0:
+        yield empty
+        return
+    rows = rows.sort_values("turn_idx")
+    last_turn, last_tool = state.get if state.exists else (None, None)
+    t1_out, t2_out = [], []
+    for turn, tool in zip(rows["turn_idx"], rows["tool"]):
+        if last_turn is not None and int(turn) <= last_turn:
+            continue
+        if last_tool is not None:
+            t1_out.append(last_tool)
+            t2_out.append(tool)
+        last_turn, last_tool = int(turn), tool
+    state.update((last_turn, last_tool))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id] * len(t1_out),
+            "t1": t1_out,
+            "t2": t2_out,
+            "w": [1] * len(t1_out),
+        }
+    )
+
+
+def stateful_tool_chains(transcripts_stream: DataFrame) -> DataFrame:
+    """Streaming tool-chain bigram INCREMENTS (conv_id, t1, t2, w=1) with
+    exact batch parity against conversation.tool_chains: the stream is
+    filtered to tool turns BEFORE keying (so state is O(1) per conversation
+    — just the last tool call), and the boundary bigram of a conversation
+    split across micro-batches is emitted from carried state. Aggregate
+    downstream: SUM(w) per (t1, t2) reproduces tool_chains.n exactly and
+    COUNT(DISTINCT conv_id) reproduces n_convs (the increments carry
+    conv_id precisely so distinct-conv attribution survives streaming)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        transcripts_stream.where(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _chain_conv,
+            outputStructType=_CHAIN_INC_SCHEMA,
+            stateStructType=_CHAIN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -395,3 +395,41 @@ def test_count_min_sketch_streams_with_bounded_state(spark, tmp_path):
     }
     assert got == want
     assert len(got) <= 3 * (1 << 8)
+
+
+def test_stateful_tool_chains_match_batch_across_midsplit(
+    spark, midsplit_dir, tmp_path
+):
+    """Tool-chain bigram mining streams with exact batch parity: both the
+    occurrence count (SUM of increments) and the distinct-conversation
+    count survive a mid-conversation micro-batch split, because the last
+    tool call is carried in group state across the boundary."""
+    from nido_spark.conversation import tool_chains
+
+    stream = ST.stream_transcripts(
+        spark, midsplit_dir + "/wave*", max_files_per_trigger=1
+    )
+    out = ST.stateful_tool_chains(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("chains")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["t1"], r["t2"]): (r["n"], r["n_convs"])
+        for r in spark.sql(
+            "SELECT t1, t2, SUM(w) AS n, COUNT(DISTINCT conv_id) AS n_convs"
+            " FROM chains GROUP BY t1, t2"
+        ).collect()
+    }
+    want = {
+        (r["t1"], r["t2"]): (r["n"], r["n_convs"])
+        for r in tool_chains(synth_transcripts(spark, 40, seed=42)).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture actually exercises chains
