@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 _OUT_SCHEMA = "v long, cur_comm long, best_comm long, gain double"
 
 
-def _block_argmax(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-vertex best move within one vertex block (NumPy segment ops)."""
+def _block_argmax(pdf: pd.DataFrame, gamma: float = 1.0) -> pd.DataFrame:
+    """Per-vertex best move within one vertex block (NumPy segment ops).
+    ``gamma`` (resolution) arrives via closure — a driver-side scalar like
+    ``n_blocks``, not worth an 8-byte column per scored row."""
     src = pdf["src"].to_numpy(np.int64)
     dst_comm = pdf["dst_comm"].to_numpy(np.int64)
     e_vc = pdf["e_vc"].to_numpy(np.float64)
@@ -41,7 +43,6 @@ def _block_argmax(pdf: pd.DataFrame) -> pd.DataFrame:
     a_dst = pdf["a_dst"].to_numpy(np.float64)
     a_my = pdf["a_my"].to_numpy(np.float64)
     m = float(pdf["m"].iloc[0]) if len(pdf) else 0.0
-    gamma = float(pdf["gamma"].iloc[0]) if len(pdf) else 1.0
 
     is_self = dst_comm == my
     # self weight per src (gather-scatter: add.at == atomic scatter-add)
@@ -135,9 +136,9 @@ def louvain_move_candidates_arrow_state(
         .join(bc(a_dst), "dst_comm")
         .join(bc(a_my), "my_comm")
         .withColumn("m", F.lit(m))
-        .withColumn("gamma", F.lit(float(gamma)))
         .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(n_blocks)))
     )
+    g = float(gamma)
     return scored.groupBy("block").applyInPandas(
-        lambda _key, pdf: _block_argmax(pdf), schema=_OUT_SCHEMA
+        lambda _key, pdf: _block_argmax(pdf, g), schema=_OUT_SCHEMA
     )
