@@ -731,3 +731,41 @@ def partition_agreement(a: DataFrame, b: DataFrame) -> DataFrame:
         F.round(ari, 9).alias("ari"),
         F.round(nmi, 9).alias("nmi"),
     )
+
+
+def resolution_profile(
+    edges: DataFrame, gammas: list[float], **louvain_kwargs
+) -> list[dict]:
+    """Resolution landscape: run ``louvain`` at each gamma (ascending) and
+    report per-gamma ``{gamma, modularity, n_comms, n_phases, total_sweeps,
+    ari_vs_prev, nmi_vs_prev}`` where ari/nmi compare each partition to the
+    previous gamma's (``partition_agreement``; None for the first). Stable
+    plateaus — consecutive gammas with agreement ~1.0 — are the standard
+    heuristic for a robust community scale (Reichardt-Bornholdt / Lancichinetti
+    resolution-sweep practice); a gamma where agreement collapses marks a
+    structural transition.
+
+    Driver-side loop over a HANDFUL of gammas, each a full distributed
+    Louvain run — cost is len(gammas) runs, so keep the list short (3-8).
+    Labels of each run are lineage-truncated before the comparison join."""
+    out: list[dict] = []
+    prev_labels = None
+    for gamma in sorted(float(g) for g in gammas):
+        res = louvain(edges, gamma=gamma, **louvain_kwargs)
+        labels = truncate_lineage(res.labels)
+        row = {
+            "gamma": gamma,
+            "modularity": res.modularity,
+            "n_comms": labels.select("comm").distinct().count(),
+            "n_phases": res.n_phases,
+            "total_sweeps": res.total_sweeps,
+            "ari_vs_prev": None,
+            "nmi_vs_prev": None,
+        }
+        if prev_labels is not None:
+            agree = partition_agreement(prev_labels, labels).first()
+            row["ari_vs_prev"] = float(agree["ari"])
+            row["nmi_vs_prev"] = float(agree["nmi"])
+        out.append(row)
+        prev_labels = labels
+    return out

@@ -461,3 +461,20 @@ def test_partition_agreement_reference_and_edge_cases(spark):
     assert (r3["ari"], r3["nmi"]) == (1.0, 1.0)
     r4 = L.partition_agreement(c1, A).first()
     assert r4["nmi"] == 0.0
+
+
+def test_resolution_profile_karate(karate):
+    """The gamma sweep reports monotone-nondecreasing community counts on
+    karate (coarse -> fine), agreement scores against the previous gamma,
+    and each row's Q matching a direct louvain run at that gamma."""
+    edges, (src, dst, w) = karate
+    prof = L.resolution_profile(edges, [2.5, 0.5, 1.0], nbatches=4)
+    assert [r["gamma"] for r in prof] == [0.5, 1.0, 2.5]  # sorted ascending
+    ncs = [r["n_comms"] for r in prof]
+    assert ncs == sorted(ncs) and ncs[0] < ncs[-1]
+    assert prof[0]["ari_vs_prev"] is None
+    for r in prof[1:]:
+        assert 0.0 <= r["ari_vs_prev"] <= 1.0 and 0.0 <= r["nmi_vs_prev"] <= 1.0
+    for r in prof:
+        ref = O.louvain_numpy(src, dst, w, nbatches=4, gamma=r["gamma"])
+        assert r["modularity"] == pytest.approx(ref.modularity, abs=1e-9)
