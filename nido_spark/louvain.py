@@ -769,3 +769,107 @@ def resolution_profile(
         out.append(row)
         prev_labels = labels
     return out
+
+
+def ecg_weights(
+    edges: DataFrame,
+    ensemble_nbatches: tuple[int, ...] = (1, 2, 3, 4, 6, 8, 12, 16),
+    min_weight: float = 0.05,
+    gamma: float = 1.0,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """Co-association reweighted edge table (src, dst, w) for ECG (Poulin &
+    Théberge, "Ensemble clustering for graphs", 2018; cuGraph exposes the
+    same operator as ``ecg``). Each ensemble member is one LEVEL-1 Louvain
+    pass (single phase, no coarsening); members differ by their batch
+    schedule (``ensemble_nbatches``) rather than random vertex orders — the
+    deterministic analogue of the paper's randomized sweeps, so every
+    member is exactly replayable by the NumPy oracle (pytest-pinned). An
+    edge's vote fraction is the share of members that co-cluster its
+    endpoints; following the paper, votes count only on 2-CORE edges
+    (pendant edges get the floor — their membership is noise):
+
+        w'(e) = w(e) * (min_weight + (1 - min_weight) * votes/k)   [2-core]
+        w'(e) = w(e) * min_weight                                  [else]
+
+    (the original is unweighted; scaling the input weight keeps weighted
+    tables meaningful and reduces to the paper on unit weights).
+
+    100 TB shape: k level-1 Louvain runs (each the engine's own bounded
+    sweep pipeline), then per member ONE V-row label join pair onto the
+    edge table (broadcast under the same gate as the sweep kernel),
+    lineage-truncated per member; the 2-core flag is one k_core run + two
+    semi-join-shaped left joins. Nothing new shuffles E rows beyond the
+    k+1 label attachments."""
+    from nido_spark.algos import k_core
+
+    k = len(ensemble_nbatches)
+    if k == 0:
+        raise ValueError("ensemble_nbatches must be non-empty")
+    nv = edges.select("src").distinct().count()
+    bc = F.broadcast if nv <= broadcast_threshold else (lambda df: df)
+
+    acc = edges.select("src", "dst", "w", F.lit(0).alias("votes"))
+    for nb in ensemble_nbatches:
+        labels = louvain(
+            edges, nbatches=nb, max_phases=1, local_threshold=0, gamma=gamma
+        ).labels
+        lab_s = labels.select(F.col("v").alias("src"), F.col("comm").alias("cs"))
+        lab_d = labels.select(F.col("v").alias("dst"), F.col("comm").alias("cd"))
+        acc = truncate_lineage(
+            acc.join(bc(lab_s), "src")
+            .join(bc(lab_d), "dst")
+            .select(
+                "src",
+                "dst",
+                "w",
+                (
+                    F.col("votes")
+                    + (F.col("cs") == F.col("cd")).cast("int")
+                ).alias("votes"),
+            )
+        )
+    core2 = k_core(edges).where(F.col("core") >= 2).select("v")
+    c_s = core2.select(F.col("v").alias("src"), F.lit(1).alias("in2_s"))
+    c_d = core2.select(F.col("v").alias("dst"), F.lit(1).alias("in2_d"))
+    flagged = (
+        acc.join(bc(c_s), "src", "left").join(bc(c_d), "dst", "left")
+    )
+    frac = F.col("votes") / F.lit(float(k))
+    w_core = F.lit(min_weight) + F.lit(1.0 - min_weight) * frac
+    return flagged.select(
+        "src",
+        "dst",
+        (
+            F.col("w")
+            * F.when(
+                F.col("in2_s").isNotNull() & F.col("in2_d").isNotNull(), w_core
+            ).otherwise(F.lit(min_weight))
+        ).alias("w"),
+    )
+
+
+def ecg(
+    edges: DataFrame,
+    ensemble_nbatches: tuple[int, ...] = (1, 2, 3, 4, 6, 8, 12, 16),
+    min_weight: float = 0.05,
+    gamma: float = 1.0,
+    broadcast_threshold: int = 8_000_000,
+    **final_kwargs,
+) -> "LouvainRunResult":
+    """Ensemble Clustering for Graphs: final Louvain over the
+    ``ecg_weights`` co-association reweighted table. More stable than a
+    single Louvain run (ensemble votes wash out batch-schedule artifacts)
+    at the cost of len(ensemble_nbatches)+1 level runs; ``final_kwargs``
+    pass through to the final ``louvain`` (nbatches, tol, checkpointer,
+    ...). The returned modularity is measured ON THE REWEIGHTED graph."""
+    reweighted = truncate_lineage(
+        ecg_weights(
+            edges,
+            ensemble_nbatches=ensemble_nbatches,
+            min_weight=min_weight,
+            gamma=gamma,
+            broadcast_threshold=broadcast_threshold,
+        )
+    )
+    return louvain(reweighted, gamma=gamma, **final_kwargs)

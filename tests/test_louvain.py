@@ -478,3 +478,47 @@ def test_resolution_profile_karate(karate):
     for r in prof:
         ref = O.louvain_numpy(src, dst, w, nbatches=4, gamma=r["gamma"])
         assert r["modularity"] == pytest.approx(ref.modularity, abs=1e-9)
+
+
+def test_ecg_weights_and_final_match_numpy_replay(karate):
+    """ECG end to end against driver-side replays: every ensemble member is
+    a deterministic level-1 Louvain (exactly reproduced by the NumPy oracle
+    at the same nbatches), co-association weights match the replayed votes
+    with the 2-core floor to 1e-12, and the final clustering over the
+    reweighted table matches the oracle run on the same reweighted arrays
+    (partition up to relabeling, Q to 1e-9)."""
+    edges, (src, dst, w) = karate
+    ens = (1, 2, 4)
+    min_w = 0.05
+    members = [
+        O.louvain_numpy(src, dst, w, nbatches=nb, max_phases=1) for nb in ens
+    ]
+    core = O.k_core_numpy(src, dst)
+    exp = {}
+    for a, b, x in zip(src.tolist(), dst.tolist(), w.tolist()):
+        votes = sum(1 for m in members if m.labels[a] == m.labels[b])
+        if core[a] >= 2 and core[b] >= 2:
+            exp[(a, b)] = x * (min_w + (1 - min_w) * votes / len(ens))
+        else:
+            exp[(a, b)] = x * min_w
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in L.ecg_weights(
+            edges, ensemble_nbatches=ens, min_weight=min_w
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    assert all(abs(got[e] - exp[e]) < 1e-12 for e in exp)
+
+    res = L.ecg(
+        edges, ensemble_nbatches=ens, min_weight=min_w,
+        nbatches=4, local_threshold=0,
+    )
+    rw = sorted(got.items())
+    rs = np.array([a for (a, _b), _ in rw])
+    rd = np.array([b for (_a, b), _ in rw])
+    rwt = np.array([x for _, x in rw])
+    ref = O.louvain_numpy(rs, rd, rwt, nbatches=4)
+    glab = {r["v"]: r["comm"] for r in res.labels.collect()}
+    assert labels_equivalent(glab, ref.labels)
+    assert res.modularity == pytest.approx(ref.modularity, abs=1e-9)
