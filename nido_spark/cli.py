@@ -103,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         "-a", "--algo", default="louvain",
         choices=["louvain", "louvain-refined", "pagerank", "cc", "lpa",
                  "triangles", "k-core", "sssp", "hits", "betweenness", "msf",
-                 "scc", "onion", "fiedler", "backbone"],
+                 "scc", "onion", "fiedler", "backbone", "ecg"],
         help="algorithm to run (default: the reference's Louvain; "
              "louvain-refined chains the Leiden-style connected split)",
     )
@@ -247,6 +247,21 @@ def main(argv: list[str] | None = None) -> int:
                                "sec": round(time.time() - t2, 2)}
         print(f"backbone: kept {n_kept}/{n_all} edges at alpha=0.05 "
               f"[{metrics['backbone']['sec']}s]")
+    elif args.algo == "ecg":
+        res = L.ecg(
+            edges, nbatches=args.nbatches, tol=args.tau,
+            max_loops=args.max_loops, tol_phase=args.tau, gamma=args.gamma,
+        )
+        metrics["ecg"] = {
+            "modularity_reweighted": res.modularity,
+            "phases": res.n_phases,
+            "sweeps": res.total_sweeps,
+            "sec": round(time.time() - t2, 2),
+        }
+        print(f"ecg: Q'={res.modularity:.6f} (reweighted graph) "
+              f"phases={res.n_phases} sweeps={res.total_sweeps} "
+              f"[{metrics['ecg']['sec']}s]")
+        out_df = res.labels
     elif args.algo == "betweenness":
         srcs = ([args.source] if args.source is not None
                 else [r["src"] for r in

@@ -61,3 +61,28 @@ def test_cli_algo_dispatch(tmp_path, capsys):
     assert main(["--random", "200 3", "-a", "louvain-refined",
                  "--cores", "4", "-b", "4"]) == 0
     assert "refine:" in capsys.readouterr().out
+
+
+def test_cli_ecg_and_gamma(tmp_path, capsys):
+    """--algo ecg writes a (v, comm) labels parquet covering every vertex;
+    --gamma reaches the louvain dispatch (finer partition at gamma=3 than
+    the classic run on the same seeded graph)."""
+    from nido_spark.cli import main
+    from nido_spark.session import get_spark
+
+    out = str(tmp_path / "ecg_labels")
+    assert main(["--random", "60 3", "-a", "ecg", "-o", out,
+                 "--cores", "4"]) == 0
+    spark = get_spark("cli_check2", cores=4)
+    lab = spark.read.parquet(out)
+    assert set(lab.columns) == {"v", "comm"} and lab.count() == 60
+
+    out1 = str(tmp_path / "lv1")
+    out3 = str(tmp_path / "lv3")
+    assert main(["--random", "60 3", "-a", "louvain", "-o", out1,
+                 "--cores", "4"]) == 0
+    assert main(["--random", "60 3", "-a", "louvain", "--gamma", "3.0",
+                 "-o", out3, "--cores", "4"]) == 0
+    n1 = spark.read.parquet(out1).select("comm").distinct().count()
+    n3 = spark.read.parquet(out3).select("comm").distinct().count()
+    assert n3 > n1
