@@ -1588,6 +1588,60 @@ def _q_transcript_louvain(spark, sf):
     return res.labels
 
 
+def _q_transcript_ecg_votes(spark, sf):
+    # ECG co-association surface as EXACT integers: votes = number of
+    # ensemble members (level-1 Louvain at nbatches 1/2/4, each forced
+    # through the DISTRIBUTED sweep kernel — ecg_weights passes
+    # local_threshold=0) whose partition co-clusters the edge's endpoints,
+    # plus the 2-core mask. Value-checks the whole distributed ensemble
+    # trajectory with zero float-ulp risk (the reweighted w itself is
+    # pinned to 1e-12 by tests/test_louvain.py).
+    tr = synth_transcripts(spark, 500, seed=42)
+    e = transcripts_to_edges(tr, strategy="dense")
+    return L.ecg_weights(
+        e, ensemble_nbatches=(1, 2, 4), with_votes=True
+    ).select("src", "dst", "votes", "in_2core")
+
+
+def _q_transcript_ecg(spark, sf):
+    # Final ECG clustering: Louvain over the co-association reweighted
+    # table. Independence note (same class as transcript_louvain): the
+    # ensemble members run DISTRIBUTED (local_threshold=0 inside
+    # ecg_weights); the final louvain on the 3k-edge reweighted graph runs
+    # through the local tail, so what the oracle independently checks is
+    # the distributed ensemble + reweighting plumbing feeding it.
+    tr = synth_transcripts(spark, 500, seed=42)
+    e = transcripts_to_edges(tr, strategy="dense")
+    return L.ecg(e, ensemble_nbatches=(1, 2, 4), nbatches=8).labels
+
+
+def _q_transcript_resolution_profile(spark, sf):
+    # Reichardt-Bornholdt gamma sweep: per-gamma community count, schedule
+    # counters, and label-invariant agreement (ARI/NMI) against the
+    # previous gamma — partition_agreement runs DISTRIBUTED (contingency
+    # groupBy + entropy aggregations) even where the per-gamma louvain
+    # takes the local tail on this 3k-edge graph.
+    tr = synth_transcripts(spark, 500, seed=42)
+    e = transcripts_to_edges(tr, strategy="dense")
+    prof = L.resolution_profile(e, [0.5, 1.0, 2.5], nbatches=8)
+    rows = [
+        (
+            float(r["gamma"]),
+            int(r["n_comms"]),
+            int(r["n_phases"]),
+            int(r["total_sweeps"]),
+            r["ari_vs_prev"],
+            r["nmi_vs_prev"],
+        )
+        for r in prof
+    ]
+    return spark.createDataFrame(
+        rows,
+        "gamma double, n_comms long, n_phases long, total_sweeps long, "
+        "ari_vs_prev double, nmi_vs_prev double",
+    )
+
+
 def _rotated(
     impls: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1698,6 +1752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Louvain kernels (L0-L9, C4)
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
+        "transcript_ecg_votes": _q_transcript_ecg_votes,
+        "transcript_ecg": _q_transcript_ecg,
+        "transcript_resolution_profile": _q_transcript_resolution_profile,
         # companion algorithms
         "pagerank_step": _q_pagerank_step,
         "pagerank_full": _q_pagerank_full,
@@ -2351,6 +2408,160 @@ def _transcript_louvain_values_sql() -> str:
     return (
         f"SELECT v::BIGINT AS v, comm::BIGINT AS comm "
         f"FROM (VALUES {vals}) AS t(v, comm)"
+    )
+
+
+_ECG_ENSEMBLE = (1, 2, 4)
+_ECG_MIN_W = 0.05
+
+
+def _transcript_ecg_replay():
+    """NumPy replay of ecg_weights on the transcript graph: level-1 Louvain
+    members (louvain_numpy at each nbatches, max_phases=1 — the exact
+    deterministic schedule the distributed kernel runs), vote counts per
+    edge, 2-core mask (k_core_numpy), and the reweighted w computed with
+    the SAME float64 association as the Spark expression
+    ``w * (min_w + (1 - min_w) * (votes / k))`` so the tail louvain sees
+    bitwise-identical weights."""
+    import duckdb
+
+    from nido_spark.oracle import k_core_numpy, louvain_numpy
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT * FROM ({_transcript_edges_sql()}) ORDER BY src, dst"
+    ).df()
+    s = pdf["src"].to_numpy()
+    d = pdf["dst"].to_numpy()
+    w = pdf["w"].to_numpy()
+    members = [
+        louvain_numpy(s, d, w, nbatches=nb, max_phases=1)
+        for nb in _ECG_ENSEMBLE
+    ]
+    core = k_core_numpy(s, d)
+    k = float(len(_ECG_ENSEMBLE))
+    rows = []
+    for a, b, x in zip(s.tolist(), d.tolist(), w.tolist()):
+        votes = sum(1 for m in members if m.labels[a] == m.labels[b])
+        in2 = 1 if (core[a] >= 2 and core[b] >= 2) else 0
+        if in2:
+            wp = x * (_ECG_MIN_W + (1.0 - _ECG_MIN_W) * (votes / k))
+        else:
+            wp = x * _ECG_MIN_W
+        rows.append((a, b, votes, in2, wp))
+    return rows
+
+
+def _transcript_ecg_votes_values_sql() -> str:
+    """ECG votes + 2-core mask as an integer-exact VALUES literal (see
+    _transcript_ecg_replay)."""
+    vals = ",".join(
+        f"({a},{b},{v},{i2})" for a, b, v, i2, _ in _transcript_ecg_replay()
+    )
+    return (
+        f"SELECT src::BIGINT AS src, dst::BIGINT AS dst, "
+        f"votes::BIGINT AS votes, in_2core::INT AS in_2core "
+        f"FROM (VALUES {vals}) AS t(src, dst, votes, in_2core)"
+    )
+
+
+def _transcript_ecg_values_sql() -> str:
+    """Final ECG labels: louvain_numpy over the replayed reweighted table
+    (independence disclosure at _q_transcript_ecg)."""
+    import numpy as np
+
+    from nido_spark.oracle import louvain_numpy
+
+    rows = _transcript_ecg_replay()
+    rs = np.array([r[0] for r in rows], dtype=np.int64)
+    rd = np.array([r[1] for r in rows], dtype=np.int64)
+    rw = np.array([r[4] for r in rows], dtype=np.float64)
+    res = louvain_numpy(rs, rd, rw, nbatches=8)
+    vals = ",".join(f"({int(v)},{int(c)})" for v, c in sorted(res.labels.items()))
+    return (
+        f"SELECT v::BIGINT AS v, comm::BIGINT AS comm "
+        f"FROM (VALUES {vals}) AS t(v, comm)"
+    )
+
+
+def _ari_nmi_replay(la: dict, lb: dict) -> tuple[float, float]:
+    """Pure-Python replay of louvain.partition_agreement's algebra (exact
+    integer contingency -> ARI pair counts, natural-log NMI with
+    sqrt(H*H) normalization, both rounded to 9 dp like the Spark side;
+    different float summation ORDER is absorbed by the rounding)."""
+    import math
+    from collections import Counter
+
+    common = set(la) & set(lb)
+    cont = Counter((la[v], lb[v]) for v in common)
+    n = float(len(common))
+    ai: Counter = Counter()
+    bj: Counter = Counter()
+    for (a, b), c in cont.items():
+        ai[a] += c
+        bj[b] += c
+
+    def comb2(c: float) -> float:
+        return c * (c - 1.0) / 2.0
+
+    s_ij = sum(comb2(float(c)) for c in cont.values())
+    s_a = sum(comb2(float(c)) for c in ai.values())
+    s_b = sum(comb2(float(c)) for c in bj.values())
+    t = comb2(n)
+    expected = s_a * s_b / t
+    max_idx = (s_a + s_b) / 2.0
+    ari = 1.0 if max_idx - expected == 0 else (s_ij - expected) / (max_idx - expected)
+    mi = sum(
+        (c / n) * math.log(n * c / (float(ai[a]) * float(bj[b])))
+        for (a, b), c in cont.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ai.values())
+    hb = -sum((c / n) * math.log(c / n) for c in bj.values())
+    if ha == 0 or hb == 0:
+        nmi = 1.0 if (ha == 0 and hb == 0) else 0.0
+    else:
+        nmi = mi / math.sqrt(ha * hb)
+    return round(ari, 9), round(nmi, 9)
+
+
+def _transcript_resolution_profile_values_sql() -> str:
+    """Per-gamma resolution profile as a VALUES literal: louvain_numpy at
+    each gamma (the schedule the local tail runs — same disclosure as
+    transcript_louvain), agreement scores replayed by _ari_nmi_replay."""
+    import duckdb
+
+    from nido_spark.oracle import louvain_numpy
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT * FROM ({_transcript_edges_sql()}) ORDER BY src, dst"
+    ).df()
+    s = pdf["src"].to_numpy()
+    d = pdf["dst"].to_numpy()
+    w = pdf["w"].to_numpy()
+    prev = None
+    rows = []
+    for gamma in (0.5, 1.0, 2.5):
+        res = louvain_numpy(s, d, w, nbatches=8, gamma=gamma)
+        n_comms = len(set(res.labels.values()))
+        if prev is None:
+            ari_s = "CAST(NULL AS DOUBLE)"
+            nmi_s = "CAST(NULL AS DOUBLE)"
+        else:
+            ari, nmi = _ari_nmi_replay(prev, res.labels)
+            ari_s, nmi_s = repr(ari), repr(nmi)
+        rows.append(
+            f"({gamma!r}, {n_comms}, {res.n_phases}, {res.total_sweeps}, "
+            f"{ari_s}, {nmi_s})"
+        )
+        prev = res.labels
+    vals = ",".join(rows)
+    return (
+        f"SELECT gamma::DOUBLE AS gamma, n_comms::BIGINT AS n_comms, "
+        f"n_phases::BIGINT AS n_phases, total_sweeps::BIGINT AS total_sweeps, "
+        f"ari_vs_prev::DOUBLE AS ari_vs_prev, nmi_vs_prev::DOUBLE AS nmi_vs_prev "
+        f"FROM (VALUES {vals}) AS t(gamma, n_comms, n_phases, total_sweeps, "
+        f"ari_vs_prev, nmi_vs_prev)"
     )
 
 
@@ -3908,6 +4119,11 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
     sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
+    sql["transcript_ecg_votes"] = _transcript_ecg_votes_values_sql()
+    sql["transcript_ecg"] = _transcript_ecg_values_sql()
+    sql["transcript_resolution_profile"] = (
+        _transcript_resolution_profile_values_sql()
+    )
     sql["transcript_louvain_refined"] = _transcript_louvain_refined_sql()
     sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)
 

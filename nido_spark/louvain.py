@@ -777,6 +777,7 @@ def ecg_weights(
     min_weight: float = 0.05,
     gamma: float = 1.0,
     broadcast_threshold: int = 8_000_000,
+    with_votes: bool = False,
 ) -> DataFrame:
     """Co-association reweighted edge table (src, dst, w) for ECG (Poulin &
     Théberge, "Ensemble clustering for graphs", 2018; cuGraph exposes the
@@ -837,16 +838,23 @@ def ecg_weights(
     )
     frac = F.col("votes") / F.lit(float(k))
     w_core = F.lit(min_weight) + F.lit(1.0 - min_weight) * frac
-    return flagged.select(
-        "src",
-        "dst",
+    both_core = F.col("in2_s").isNotNull() & F.col("in2_d").isNotNull()
+    cols = [
+        F.col("src"),
+        F.col("dst"),
         (
-            F.col("w")
-            * F.when(
-                F.col("in2_s").isNotNull() & F.col("in2_d").isNotNull(), w_core
-            ).otherwise(F.lit(min_weight))
+            F.col("w") * F.when(both_core, w_core).otherwise(F.lit(min_weight))
         ).alias("w"),
-    )
+    ]
+    if with_votes:
+        # diagnostic integer surface: the ensemble trajectory (votes) and
+        # the 2-core mask, exact across engines — the driver gate pins the
+        # whole distributed ensemble on these without any float ulp risk
+        cols += [
+            F.col("votes").cast("long").alias("votes"),
+            both_core.cast("int").alias("in_2core"),
+        ]
+    return flagged.select(*cols)
 
 
 def ecg(

@@ -501,14 +501,19 @@ def test_ecg_weights_and_final_match_numpy_replay(karate):
             exp[(a, b)] = x * (min_w + (1 - min_w) * votes / len(ens))
         else:
             exp[(a, b)] = x * min_w
-    got = {
-        (r["src"], r["dst"]): r["w"]
-        for r in L.ecg_weights(
-            edges, ensemble_nbatches=ens, min_weight=min_w
-        ).collect()
-    }
+    rows = L.ecg_weights(
+        edges, ensemble_nbatches=ens, min_weight=min_w, with_votes=True
+    ).collect()
+    got = {(r["src"], r["dst"]): r["w"] for r in rows}
     assert set(got) == set(exp)
     assert all(abs(got[e] - exp[e]) < 1e-12 for e in exp)
+    # with_votes surface: exact integer ensemble trajectory + 2-core mask
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        assert r["votes"] == sum(
+            1 for m in members if m.labels[a] == m.labels[b]
+        )
+        assert r["in_2core"] == int(core[a] >= 2 and core[b] >= 2)
 
     res = L.ecg(
         edges, ensemble_nbatches=ens, min_weight=min_w,
