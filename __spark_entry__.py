@@ -1642,6 +1642,38 @@ def _q_transcript_resolution_profile(spark, sf):
     )
 
 
+def _q_transcript_tool_rules(spark, sf):
+    # market-basket association rules over (conv, tool) membership — the
+    # same capped universe as transcript_tool_cooccurrence (cap=4
+    # exercises the hub-exclusion path); counts exact, ratios single
+    # divisions of exact integers (bitwise-stable cross-engine).
+    from nido_spark.relational import association_rules
+
+    tr = synth_transcripts(spark, 500, seed=42)
+    pairs = tr.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("key"), F.col("tool").alias("item")
+    )
+    return association_rules(pairs, max_items_per_key=4)
+
+
+def _q_doc_unigram_kl(spark, sf):
+    # domain-shift monitor: KL between the smoothed unigram distributions
+    # of the English slice and the rest of the corpus (union-vocab
+    # add-0.5 smoothing keeps both directions finite).
+    docs = _docs(spark, sf)
+    return X.unigram_kl(
+        docs.where(F.col("lang") == "en"), docs.where(F.col("lang") != "en")
+    )
+
+
+def _q_corpus_pack(spark, sf):
+    # deterministic concat-and-chunk packing of the corpus into
+    # 1000-token shard-local packs (8 shards, portable hash layout)
+    from nido_spark.pipeline import pack_documents
+
+    return pack_documents(_docs(spark, sf), budget=1000, n_shards=8, seed=42)
+
+
 def _rotated(
     impls: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1776,6 +1808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_assortativity": _q_edges_assortativity,
         "edges_avg_nbr_degree": _q_edges_avg_nbr_degree,
         "transcript_tool_cooccurrence": _q_transcript_tool_cooccurrence,
+        "transcript_tool_rules": _q_transcript_tool_rules,
+        "doc_unigram_kl": _q_doc_unigram_kl,
+        "corpus_pack": _q_corpus_pack,
         "transcript_diameter": _q_transcript_diameter,
         "transcript_anf": _q_transcript_anf,
         "transcript_flow_fp": _q_transcript_flow_fp,
@@ -4074,6 +4109,56 @@ WHERE q.quality >= 0.4 AND lbest.lang_pred IN ('en')"""
         r1 = f"(({_SAMPLE_A1} * (doc_id + {seed}) + {_SAMPLE_B1}) % {_SAMPLE_P})"
         return f"(({_SAMPLE_A2} * ({r1} % {1 << 30}) + {_SAMPLE_B2}) % {_SAMPLE_P2})"
 
+    # concat-and-chunk packing: shard = portable hash mod 8, running
+    # token offset per shard (BIGINT window sum), pack = cum // budget
+    # (integer division both engines), 0-based position within the pack
+    _tok_expr = (
+        r"CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 "
+        r"ELSE len(regexp_split_to_array("
+        r"regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END"
+    )
+    sql["corpus_pack"] = f"""
+WITH d AS (
+  SELECT doc_id, ({_bkt_sql(42)} % 8)::INT AS shard,
+         ({_tok_expr})::INT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         (COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+         )::BIGINT AS pack
+  FROM d)
+SELECT doc_id, shard, n_tokens, pack,
+       (ROW_NUMBER() OVER (PARTITION BY shard, pack ORDER BY doc_id) - 1
+       )::INT AS pack_pos
+FROM c"""
+
+    # unigram KL: lowercased whitespace tokens (corpus_vocab rendering),
+    # union-vocab add-0.5 smoothing, natural log; ROUND(.,9) absorbs the
+    # cross-engine summation-order ulps (module convention)
+    _lc_txt = r"regexp_replace(lower(text), '^\s+|\s+$', '', 'g')"
+    sql["doc_unigram_kl"] = f"""
+WITH ta AS (SELECT unnest(regexp_split_to_array({_lc_txt}, '\\s+')) AS token
+            FROM documents WHERE lang = 'en' AND {_lc_txt} <> ''),
+tb AS (SELECT unnest(regexp_split_to_array({_lc_txt}, '\\s+')) AS token
+            FROM documents WHERE lang <> 'en' AND {_lc_txt} <> ''),
+ca AS (SELECT token, COUNT(*)::BIGINT AS c FROM ta GROUP BY 1),
+cb AS (SELECT token, COUNT(*)::BIGINT AS c FROM tb GROUP BY 1),
+j AS (SELECT COALESCE(ca.c, 0)::BIGINT AS ca, COALESCE(cb.c, 0)::BIGINT AS cb
+      FROM ca FULL OUTER JOIN cb USING (token)),
+t AS (SELECT COUNT(*)::BIGINT AS vocab, SUM(ca)::BIGINT AS na,
+             SUM(cb)::BIGINT AS nb FROM j)
+SELECT t.vocab, t.na AS n_tokens_a, t.nb AS n_tokens_b,
+       ROUND(SUM(((j.ca + 0.5) / (t.na + 0.5 * t.vocab))
+                 * ln(((j.ca + 0.5) / (t.na + 0.5 * t.vocab))
+                      / ((j.cb + 0.5) / (t.nb + 0.5 * t.vocab)))), 9) AS kl_ab,
+       ROUND(SUM(((j.cb + 0.5) / (t.nb + 0.5 * t.vocab))
+                 * ln(((j.cb + 0.5) / (t.nb + 0.5 * t.vocab))
+                      / ((j.ca + 0.5) / (t.na + 0.5 * t.vocab)))), 9) AS kl_ba
+FROM j CROSS JOIN t
+GROUP BY 1, 2, 3"""
+
     thr = int(0.25 * _SAMPLE_P2)
     sql["corpus_sample"] = f"""
 SELECT doc_id, ({_bkt_sql(11)} % 4)::INT AS shard
@@ -4831,6 +4916,26 @@ pf AS (SELECT p.k, p.item FROM p JOIN keep USING (k))
 SELECT l.item AS a, r.item AS b, COUNT(*)::BIGINT AS n_keys
 FROM pf l JOIN pf r ON l.k = r.k AND l.item < r.item
 GROUP BY 1, 2"""
+
+    # association rules: the same capped membership; marginals + the
+    # single-division ratios mirror relational.association_rules exactly
+    sql["transcript_tool_rules"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()}),
+p AS (SELECT DISTINCT conv_id AS k, tool AS item FROM tr WHERE tool IS NOT NULL),
+keep AS (SELECT k FROM p GROUP BY k HAVING COUNT(*) <= 4),
+pf AS (SELECT p.k, p.item FROM p JOIN keep USING (k)),
+n AS (SELECT COUNT(DISTINCT k)::BIGINT AS n FROM pf),
+marg AS (SELECT item, COUNT(*)::BIGINT AS n_item FROM pf GROUP BY 1),
+co AS (SELECT l.item AS a, r.item AS b, COUNT(*)::BIGINT AS n_ab
+       FROM pf l JOIN pf r ON l.k = r.k AND l.item < r.item GROUP BY 1, 2)
+SELECT co.a, co.b, co.n_ab, ma.n_item AS n_a, mb.n_item AS n_b,
+       ROUND(co.n_ab / CAST(n.n AS DOUBLE), 9) AS support,
+       ROUND(co.n_ab / CAST(ma.n_item AS DOUBLE), 9) AS conf_a_b,
+       ROUND(co.n_ab / CAST(mb.n_item AS DOUBLE), 9) AS conf_b_a,
+       ROUND((co.n_ab * n.n) / CAST(ma.n_item * mb.n_item AS DOUBLE), 9) AS lift
+FROM co JOIN marg ma ON co.a = ma.item
+        JOIN marg mb ON co.b = mb.item
+        CROSS JOIN n"""
 
     # butterflies: same capped membership, pair counts -> C(n,2) per pair
     # (integer // — exact), two-sided fold to per-item sums

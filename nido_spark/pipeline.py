@@ -242,3 +242,61 @@ def sample_k_per_stratum(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing — the step that
+    turns a filtered corpus into fixed-token-budget training shards:
+
+        (doc_id, shard, n_tokens, pack, pack_pos)
+
+    Documents are hash-assigned to ``n_shards`` shards (assign_shards'
+    portable affine mix, so packing composes with sampling/sharding),
+    laid out in ascending ``id_col`` order within the shard, and cut into
+    packs of ``budget`` tokens by cumulative offset: a document whose
+    first token falls at offset c joins pack ``c DIV budget`` (integer
+    division — engine-exact). Packs therefore average ``budget`` tokens;
+    a document longer than the remaining pack space stays WHOLE in the
+    pack where it starts (the concat-then-chunk convention — the trainer
+    splits at sequence boundaries downstream, this operator only fixes
+    the deterministic shard layout). ``pack_pos`` is the document's
+    0-based position within its pack. Token counts are whitespace tokens
+    (textops.token_count semantics).
+
+    100 TB shape: ONE hash shuffle on the shard column, then two window
+    passes per shard partition (running token sum, then position within
+    pack) — per-task sort bounded by the shard, never a global sort;
+    pick n_shards so a shard's documents fit a task (10^4 shards at
+    10^10 docs = 10^6 docs/shard). Everything is exact integer math:
+    identical output on any engine, partitioning, or cluster size."""
+    from pyspark.sql import Window
+
+    from nido_spark.textops import tokens
+
+    if budget < 1:
+        raise ValueError("pack_documents: budget must be >= 1")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(_bucket(id_col, seed), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    ).withColumn("pack", F.expr(f"_cum DIV {int(budget)}"))
+    wp = Window.partitionBy("shard", "pack").orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("pack_pos", (F.row_number().over(wp) - F.lit(1)).cast("int"))
+        .select("doc_id", "shard", "n_tokens", "pack", "pack_pos")
+    )

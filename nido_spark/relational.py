@@ -1046,3 +1046,73 @@ def interval_join(
         )
     )
     return lx.join(rx, cond).drop(bl, br)
+
+
+def association_rules(
+    pairs: DataFrame,
+    key_col: str = "key",
+    item_col: str = "item",
+    max_items_per_key: int = 256,
+    min_pair_keys: int = 1,
+) -> DataFrame:
+    """Market-basket association rules over (key, item) membership — e.g.
+    which tools co-occur in a conversation, which domains co-occur in a
+    crawl session. For every canonical item pair ``a < b``:
+
+        (a, b, n_ab, n_a, n_b, support, conf_a_b, conf_b_a, lift)
+
+    where ``n_ab`` keys contain both, ``n_a``/``n_b`` each alone, support
+    = n_ab/n, conf_a_b = P(b|a) = n_ab/n_a, lift = n*n_ab/(n_a*n_b)
+    (>1 = positive association). Counts are exact integers; the three
+    ratios are rounded to 9 dp (cross-engine float convention).
+
+    Scale contract: the pair fan-out rides the SAME hub cap as
+    graph.project_bipartite — keys with more than ``max_items_per_key``
+    distinct items are EXCLUDED (from pair counts AND marginals, so the
+    probabilities stay consistent on the capped universe), bounding the
+    self-join at O(cap * |pairs|). One distinct, one per-key size filter,
+    one self-join + groupBy, one item-marginal groupBy, and a single
+    scalar key count (the only driver action). ``min_pair_keys`` prunes
+    the long noise tail before the marginal joins."""
+    from nido_spark.graph import _capped_membership
+
+    p = _capped_membership(pairs, key_col, item_col, max_items_per_key)
+    p = p.persist()
+    try:
+        n = p.select("k").distinct().count()
+        marg = p.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+        # same rendering as project_bipartite, inlined over the SHARED
+        # capped membership so pair counts and marginals agree exactly
+        co = (
+            p.select("k", F.col("item").alias("a"))
+            .join(p.select("k", F.col("item").alias("b")), "k")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .where(F.col("n_ab") >= int(min_pair_keys))
+        )
+        out = (
+            co.join(marg.select(F.col("item").alias("a"),
+                                F.col("n_item").alias("n_a")), "a")
+            .join(marg.select(F.col("item").alias("b"),
+                              F.col("n_item").alias("n_b")), "b")
+            .select(
+                "a",
+                "b",
+                "n_ab",
+                "n_a",
+                "n_b",
+                F.round(F.col("n_ab") / F.lit(float(n)), 9).alias("support"),
+                F.round(F.col("n_ab") / F.col("n_a"), 9).alias("conf_a_b"),
+                F.round(F.col("n_ab") / F.col("n_b"), 9).alias("conf_b_a"),
+                F.round(
+                    (F.col("n_ab") * F.lit(n)) / (F.col("n_a") * F.col("n_b")),
+                    9,
+                ).alias("lift"),
+            )
+        )
+        from nido_spark.plans import truncate_lineage
+
+        return truncate_lineage(out)
+    finally:
+        p.unpersist()

@@ -1269,3 +1269,64 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(ent, 9).alias("entropy_bits"),
         )
     )
+
+
+def unigram_kl(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """One row ``(vocab, n_tokens_a, n_tokens_b, kl_ab, kl_ba)`` — KL
+    divergence between the add-alpha-smoothed unigram distributions of two
+    corpus slices (lowercased whitespace tokens, the vocab_top_k
+    tokenizer). The standard domain-shift / contamination monitor: KL of
+    a candidate slice against the training mix, or of this week's crawl
+    against last week's.
+
+        p_t = (c_a(t) + alpha) / (N_a + alpha*V)   over the UNION vocab V
+        kl_ab = sum_t p_t * ln(p_t / q_t)          (nats; >= 0)
+
+    Smoothing over the union vocab makes both distributions strictly
+    positive, so both directions are finite. Counts and totals are exact
+    integers; the two divergences are rounded to 9 dp (cross-engine float
+    convention — summation order differs, rounding absorbs it).
+
+    100 TB shape: one explode+groupBy per slice (map-side combined), ONE
+    full-outer join on the token (the union vocab), totals as a broadcast
+    one-row crossJoin, and a single final aggregation. The token tables
+    are the only shuffles; nothing is collected."""
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = counts(docs_a, "ca")
+    cb = counts(docs_b, "cb")
+    joined = (
+        ca.join(cb, "token", "full_outer")
+        .select(
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+    )
+    al = F.lit(float(alpha))
+    p = (F.col("ca") + al) / (F.col("n_a") + al * F.col("vocab"))
+    q = (F.col("cb") + al) / (F.col("n_b") + al * F.col("vocab"))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("vocab").alias("vocab"),
+            F.first("n_a").alias("n_tokens_a"),
+            F.first("n_b").alias("n_tokens_b"),
+            F.round(F.sum(p * F.log(p / q)), 9).alias("kl_ab"),
+            F.round(F.sum(q * F.log(q / p)), 9).alias("kl_ba"),
+        )
+    )

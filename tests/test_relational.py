@@ -951,3 +951,37 @@ def test_response_latency_exact_quantiles_random_gaps(spark):
         assert row["p95_us"] == pdisc(0.95), pair
         assert math.isclose(row["mean_us"], round(sum(gaps) / n, 9),
                             rel_tol=0, abs_tol=1e-9)
+
+
+def test_association_rules_hand_case(spark):
+    """Exact counts + support/confidence/lift on a 4-basket fixture, and
+    the hub-cap exclusion semantics (a key above the cap vanishes from
+    pair counts AND marginals)."""
+    from nido_spark.relational import association_rules
+
+    rows = [("k1", "a"), ("k1", "b"), ("k1", "c"), ("k2", "a"),
+            ("k2", "b"), ("k3", "a"), ("k3", "c"), ("k4", "d"),
+            ("k2", "a")]  # duplicate membership collapses
+    df = spark.createDataFrame(rows, "key string, item string")
+    out = {(r["a"], r["b"]): r for r in association_rules(df).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    r = out[("a", "b")]
+    # n = 4 baskets; a in 3, b in 2, both in 2
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 3, 2)
+    assert r["support"] == round(2 / 4, 9)
+    assert r["conf_a_b"] == round(2 / 3, 9)
+    assert r["conf_b_a"] == round(2 / 2, 9)
+    assert r["lift"] == round((2 * 4) / (3 * 2), 9)
+
+    # cap 2: k1 (3 distinct items) is excluded everywhere -> only the
+    # 2-item baskets contribute; marginals shrink consistently
+    capped = {(r["a"], r["b"]): r
+              for r in association_rules(df, max_items_per_key=2).collect()}
+    assert set(capped) == {("a", "b"), ("a", "c")}
+    r2 = capped[("a", "b")]
+    assert (r2["n_ab"], r2["n_a"], r2["n_b"]) == (1, 2, 1)
+    assert r2["lift"] == round((1 * 3) / (2 * 1), 9)  # n drops to 3 keys
+
+    # min_pair_keys prunes the tail
+    pruned = association_rules(df, min_pair_keys=2).collect()
+    assert {(r["a"], r["b"]) for r in pruned} == {("a", "b"), ("a", "c")}

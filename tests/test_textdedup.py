@@ -1784,3 +1784,82 @@ def test_ivfpq_matches_numpy_replay_with_routing(spark):
         for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
             got.setdefault(r["query_id"], []).append((r["nbr_id"], r["adist"]))
         assert got == want, f"nparts={nparts}"
+
+
+def test_unigram_kl_hand_case_and_identity(spark):
+    """KL against hand math on a 2-token vocab; KL(a, a) == 0; both
+    directions nonnegative; counts exact."""
+    import math
+
+    from nido_spark.textops import unigram_kl
+
+    da = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    db = spark.createDataFrame([(2, "x y y Y")], "doc_id long, text string")
+    row = unigram_kl(da, db, alpha=0.5).first()
+    assert (row["vocab"], row["n_tokens_a"], row["n_tokens_b"]) == (2, 3, 4)
+    pa = {"x": 2.5 / 4.0, "y": 1.5 / 4.0}      # (c + 0.5) / (3 + 0.5*2)
+    pb = {"x": 1.5 / 5.0, "y": 3.5 / 5.0}      # lowercasing folds Y into y
+    kl_ab = sum(pa[t] * math.log(pa[t] / pb[t]) for t in pa)
+    kl_ba = sum(pb[t] * math.log(pb[t] / pa[t]) for t in pa)
+    assert abs(row["kl_ab"] - round(kl_ab, 9)) < 2e-9
+    assert abs(row["kl_ba"] - round(kl_ba, 9)) < 2e-9
+    assert row["kl_ab"] > 0 and row["kl_ba"] > 0
+    same = unigram_kl(da, da).first()
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0
+
+
+def test_pack_documents_replay_and_invariance(spark):
+    """Exact pure-Python replay of the shard/pack/pos layout, partition
+    invariance, the oversized-doc (stays whole in its start pack) and
+    empty-text (0 tokens) edges, and the loud budget contract."""
+    import pytest
+
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P,
+        _SAMPLE_P2, pack_documents,
+    )
+
+    texts = {i: " ".join(["t"] * (3 + i % 5)) for i in range(30)}
+    texts[7] = " ".join(["t"] * 50)   # oversized: > budget on its own
+    texts[11] = "   "                 # blank -> 0 tokens
+    docs = spark.createDataFrame(
+        [(i, texts[i]) for i in range(30)], "doc_id long, text string"
+    )
+
+    def bkt(i, seed):
+        r1 = (_SAMPLE_A1 * ((i % _SAMPLE_P) + seed) + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    def replay(budget, n_shards, seed):
+        by_shard = {}
+        for i, t in texts.items():
+            nt = len(t.split())
+            by_shard.setdefault(bkt(i, seed) % n_shards, []).append((i, nt))
+        exp = {}
+        for s, lst in by_shard.items():
+            cum = 0
+            pos = {}
+            for i, nt in sorted(lst):
+                pk = cum // budget
+                pos[pk] = pos.get(pk, -1) + 1
+                exp[i] = (s, nt, pk, pos[pk])
+                cum += nt
+        return exp
+
+    for nparts in (1, 7):
+        got = {
+            r["doc_id"]: (r["shard"], r["n_tokens"], r["pack"], r["pack_pos"])
+            for r in pack_documents(
+                docs.repartition(nparts), budget=16, n_shards=3, seed=42
+            ).collect()
+        }
+        assert got == replay(16, 3, 42), f"nparts={nparts}"
+    # oversized doc occupies one pack slot where it starts; later docs in
+    # the shard land in strictly later packs
+    exp = replay(16, 3, 42)
+    s7, _, p7, _ = exp[7]
+    later = [p for i, (s, _, p, _) in exp.items()
+             if s == s7 and i > 7 and p >= p7]
+    assert all(p > p7 for p in later) or later == []
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(docs, budget=0)
