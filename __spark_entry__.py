@@ -1666,6 +1666,13 @@ def _q_doc_unigram_kl(spark, sf):
     )
 
 
+def _q_corpus_bpe_merges(spark, sf):
+    # tokenizer training: first 10 BPE merges learned from the corpus
+    # word-type table (exact strings + integer counts — the whole
+    # sequential argmax chain is pinned)
+    return X.learn_bpe_merges(_docs(spark, sf), n_merges=10)
+
+
 def _q_corpus_pack(spark, sf):
     # deterministic concat-and-chunk packing of the corpus into
     # 1000-token shard-local packs (8 shards, portable hash layout)
@@ -1811,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_rules": _q_transcript_tool_rules,
         "doc_unigram_kl": _q_doc_unigram_kl,
         "corpus_pack": _q_corpus_pack,
+        "corpus_bpe_merges": _q_corpus_bpe_merges,
         "transcript_diameter": _q_transcript_diameter,
         "transcript_anf": _q_transcript_anf,
         "transcript_flow_fp": _q_transcript_flow_fp,
@@ -2443,6 +2451,65 @@ def _transcript_louvain_values_sql() -> str:
     return (
         f"SELECT v::BIGINT AS v, comm::BIGINT AS comm "
         f"FROM (VALUES {vals}) AS t(v, comm)"
+    )
+
+
+def _corpus_bpe_values_sql(n_merges: int = 10) -> str:
+    """BPE merge chain as a VALUES literal: word-type counts fetched from
+    DuckDB with the corpus_vocab tokenization (lowercased regex-trim
+    whitespace split), then the INDEPENDENT pure-Python Sennrich replay
+    (overlapping pair counts, (cnt desc, pair asc) argmax, greedy
+    left-to-right rewrite — the same reference tests/test_textdedup.py
+    pins the engine against). Strings are escaped by doubling quotes."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    wc_rows = con.execute(
+        rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
+  FROM read_parquet('{sf_dir}/documents.parquet')
+  WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> '')
+SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w"""
+    ).fetchall()
+    wc = {w: int(c) for w, c in wc_rows}
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc: dict = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + wc[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w, syms in vocab.items():
+            o, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    o.append(l + r)
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            vocab[w] = o
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",".join(
+        f"({rank},{q(l)},{q(r)},{c})" for rank, l, r, c in merges
+    )
+    return (
+        f"SELECT rank::BIGINT AS rank, left_s AS \"left\", right_s AS \"right\", "
+        f"cnt::BIGINT AS cnt "
+        f"FROM (VALUES {vals}) AS t(rank, left_s, right_s, cnt)"
     )
 
 
@@ -4204,6 +4271,7 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
     sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
+    sql["corpus_bpe_merges"] = _corpus_bpe_values_sql(n_merges=10)
     sql["transcript_ecg_votes"] = _transcript_ecg_votes_values_sql()
     sql["transcript_ecg"] = _transcript_ecg_values_sql()
     sql["transcript_resolution_profile"] = (

@@ -1330,3 +1330,113 @@ def unigram_kl(
             F.round(F.sum(q * F.log(q / p)), 9).alias("kl_ba"),
         )
     )
+
+
+def _bpe_merge_apply(syms, left: str, right: str):
+    """Column expr: greedy left-to-right replacement of adjacent
+    (left, right) symbol pairs with their concatenation — the classic BPE
+    apply step as ONE engine-side aggregate fold (no Python per row).
+    State: (acc, carry) where carry holds a just-seen ``left`` awaiting
+    its ``right``; merge wins over re-arming when left == right."""
+    l_lit = F.lit(left)
+    merged = F.lit(left + right)
+    nul = F.lit(None).cast("string")
+
+    def step(st, s):
+        acc, carry = st["acc"], st["carry"]
+        return F.when(
+            carry.isNull(),
+            F.when(s == l_lit, F.struct(acc.alias("acc"), s.alias("carry")))
+            .otherwise(
+                F.struct(F.array_append(acc, s).alias("acc"), nul.alias("carry"))
+            ),
+        ).otherwise(
+            F.when(
+                s == F.lit(right),
+                F.struct(F.array_append(acc, merged).alias("acc"), nul.alias("carry")),
+            )
+            .when(s == l_lit,
+                  F.struct(F.array_append(acc, carry).alias("acc"), s.alias("carry")))
+            .otherwise(
+                F.struct(
+                    F.array_append(F.array_append(acc, carry), s).alias("acc"),
+                    nul.alias("carry"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"), nul.alias("carry")
+    )
+    fin = lambda st: F.when(  # noqa: E731
+        st["carry"].isNull(), st["acc"]
+    ).otherwise(F.array_append(st["acc"], st["carry"]))
+    return F.aggregate(syms, init, step, fin)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """(rank, left, right, cnt) — the first ``n_merges`` byte-pair-encoding
+    merges learned from the corpus (Sennrich et al. 2016), the tokenizer-
+    training step of an LLM data pipeline. Deterministic: each round picks
+    the (cnt DESC, left ASC, right ASC) argmax over OVERLAPPING adjacent
+    symbol-pair counts weighted by word-type frequency (the reference
+    get_stats convention), then rewrites the vocab greedily left-to-right.
+    Stops early when no pair reaches ``min_pair_count`` (the returned
+    table then has fewer than n_merges rows).
+
+    100 TB shape: the corpus is touched ONCE (lowercased whitespace word-
+    type counts — the vocab_top_k aggregation); every merge round then
+    runs over the word-TYPE table (10^6-10^8 rows at web scale, not the
+    10^12-token corpus): one pair explode + map-side-combined groupBy,
+    one TakeOrderedAndProject argmax (the single 1-row driver action per
+    round — BPE is inherently a sequential argmax chain), and one
+    engine-side aggregate-fold rewrite; vocab state is lineage-truncated
+    per round. Nothing else is collected."""
+    from nido_spark.plans import truncate_lineage
+
+    if n_merges < 1:
+        raise ValueError("learn_bpe_merges: n_merges must be >= 1")
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = truncate_lineage(
+        words.select(F.split("w", "").alias("syms"), "cnt")
+    )
+    spark = docs.sparkSession
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(x, i) -> struct(x AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .where(F.col("c") >= int(min_pair_count))
+        )
+        top = pairs.orderBy(
+            F.col("c").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        out.append((rank, l, r, c))
+        vocab = truncate_lineage(
+            vocab.select(_bpe_merge_apply(F.col("syms"), l, r).alias("syms"), "cnt")
+        )
+    return spark.createDataFrame(
+        out, "rank long, left string, right string, cnt long"
+    )

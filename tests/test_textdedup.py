@@ -1863,3 +1863,62 @@ def test_pack_documents_replay_and_invariance(spark):
     assert all(p > p7 for p in later) or later == []
     with pytest.raises(ValueError, match="budget"):
         pack_documents(docs, budget=0)
+
+
+def _bpe_reference(word_counts, n_merges, min_pair_count=1):
+    """Pure-Python Sennrich replay: overlapping pair counts over word
+    types, (cnt desc, pair asc) argmax, greedy left-to-right rewrite."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pc = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + word_counts[w]
+        pc = {k: v for k, v in pc.items() if v >= min_pair_count}
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w, syms in vocab.items():
+            o, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    o.append(l + r)
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            vocab[w] = o
+    return merges
+
+
+def test_learn_bpe_merges_reference_replay(spark):
+    """Exact replay parity on the classic Sennrich corpus, overlapping-run
+    semantics (aaaa), partition invariance, early stop, loud contract."""
+    import pytest
+
+    from nido_spark.textops import learn_bpe_merges
+
+    text = ("low low low low low lower lower newest newest newest "
+            "newest newest newest widest widest widest")
+    wc = {}
+    for w in text.split():
+        wc[w] = wc.get(w, 0) + 1
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    want = _bpe_reference(wc, 6)
+    assert want[:2] == [(0, "e", "s", 9), (1, "es", "t", 9)]  # textbook
+    for nparts in (1, 5):
+        got = [tuple(r) for r in
+               learn_bpe_merges(docs.repartition(nparts), 6).collect()]
+        assert got == want, f"nparts={nparts}"
+
+    d2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    g2 = [tuple(r) for r in learn_bpe_merges(d2, 3).collect()]
+    # round 0: overlapping (a,a) counts 3 per word type x2 types... both
+    # words identical -> ONE type "aaaa" cnt 2 -> pair cnt 6; round 1
+    # merges (aa,aa); round 2 finds no pair -> early stop at 2 rows
+    assert g2 == [(0, "a", "a", 6), (1, "aa", "aa", 2)]
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe_merges(docs, 0)
