@@ -354,6 +354,51 @@ def _lines_probe(sf_dir: str, cpus: int, replicate: int = 300) -> float:
     return n / dt
 
 
+def _pack_probe(sf_dir: str, cpus: int, replicate: int = 300) -> float:
+    """Sequence-packing scaling probe (round-5 pack_documents): shard
+    hash + per-shard running-offset windows over a ``replicate``-times
+    id-offset copy of the documents table. The windowed cumulative sum is
+    the load — ONE hash exchange on the shard column then bounded
+    per-shard sorts, so this probes the window machinery the way
+    _lines_probe probes the drop-array rewrite. Prints docs/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark.pipeline import pack_documents
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_pack_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+
+    def once():
+        # n_shards FIXED across parallelism levels: it is a data-layout
+        # parameter, not a parallelism knob — varying it would change the
+        # work and confound the 8-vs-32 comparison
+        return pack_documents(big, budget=1000, n_shards=256).agg(
+            F.max("pack"), F.sum("n_tokens")
+        ).first()
+
+    once()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        once()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
+
+
 def _textrank_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     """Grouped-PageRank scaling probe (round-5 TextRank shape): 4 fixed
     rounds of per-document weighted PageRank keyed by (doc_id, token)
@@ -775,6 +820,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-lines":
         rep = int(sys.argv[3]) if len(sys.argv) > 3 else 300
         _lines_probe(sf_dir, int(sys.argv[2]), replicate=rep)
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-pack":
+        rep = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+        _pack_probe(sf_dir, int(sys.argv[2]), replicate=rep)
         return
 
     t0 = time.time()

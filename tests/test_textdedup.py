@@ -1922,3 +1922,19 @@ def test_learn_bpe_merges_reference_replay(spark):
     assert g2 == [(0, "a", "a", 6), (1, "aa", "aa", 2)]
     with pytest.raises(ValueError, match="n_merges"):
         learn_bpe_merges(docs, 0)
+
+
+def test_pack_documents_single_exchange_plan(spark):
+    """Scale-shape pin: the whole packing job is ONE hash exchange on the
+    shard column — the second window (shard, pack) is satisfied by the
+    first's hashpartitioning(shard) clustering, so no further E-row
+    shuffle appears in the physical plan."""
+    from nido_spark.pipeline import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    out = pack_documents(docs, budget=8, n_shards=4)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = physical.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, physical
