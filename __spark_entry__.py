@@ -1666,6 +1666,20 @@ def _q_doc_unigram_kl(spark, sf):
     )
 
 
+def _q_transcript_tool_loops(spark, sf):
+    # stuck-agent signatures: same-tool hammering (period 1) and two-tool
+    # ping-pong (period 2) tails in the tool-call sequences — all-integer
+    # gaps-and-islands output, exact across engines
+    from nido_spark.conversation import tool_loops
+
+    tr = synth_transcripts(spark, 500, seed=42)
+    p1 = tool_loops(tr, period=1, min_len=3).withColumn("period", F.lit(1))
+    p2 = tool_loops(tr, period=2, min_len=3).withColumn("period", F.lit(2))
+    return p1.unionByName(p2).select(
+        "conv_id", "period", "start_call", "length", "tool"
+    )
+
+
 def _q_corpus_bpe_merges(spark, sf):
     # tokenizer training: first 10 BPE merges learned from the corpus
     # word-type table (exact strings + integer counts — the whole
@@ -1816,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_avg_nbr_degree": _q_edges_avg_nbr_degree,
         "transcript_tool_cooccurrence": _q_transcript_tool_cooccurrence,
         "transcript_tool_rules": _q_transcript_tool_rules,
+        "transcript_tool_loops": _q_transcript_tool_loops,
         "doc_unigram_kl": _q_doc_unigram_kl,
         "corpus_pack": _q_corpus_pack,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
@@ -5004,6 +5019,34 @@ SELECT co.a, co.b, co.n_ab, ma.n_item AS n_a, mb.n_item AS n_b,
 FROM co JOIN marg ma ON co.a = ma.item
         JOIN marg mb ON co.b = mb.item
         CROSS JOIN n"""
+
+    # periodic tool tails: the same lag/gaps-and-islands windows per
+    # period, unioned with a period literal (all-integer + tool string)
+    def _loops_sql(p: int, min_len: int) -> str:
+        return f"""
+SELECT conv_id, {p} AS period,
+       (bs - {p - 1})::BIGINT AS start_call,
+       (n_rep + {p})::BIGINT AS length, tool
+FROM (
+  SELECT conv_id, blk, SUM(eq)::BIGINT AS n_rep, MIN(ci)::BIGINT AS bs,
+         arg_min(tool, ci) AS tool
+  FROM (
+    SELECT conv_id, tool, ci, eq,
+           SUM(1 - eq) OVER (PARTITION BY conv_id ORDER BY ci) AS blk
+    FROM (
+      SELECT conv_id, tool,
+             ROW_NUMBER() OVER w AS ci,
+             CASE WHEN tool = LAG(tool, {p}) OVER w THEN 1 ELSE 0 END AS eq
+      FROM tr WHERE tool IS NOT NULL
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)))
+  GROUP BY conv_id, blk)
+WHERE n_rep >= 1 AND (n_rep + {p}) >= {min_len}"""
+
+    sql["transcript_tool_loops"] = f"""
+WITH tr(conv_id, turn_idx, role, tool) AS (VALUES {_transcript_values_sql()})
+{_loops_sql(1, 3)}
+UNION ALL
+{_loops_sql(2, 3)}"""
 
     # butterflies: same capped membership, pair counts -> C(n,2) per pair
     # (integer // — exact), two-sided fold to per-item sums

@@ -172,3 +172,69 @@ def tool_chains(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.count_distinct("conv_id").cast("long").alias("n_convs"),
     )
+
+
+def tool_loops(
+    transcripts: DataFrame, period: int = 1, min_len: int = 3
+) -> DataFrame:
+    """(conv_id, start_call, length, tool) — periodic tool-call tails:
+    maximal stretches of the conversation's tool-invocation sequence
+    (turn_idx order, non-tool turns skipped) where call i repeats call
+    i - ``period``. ``period=1`` finds same-tool hammering (A A A ...),
+    ``period=2`` finds two-tool ping-pong (A B A B ...), the two classic
+    stuck-agent signatures a 10^12-turn transcript lake is mined for.
+    ``start_call``/``length`` are 1-based positions in the conv's
+    tool-call sequence (length counts ALL calls in the periodic stretch,
+    including the seed ``period`` calls); ``tool`` is the invocation at
+    the stretch's LAST seed call (position start_call + period - 1 —
+    for period=1 that is the hammered tool itself; for period=2 it is
+    the second tool of the ping-pong pair). Only stretches with
+    length >= ``min_len`` are returned. All integers + one string —
+    exact across engines.
+
+    100 TB shape: the tool_chains discipline — one pushed-down filter,
+    ONE per-conv window (lag + running non-match count builds the
+    gaps-and-islands block id), one groupBy over (conv, block); per-conv
+    work is bounded by the turn cap, and only flagged stretches survive
+    the final filter."""
+    if period < 1:
+        raise ValueError("tool_loops: period must be >= 1")
+    if min_len <= period:
+        raise ValueError("tool_loops: min_len must exceed period")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            "tool",
+            F.row_number().over(w).alias("ci"),
+            (F.col("tool") == F.lag("tool", period).over(w))
+            .cast("int")
+            .alias("eq"),
+        )
+        .select(
+            "conv_id", "tool", "ci", F.coalesce(F.col("eq"), F.lit(0)).alias("eq")
+        )
+    )
+    wc = Window.partitionBy("conv_id").orderBy("ci")
+    blocks = calls.withColumn(
+        "blk", F.sum(F.lit(1) - F.col("eq")).over(wc)
+    )
+    runs = blocks.groupBy("conv_id", "blk").agg(
+        F.sum("eq").cast("long").alias("n_rep"),
+        F.min("ci").alias("blk_start"),
+        F.min_by("tool", "ci").alias("blk_tool"),
+    )
+    p = int(period)
+    return (
+        runs.where(F.col("n_rep") >= 1)
+        .select(
+            "conv_id",
+            # the stretch begins `period - 1` calls before the block head
+            # (the seed calls live in the preceding blocks)
+            (F.col("blk_start") - F.lit(p - 1)).cast("long").alias("start_call"),
+            (F.col("n_rep") + F.lit(p)).cast("long").alias("length"),
+            F.col("blk_tool").alias("tool"),
+        )
+        .where(F.col("length") >= int(min_len))
+    )

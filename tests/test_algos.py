@@ -1489,3 +1489,33 @@ def test_tool_chains_hand_case(spark):
         for r in tool_chains(tr, max_turn_gap=2).collect()
     }
     assert gapped == {("s", "c"): 2, ("c", "c"): 1}
+
+
+def test_tool_loops_hand_case(spark):
+    """Periodic tool-tail detection: same-tool hammering (period 1) and
+    two-tool ping-pong (period 2) on a hand sequence, plus the loud
+    contracts."""
+    import pytest
+
+    from nido_spark.conversation import tool_loops
+
+    rows = []
+    seq1 = ["A", "A", "A", "B", "A", "B", "A", "B", "X"]
+    for i, t in enumerate(seq1):
+        rows.append(("c1", i * 2, "assistant", "x", t))
+    for i, t in enumerate(["Z", "Z"]):
+        rows.append(("c2", i, "assistant", "x", t))
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    p1 = sorted(tuple(r) for r in tool_loops(tr, period=1, min_len=2).collect())
+    assert p1 == [("c1", 1, 3, "A"), ("c2", 1, 2, "Z")]
+    # A A A B A B A B X -> period-2 stretch covers calls 3..8 (A B A B A B)
+    p2 = sorted(tuple(r) for r in tool_loops(tr, period=2, min_len=4).collect())
+    assert p2 == [("c1", 3, 6, "B")]
+    # min_len filters the short run out
+    assert tool_loops(tr, period=1, min_len=3).where("conv_id = 'c2'").count() == 0
+    with pytest.raises(ValueError, match="period"):
+        tool_loops(tr, period=0)
+    with pytest.raises(ValueError, match="min_len"):
+        tool_loops(tr, period=2, min_len=2)
