@@ -1680,6 +1680,19 @@ def _q_transcript_tool_loops(spark, sf):
     )
 
 
+_MIX_WEIGHTS = {"en": 2.0, "de": 1.0}
+_MIX_BUDGET = 30_000
+
+
+def _q_corpus_mix(spark, sf):
+    # deterministic epoch mix: en/de reweighted toward 2:1 token shares —
+    # the per-copy inclusion decisions replay exactly in SQL (integer
+    # thresholds frozen from the same exact token counts)
+    from nido_spark.pipeline import mix_corpus
+
+    return mix_corpus(_docs(spark, sf), _MIX_WEIGHTS, _MIX_BUDGET)
+
+
 def _q_corpus_bpe_merges(spark, sf):
     # tokenizer training: first 10 BPE merges learned from the corpus
     # word-type table (exact strings + integer counts — the whole
@@ -1834,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_kl": _q_doc_unigram_kl,
         "corpus_pack": _q_corpus_pack,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
+        "corpus_mix": _q_corpus_mix,
         "transcript_diameter": _q_transcript_diameter,
         "transcript_anf": _q_transcript_anf,
         "transcript_flow_fp": _q_transcript_flow_fp,
@@ -4215,6 +4229,44 @@ SELECT doc_id, shard, n_tokens, pack,
        (ROW_NUMBER() OVER (PARTITION BY shard, pack ORDER BY doc_id) - 1
        )::INT AS pack_pos
 FROM c"""
+
+    # epoch mix: thresholds frozen from DuckDB's EXACT token counts via
+    # the SAME driver-side Python math mix_corpus runs (wn -> target ->
+    # rate -> per-copy int thresholds), then the HUGEINT bucket replay +
+    # one extra affine round per copy — integer-exact end to end
+    import math as _math
+
+    import duckdb as _duck
+
+    _mix_con = _duck.connect()
+    _mix_counts = {
+        d: int(n)
+        for d, n in _mix_con.execute(
+            f"""SELECT lang, SUM({_tok_expr})::BIGINT FROM read_parquet(
+            '{__import__('os').environ.get('NIDO_ORACLE_SF_DIR',
+                                           '/root/testdata/sf0.01')}/documents.parquet')
+            WHERE lang IN ('en', 'de') GROUP BY lang"""
+        ).fetchall()
+    }
+    _mix_wsum = float(sum(_MIX_WEIGHTS.values()))
+    _mix_thr_rows = []
+    for _d in sorted(_MIX_WEIGHTS):
+        _rate = (float(_MIX_BUDGET) * (float(_MIX_WEIGHTS[_d]) / _mix_wsum)
+                 ) / float(_mix_counts[_d])
+        for _i in range(max(1, int(_math.ceil(_rate)))):
+            _frac = max(0.0, min(1.0, _rate - _i))
+            _mix_thr_rows.append(
+                f"('{_d}', {_i}, {int(_frac * _SAMPLE_P2)})"
+            )
+    sql["corpus_mix"] = f"""
+WITH thr(domain, copy, t) AS (VALUES {','.join(_mix_thr_rows)}),
+base AS (
+  SELECT doc_id, lang AS domain, ({_tok_expr})::INT AS n_tokens,
+         {_bkt_sql(42)} AS u
+  FROM documents WHERE lang IN ('en', 'de'))
+SELECT b.doc_id, b.domain, thr.copy, b.n_tokens
+FROM base b JOIN thr USING (domain)
+WHERE ((48271 * (b.u + thr.copy) + 11213) % 2147483647) < thr.t"""
 
     # unigram KL: lowercased whitespace tokens (corpus_vocab rendering),
     # union-vocab add-0.5 smoothing, natural log; ROUND(.,9) absorbs the

@@ -17,6 +17,8 @@ the driver gate value-checks it end-to-end (__spark_entry__.corpus_prepare).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -299,4 +301,118 @@ def pack_documents(
     return (
         d.withColumn("pack_pos", (F.row_number().over(wp) - F.lit(1)).cast("int"))
         .select("doc_id", "shard", "n_tokens", "pack", "pack_pos")
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> list[dict]:
+    """Driver-side mixture plan for ``mix_corpus``: per domain, the exact
+    corpus token count (whitespace tokens), the normalized target share,
+    and the sampling rate rate_d = target_tokens_d / tokens_d (> 1 means
+    upsampling). One aggregation over the corpus; the plan itself is
+    O(#domains) and stays on the driver — the per-copy inclusion
+    thresholds derived from it are exact integers, so the materialized
+    mix is engine- and partitioning-exact. Raises loudly if a weighted
+    domain is missing from the corpus (a silent zero would skew every
+    other share)."""
+    from nido_spark.textops import tokens
+
+    if token_budget < 1:
+        raise ValueError("mixture_plan: token_budget must be >= 1")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture_plan: weights must sum to > 0")
+    stats = {
+        r["d"]: (int(r["n_docs"]), int(r["n_tokens"]))
+        for r in (
+            docs.where(F.col(domain_col).isin(list(weights)))
+            .groupBy(F.col(domain_col).alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+            )
+            .collect()
+        )
+    }
+    plan = []
+    for d in sorted(weights):
+        if weights[d] <= 0:
+            continue
+        if d not in stats or stats[d][1] == 0:
+            raise ValueError(
+                f"mixture_plan: domain {d!r} has weight {weights[d]} but no "
+                f"tokens in the corpus — drop it from the mix explicitly"
+            )
+        n_docs, n_tokens = stats[d]
+        wn = float(weights[d]) / wsum
+        target = float(token_budget) * wn
+        rate = target / float(n_tokens)
+        plan.append(
+            {
+                "domain": d,
+                "n_docs": n_docs,
+                "n_tokens": n_tokens,
+                "weight_norm": wn,
+                "target_tokens": target,
+                "rate": rate,
+            }
+        )
+    return plan
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, domain, copy, n_tokens) — the deterministic epoch mix: each
+    domain is up-/down-sampled toward ``token_budget * w_d / sum(w)``
+    tokens (the LLaMA/Pile-style domain reweighting step). A document in
+    a domain with rate r contributes floor(r) whole copies (copy =
+    0..floor(r)-1) plus one fractional copy kept with probability
+    r - floor(r) — decided by one extra affine round over the document's
+    portable hash, so copy decisions are independent per copy index yet
+    exactly reproducible on any engine or partitioning (the sampling
+    thresholds are integers computed ONCE on the driver from exact token
+    counts, then broadcast as a literal (domain, copy, threshold) table).
+
+    In expectation each domain lands on its token target; there is no
+    cross-document coordination, so the mix is one broadcast join + one
+    bounded explode (ceil(max rate) rows per doc), map-only after the
+    single plan aggregation — no shuffle of the corpus at any scale.
+    Domains without weight (or weight 0) are dropped."""
+    plan = mixture_plan(docs, weights, token_budget, domain_col, text_col)
+    spark = docs.sparkSession
+    rows = []
+    for p in plan:
+        n_copies = int(math.ceil(p["rate"]))
+        for i in range(max(1, n_copies)):
+            frac = max(0.0, min(1.0, p["rate"] - i))
+            rows.append((p["domain"], i, int(frac * _SAMPLE_P2)))
+    thr = spark.createDataFrame(rows, "domain string, copy int, thr long")
+    from nido_spark.textops import tokens as _toks
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.size(_toks(F.col(text_col))).alias("n_tokens"),
+        _bucket(id_col, seed).alias("_u"),
+    )
+    # one extra affine round decorrelates copy indices: u_i = (A2*(u+i)+B2) mod P2
+    u_i = (
+        F.lit(_SAMPLE_A2) * (F.col("_u") + F.col("copy")) + F.lit(_SAMPLE_B2)
+    ) % F.lit(_SAMPLE_P2)
+    return (
+        base.join(F.broadcast(thr), "domain")
+        .where(u_i < F.col("thr"))
+        .select("doc_id", "domain", "copy", "n_tokens")
     )

@@ -1938,3 +1938,63 @@ def test_pack_documents_single_exchange_plan(spark):
     physical = out._jdf.queryExecution().executedPlan().toString()
     n_exchanges = physical.count("Exchange hashpartitioning")
     assert n_exchanges == 1, physical
+
+
+def test_mix_corpus_exact_replay_and_targets(spark):
+    """Epoch-mix materialization: exact pure-Python replay of the
+    plan-threshold + per-copy affine decisions, token mass near the
+    per-domain targets, upsampling emits whole copies, and the loud
+    missing-domain contract."""
+    import math
+
+    import pytest
+
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P,
+        _SAMPLE_P2, mix_corpus, mixture_plan,
+    )
+
+    rows = [(i, "en" if i % 3 else "de", " ".join(["w"] * (5 + i % 7)))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    weights, budget = {"en": 3.0, "de": 1.0}, 4000
+    plan = {p["domain"]: p for p in mixture_plan(docs, weights, budget)}
+    toks = {i: 5 + i % 7 for i in range(300)}
+    dom = {i: ("en" if i % 3 else "de") for i in range(300)}
+    for d in ("en", "de"):
+        assert plan[d]["n_tokens"] == sum(
+            t for i, t in toks.items() if dom[i] == d)
+    assert plan["de"]["rate"] > 1.0  # de is upsampled in this fixture
+
+    def bkt(i, seed):
+        r1 = (_SAMPLE_A1 * ((i % _SAMPLE_P) + seed) + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    exp = set()
+    for d, p in plan.items():
+        for i in range(max(1, math.ceil(p["rate"]))):
+            thr = int(max(0.0, min(1.0, p["rate"] - i)) * _SAMPLE_P2)
+            for doc, dd in dom.items():
+                if dd != d:
+                    continue
+                u_i = (_SAMPLE_A2 * (bkt(doc, 42) + i) + _SAMPLE_B2) % _SAMPLE_P2
+                if u_i < thr:
+                    exp.add((doc, d, i, toks[doc]))
+    for nparts in (1, 6):
+        got = {(r["doc_id"], r["domain"], r["copy"], r["n_tokens"])
+               for r in mix_corpus(docs.repartition(nparts), weights,
+                                   budget).collect()}
+        assert got == exp, f"nparts={nparts}"
+    # token mass lands near each domain target (law of large numbers band)
+    for d, target in (("en", 3000.0), ("de", 1000.0)):
+        mass = sum(t for (_, dd, _, t) in exp if dd == d)
+        assert abs(mass - target) / target < 0.05
+    # every whole copy of an upsampled domain is present
+    n_whole = int(plan["de"]["rate"])
+    de_docs = [i for i in dom if dom[i] == "de"]
+    for c in range(n_whole):
+        assert all((i, "de", c, toks[i]) in exp for i in de_docs)
+    with pytest.raises(ValueError, match="no"):
+        mixture_plan(docs, {"fr": 1.0}, 100)
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_plan(docs, weights, 0)
