@@ -399,6 +399,43 @@ def _pack_probe(sf_dir: str, cpus: int, replicate: int = 300) -> float:
     return n / dt
 
 
+def _bpe_probe(sf_dir: str, cpus: int, replicate: int = 300,
+               n_merges: int = 6) -> float:
+    """BPE merge-learning scaling probe (round-5 learn_bpe_merges): the
+    corpus pass (explode + word-type groupBy over ``replicate``-times
+    replicated docs) plus ``n_merges`` vocab-table rounds. The corpus
+    pass is the scale load — the rounds run over the word-TYPE table,
+    which replication does NOT grow (copies share their text), exactly
+    the 100 TB property the operator is built on. Prints docs/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import textops as X
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_bpe_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+    X.learn_bpe_merges(big, n_merges=n_merges).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        X.learn_bpe_merges(big, n_merges=n_merges).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
+
+
 def _textrank_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     """Grouped-PageRank scaling probe (round-5 TextRank shape): 4 fixed
     rounds of per-document weighted PageRank keyed by (doc_id, token)
@@ -825,6 +862,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-pack":
         rep = int(sys.argv[3]) if len(sys.argv) > 3 else 300
         _pack_probe(sf_dir, int(sys.argv[2]), replicate=rep)
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-bpe":
+        rep = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+        _bpe_probe(sf_dir, int(sys.argv[2]), replicate=rep)
         return
 
     t0 = time.time()

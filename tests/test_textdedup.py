@@ -1998,3 +1998,19 @@ def test_mix_corpus_exact_replay_and_targets(spark):
         mixture_plan(docs, {"fr": 1.0}, 100)
     with pytest.raises(ValueError, match="token_budget"):
         mixture_plan(docs, weights, 0)
+
+
+def test_mix_corpus_map_only_plan(spark):
+    """Scale-shape pin: after the single plan aggregation, materializing
+    the mix is map-only — the physical plan carries a broadcast join but
+    NO hash-partitioning exchange of the corpus."""
+    from nido_spark.pipeline import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "a b c d") for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    out = mix_corpus(docs, {"en": 1.0, "de": 1.0}, 500)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in physical, physical
+    assert "BroadcastExchange" in physical or "BroadcastHashJoin" in physical
