@@ -1588,6 +1588,17 @@ def _q_transcript_louvain(spark, sf):
     return res.labels
 
 
+def _q_transcript_leiden(spark, sf):
+    # deterministic Leiden (connected refinement + warm-started levels).
+    # leiden() has NO local tail — the whole dendrogram runs through the
+    # distributed sweep/refine/coarsen machinery, so the frozen
+    # leiden_numpy VALUES oracle is a fully INDEPENDENT rendering (unlike
+    # transcript_louvain's disclosed shared tail).
+    tr = synth_transcripts(spark, 500, seed=42)
+    res = L.leiden(transcripts_to_edges(tr, strategy="dense"), nbatches=8)
+    return res.labels
+
+
 def _q_transcript_ecg_votes(spark, sf):
     # ECG co-association surface as EXACT integers: votes = number of
     # ensemble members (level-1 Louvain at nbatches 1/2/4, each forced
@@ -1818,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Louvain kernels (L0-L9, C4)
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
+        "transcript_leiden": _q_transcript_leiden,
         "transcript_ecg_votes": _q_transcript_ecg_votes,
         "transcript_ecg": _q_transcript_ecg,
         "transcript_resolution_profile": _q_transcript_resolution_profile,
@@ -2539,6 +2551,31 @@ SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w"""
         f"SELECT rank::BIGINT AS rank, left_s AS \"left\", right_s AS \"right\", "
         f"cnt::BIGINT AS cnt "
         f"FROM (VALUES {vals}) AS t(rank, left_s, right_s, cnt)"
+    )
+
+
+def _transcript_leiden_values_sql() -> str:
+    """transcript_leiden labels as a VALUES literal from oracle.leiden_numpy
+    — a fully independent NumPy rendering (leiden() has no local tail; the
+    Spark run is distributed end to end, so exact label equality here
+    value-checks the warm-started sweep loop, the connected refinement,
+    and the refined-partition coarsening of every level)."""
+    import duckdb
+
+    from nido_spark.oracle import leiden_numpy
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT * FROM ({_transcript_edges_sql()}) ORDER BY src, dst"
+    ).df()
+    res = leiden_numpy(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
+        nbatches=8,
+    )
+    vals = ",".join(f"({int(v)},{int(c)})" for v, c in sorted(res.labels.items()))
+    return (
+        f"SELECT v::BIGINT AS v, comm::BIGINT AS comm "
+        f"FROM (VALUES {vals}) AS t(v, comm)"
     )
 
 
@@ -4338,6 +4375,7 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
     sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
+    sql["transcript_leiden"] = _transcript_leiden_values_sql()
     sql["corpus_bpe_merges"] = _corpus_bpe_values_sql(n_merges=10)
     sql["transcript_ecg_votes"] = _transcript_ecg_votes_values_sql()
     sql["transcript_ecg"] = _transcript_ecg_values_sql()

@@ -103,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         "-a", "--algo", default="louvain",
         choices=["louvain", "louvain-refined", "pagerank", "cc", "lpa",
                  "triangles", "k-core", "sssp", "hits", "betweenness", "msf",
-                 "scc", "onion", "fiedler", "backbone", "ecg"],
+                 "scc", "onion", "fiedler", "backbone", "ecg", "leiden"],
         help="algorithm to run (default: the reference's Louvain; "
              "louvain-refined chains the Leiden-style connected split)",
     )
@@ -170,6 +170,20 @@ def main(argv: list[str] | None = None) -> int:
             n_after = out_df.select("comm").distinct().count()
             metrics["refine"] = {"n_comms_before": n_before, "n_comms_after": n_after}
             print(f"refine: {n_before} -> {n_after} communities (connected split)")
+    elif args.algo == "leiden":
+        res = L.leiden(
+            edges, nbatches=args.nbatches, tol=args.tau,
+            max_loops=args.max_loops, tol_phase=args.tau, gamma=args.gamma,
+        )
+        metrics["leiden"] = {
+            "modularity": res.modularity,
+            "phases": res.n_phases,
+            "sweeps": res.total_sweeps,
+            "sec": round(time.time() - t2, 2),
+        }
+        print(f"leiden: Q={res.modularity:.6f} phases={res.n_phases} "
+              f"sweeps={res.total_sweeps} [{metrics['leiden']['sec']}s]")
+        out_df = res.labels
     elif args.algo == "pagerank":
         out_df = A.pagerank(edges, max_iters=args.max_loops if args.max_loops < 500 else 20,
                             tol=args.tau)
@@ -272,7 +286,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"betweenness: {len(srcs)} sources [{metrics['betweenness']['sec']}s]")
 
     if args.output and out_df is not None:
-        if args.algo in ("louvain", "louvain-refined"):
+        if args.algo in ("louvain", "louvain-refined", "leiden"):
             write_labels(out_df, args.output, order_by_vertex=True)
         else:
             out_df.write.mode("overwrite").parquet(args.output)

@@ -881,3 +881,158 @@ def ecg(
         )
     )
     return louvain(reweighted, gamma=gamma, **final_kwargs)
+
+
+def leiden(
+    edges: DataFrame,
+    nbatches: int = 2,
+    tol: float = 1e-6,
+    max_loops: int = 500,
+    tol_phase: float = 1e-6,
+    max_phases: int = 200,
+    kernel: str = "sql",
+    broadcast_threshold: int = 8_000_000,
+    gamma: float = 1.0,
+) -> LouvainRunResult:
+    """Deterministic Leiden (Traag et al. 2019): Louvain's batched local-
+    move phase per level, then (the two Leiden deltas) REFINEMENT of the
+    level's communities into their connected components — the published
+    guarantee Louvain lacks — and aggregation on the REFINED partition
+    with the next level warm-started from the parent coarse communities
+    (so a badly-merged community can be re-split across levels instead of
+    being frozen into one super-vertex). The paper's randomized
+    refinement is rendered as the connected split (the piece that carries
+    the guarantee), keeping every trajectory exactly replayable by
+    ``oracle.leiden_numpy`` — the determinism convention of the whole
+    engine. Returned labels are the final level's COARSE partition
+    projected to original vertices; every community is connected
+    (test-pinned via a refine-fixpoint check).
+
+    100 TB shape: identical to ``louvain`` per level (pinned src-
+    partitioned edges, broadcast-gated V-row state, one aggregation per
+    batch) plus, per level, ONE intra-community CC run (refine_connected:
+    label-broadcast join + min-label propagation over the shrinking
+    level graph) and the same coarsen groupBy — both on the level graph,
+    which shrinks geometrically. Warm-start labels are one V-row groupBy
+    (min representative) + one join."""
+    edges = truncate_lineage(edges)
+    flat = truncate_lineage(singleton_labels(edges))   # orig -> level vertex
+    final_flat = flat                                  # orig -> coarse comm
+
+    m_first = G.mass(edges)
+    if m_first <= 0.0:
+        return LouvainRunResult(flat, 0.0, 0, 0, [])
+
+    history: list[dict] = []
+    total_sweeps = 0
+    Q_final = 0.0
+    n_phases = 0
+    done = False
+    init_labels = None   # (v, comm) warm start for the next level
+    pinned = None
+
+    def _pin(e: DataFrame) -> DataFrame:
+        nonlocal pinned
+        p = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        newp = e.repartition(p, "src").persist()
+        newp.count()
+        if pinned is not None:
+            pinned.unpersist()
+        pinned = newp
+        return newp
+
+    while not done and n_phases < max_phases:
+        edges = _pin(edges)
+        verts = truncate_lineage(G.vertices(edges))
+        nv = verts.count()
+        bcast = nv <= broadcast_threshold
+        m = m_first if m_first is not None else G.mass(edges)
+        m_first = None
+        labels = truncate_lineage(
+            singleton_labels(edges) if init_labels is None else init_labels
+        )
+        Q = modularity(edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma)
+        Q_phase_start = Q
+
+        dQ = float("inf")
+        loops = 0
+        while tol < dQ and loops < max_loops:
+            labels_prev = labels
+            labels = louvain_sweep(
+                edges, labels, verts, m, nbatches, kernel=kernel,
+                broadcast_state=bcast, gamma=gamma,
+            )
+            Qtmp = modularity(
+                edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma
+            )
+            dQ = Qtmp - Q
+            loops += 1
+            if dQ < 0:
+                labels = labels_prev
+            else:
+                Q = Qtmp
+            history.append(
+                {"phase": n_phases, "sweep": loops, "Q": float(Qtmp), "dQ": float(dQ)}
+            )
+        total_sweeps += loops
+        Q_final = Q
+        labels = truncate_lineage(labels)
+
+        # the level's RESULT partition (coarse), projected to originals
+        coarse_map = labels.select(
+            F.col("v").alias("phase_v"), F.col("comm").alias("new_comm")
+        )
+        if bcast:
+            coarse_map = F.broadcast(coarse_map)
+        final_flat = truncate_lineage(
+            flat.join(coarse_map, flat["comm"] == coarse_map["phase_v"])
+            .select("v", F.col("new_comm").alias("comm"))
+        )
+
+        from nido_spark.algos import refine_connected
+
+        refined = truncate_lineage(
+            refine_connected(labels, edges,
+                             broadcast_threshold=broadcast_threshold)
+        )
+        ref_map = refined.select(
+            F.col("v").alias("phase_v"), F.col("comm").alias("new_comm")
+        )
+        if bcast:
+            ref_map = F.broadcast(ref_map)
+        flat_ref = truncate_lineage(
+            flat.join(ref_map, flat["comm"] == ref_map["phase_v"])
+            .select("v", F.col("new_comm").alias("comm"))
+        )
+
+        if Q - Q_phase_start > tol_phase:
+            new_edges = truncate_lineage(
+                coarsen(edges, refined, broadcast_labels=bcast)
+            )
+            n_ref = new_edges.select("src").distinct().count()
+            # warm start: refined part -> parent coarse community,
+            # canonicalized to the min refined-part id per coarse comm
+            pair = (
+                labels.select("v", F.col("comm").alias("coarse"))
+                .join(refined.select("v", F.col("comm").alias("ref")), "v")
+                .select("ref", "coarse")
+                .distinct()
+            )
+            reps = pair.groupBy("coarse").agg(F.min("ref").alias("rep"))
+            init_labels = truncate_lineage(
+                pair.join(F.broadcast(reps) if bcast else reps, "coarse")
+                .select(F.col("ref").alias("v"), F.col("rep").alias("comm"))
+            )
+            edges = new_edges
+            flat = flat_ref
+            if n_ref == nv or n_ref <= 1:
+                done = True
+        else:
+            done = True
+        n_phases += 1
+
+    if pinned is not None:
+        pinned.unpersist()
+    return LouvainRunResult(
+        final_flat, float(Q_final), n_phases, total_sweeps, history
+    )

@@ -373,3 +373,141 @@ def k_core_numpy(src, dst) -> dict[int, int]:
             if u in live:
                 deg[u] -= 1
     return {int(v): int(c) for v, c in core.items()}
+
+
+def _refine_connected_numpy(uids, s, d, comm) -> np.ndarray:
+    """Split every community into its connected components (union-find
+    over intra-community edges); returns refined comm INDICES where each
+    refined part is represented by its min-member index — the same
+    min-label convention as algos.refine_connected / connected_components.
+    Vertices with no intra-community edge become their own singletons."""
+    nv = len(uids)
+    parent = np.arange(nv)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    intra = (comm[s] == comm[d]) & (s != d)
+    for a, b in zip(s[intra].tolist(), d[intra].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the min-member index
+            # (uids is sorted, so min index == min id)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return np.array([find(i) for i in range(nv)], dtype=np.int64)
+
+
+def leiden_numpy(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    nbatches: int = 2,
+    tol: float = 1e-6,
+    max_loops: int = 500,
+    tol_phase: float = 1e-6,
+    max_phases: int = 200,
+    gamma: float = 1.0,
+) -> LouvainResult:
+    """Deterministic Leiden (Traag et al. 2019, deterministic rendering):
+    per level, (1) the batched local-move phase of louvain_numpy — warm-
+    started from the carried partition, not singletons, (2) REFINEMENT of
+    the resulting communities into their connected components (the Leiden
+    guarantee), (3) aggregation on the REFINED partition with the next
+    level's initial communities given by the parent coarse community
+    (canonicalized to min-member id so labels are engine-portable). The
+    randomized refinement of the paper is replaced by the connected split
+    — the component that provides Leiden's published guarantee — so every
+    trajectory is exactly replayable (the same determinism convention as
+    the batched Louvain schedule itself)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+
+    orig_uids = np.unique(np.concatenate([src, dst]))
+    flat = orig_uids.copy()          # orig id -> current-level vertex id
+    final_flat = orig_uids.copy()    # orig id -> coarse community id
+    init_ids = None                  # warm start: vertex id -> comm id
+
+    total_sweeps = 0
+    history: list[dict] = []
+    Q_final = 0.0
+    n_phases = 0
+    done = False
+
+    while not done and n_phases < max_phases:
+        uids, s, d = _vertex_index(src, dst)
+        nv = len(uids)
+        k = np.bincount(s, weights=w, minlength=nv)
+        m = w.sum() / 2.0
+        if init_ids is None:
+            comm = np.arange(nv)
+        else:
+            # carried partition: comm id -> representative (min member)
+            # index; init_ids maps vertex id -> canonical comm id, and
+            # the canonical id IS a member's id, hence present in uids
+            comm = np.searchsorted(uids, np.array(
+                [init_ids[int(v)] for v in uids], dtype=np.int64))
+        Q = _modularity_idx(s, d, w, k, m, comm, nv, gamma)
+        Q_phase_start = Q
+
+        dQ = np.inf
+        loops = 0
+        while tol < dQ and loops < max_loops:
+            comm_prev = comm.copy()
+            comm = _one_sweep(uids, s, d, w, k, m, comm, nbatches, gamma)
+            Qtmp = _modularity_idx(s, d, w, k, m, comm, nv, gamma)
+            dQ = Qtmp - Q
+            loops += 1
+            if dQ < 0:
+                comm = comm_prev
+            else:
+                Q = Qtmp
+            history.append({"phase": n_phases, "sweep": loops,
+                            "Q": float(Qtmp), "dQ": float(dQ)})
+        total_sweeps += loops
+        Q_final = Q
+
+        # the RESULT partition of this level is the coarse labels
+        flat_idx = np.searchsorted(uids, flat)
+        final_flat = uids[comm[flat_idx]]
+
+        ref = _refine_connected_numpy(uids, s, d, comm)
+        flat_ref = uids[ref[flat_idx]]
+
+        if Q - Q_phase_start > tol_phase:
+            new_src = uids[ref[s]]
+            new_dst = uids[ref[d]]
+            order = np.lexsort((new_dst, new_src))
+            ns, nd, nw = new_src[order], new_dst[order], w[order]
+            boundary = np.ones(len(ns), dtype=bool)
+            boundary[1:] = (ns[1:] != ns[:-1]) | (nd[1:] != nd[:-1])
+            seg = np.cumsum(boundary) - 1
+            agg_w = np.bincount(seg, weights=nw)
+            n_ref = len(np.unique(new_src))
+            # next level's warm start: refined part -> its parent COARSE
+            # community, canonicalized to the min refined-part id per
+            # coarse community (engine-portable representative)
+            ref_id = uids[ref]            # per current vertex: refined id
+            coarse_id = uids[comm]        # per current vertex: coarse id
+            reps: dict[int, int] = {}
+            for r_, c_ in zip(ref_id.tolist(), coarse_id.tolist()):
+                if c_ not in reps or r_ < reps[c_]:
+                    reps[c_] = r_
+            init_ids = {
+                int(r_): int(reps[c_])
+                for r_, c_ in zip(ref_id.tolist(), coarse_id.tolist())
+            }
+            src, dst, w = ns[boundary], nd[boundary], agg_w
+            flat = flat_ref
+            if n_ref == nv or n_ref <= 1:
+                done = True
+        else:
+            done = True
+        n_phases += 1
+
+    labels = {int(v): int(c) for v, c in zip(orig_uids, final_flat)}
+    return LouvainResult(labels, float(Q_final), n_phases, total_sweeps, history)

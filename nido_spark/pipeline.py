@@ -277,7 +277,11 @@ def pack_documents(
     pack) — per-task sort bounded by the shard, never a global sort;
     pick n_shards so a shard's documents fit a task (10^4 shards at
     10^10 docs = 10^6 docs/shard). Everything is exact integer math:
-    identical output on any engine, partitioning, or cluster size."""
+    identical output on any engine, partitioning, or cluster size.
+
+    PRECONDITION: ``id_col`` must be unique (it is the within-shard
+    layout order) — duplicate ids would make the running offset
+    tie-ordered and the layout partitioning-dependent."""
     from pyspark.sql import Window
 
     from nido_spark.textops import tokens

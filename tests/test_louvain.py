@@ -527,3 +527,34 @@ def test_ecg_weights_and_final_match_numpy_replay(karate):
     glab = {r["v"]: r["comm"] for r in res.labels.collect()}
     assert labels_equivalent(glab, ref.labels)
     assert res.modularity == pytest.approx(ref.modularity, abs=1e-9)
+
+
+def test_leiden_numpy_parity_and_guarantee(karate):
+    """Deterministic Leiden: exact label + Q parity with oracle.leiden_numpy
+    at two batch schedules; every returned community is CONNECTED (the
+    Leiden guarantee — refine_connected is a fixpoint of the output); and
+    on the nb=4 schedule the warm-started multi-level run strictly beats
+    plain Louvain's modularity on the same schedule (the published
+    motivation, deterministic on this fixture)."""
+    from conftest import labels_equivalent
+
+    from nido_spark.algos import refine_connected
+    from nido_spark.oracle import leiden_numpy, louvain_numpy
+
+    edges, (src, dst, w) = karate
+    for nb in (4, 8):
+        ref = leiden_numpy(src, dst, w, nbatches=nb)
+        got = L.leiden(edges, nbatches=nb)
+        glab = {r["v"]: r["comm"] for r in got.labels.collect()}
+        assert glab == ref.labels
+        assert got.modularity == pytest.approx(ref.modularity, abs=1e-9)
+        assert (got.n_phases, got.total_sweeps) == (ref.n_phases, ref.total_sweeps)
+        # Leiden guarantee: splitting by connectivity changes nothing
+        fixed = {
+            r["v"]: r["comm"]
+            for r in refine_connected(got.labels, edges).collect()
+        }
+        assert labels_equivalent(glab, fixed)
+    lv = louvain_numpy(src, dst, w, nbatches=4)
+    ld = leiden_numpy(src, dst, w, nbatches=4)
+    assert ld.modularity > lv.modularity + 1e-6
