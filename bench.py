@@ -247,6 +247,54 @@ def _louvain_sweep_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     return ne / dt
 
 
+def _leiden_refine_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
+    """The leiden-specific per-level delta — connected REFINEMENT of a
+    sweep's communities (intra-community edge filter + min-label CC) —
+    over the replicated graph at the given parallelism. The sweep itself
+    scales per --probe-louvain; this isolates what leiden adds on top.
+    Prints edges/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import graph as G
+    from nido_spark import louvain as L
+    from nido_spark.algos import refine_connected
+    from nido_spark.io import lineitem_edges
+    from nido_spark.plans import truncate_lineage
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_ref_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    base = lineitem_edges(spark, sf_dir)
+    copies = spark.range(replicate).select((F.col("id") * 1_000_000_000).alias("off"))
+    edges = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("src") + F.col("off")).alias("src"),
+            (F.col("dst") + F.col("off")).alias("dst"),
+            "w",
+        )
+        .repartition(cpus * 2, "src")
+        .persist()
+    )
+    ne = edges.count()
+    verts = truncate_lineage(G.vertices(edges))
+    m = G.mass(edges)
+    labels = truncate_lineage(
+        L.louvain_sweep(edges, L.singleton_labels(edges), verts, m,
+                        nbatches=4, broadcast_state=True)
+    )
+    refine_connected(labels, edges).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        refine_connected(labels, edges).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "edges_per_sec": ne / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_edges": ne}))
+    spark.stop()
+    return ne / dt
+
+
 def _dedup_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     """MinHash-LSH near-dup scaling probe: signatures + banding + bucket
     join + verify over a ``replicate``-times id-offset copy of the
@@ -827,6 +875,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-interval":
         _interval_probe(sf_dir, int(sys.argv[2]),
                         int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-leiden-refine":
+        _leiden_refine_probe(sf_dir, int(sys.argv[2]))
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-dedup":
