@@ -1588,6 +1588,21 @@ def _q_transcript_louvain(spark, sf):
     return res.labels
 
 
+def _q_transcript_louvain_warm(spark, sf):
+    # incremental re-clustering path: louvain warm-started from a
+    # deterministic pmod-16 seeding (the "yesterday's labels" stand-in).
+    # Same local-tail disclosure as transcript_louvain; what the oracle
+    # independently checks on top is the warm-start canonicalization
+    # (min-member representative) threading through both engines.
+    tr = synth_transcripts(spark, 500, seed=42)
+    e = transcripts_to_edges(tr, strategy="dense")
+    init = e.select(F.col("src").alias("v")).distinct().select(
+        "v", F.pmod(F.col("v"), F.lit(16)).alias("comm")
+    )
+    res = L.louvain(e, nbatches=8, init_labels=init)
+    return res.labels
+
+
 def _q_transcript_leiden(spark, sf):
     # deterministic Leiden (connected refinement + warm-started levels).
     # leiden() has NO local tail — the whole dendrogram runs through the
@@ -1829,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Louvain kernels (L0-L9, C4)
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
+        "transcript_louvain_warm": _q_transcript_louvain_warm,
         "transcript_leiden": _q_transcript_leiden,
         "transcript_ecg_votes": _q_transcript_ecg_votes,
         "transcript_ecg": _q_transcript_ecg,
@@ -2571,6 +2587,32 @@ def _transcript_leiden_values_sql() -> str:
     res = leiden_numpy(
         pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
         nbatches=8,
+    )
+    vals = ",".join(f"({int(v)},{int(c)})" for v, c in sorted(res.labels.items()))
+    return (
+        f"SELECT v::BIGINT AS v, comm::BIGINT AS comm "
+        f"FROM (VALUES {vals}) AS t(v, comm)"
+    )
+
+
+def _transcript_louvain_warm_values_sql() -> str:
+    """Warm-started transcript louvain labels as a VALUES literal: the
+    NumPy replay seeded with the SAME pmod-16 init the Spark query uses
+    (ids are non-negative so % == pmod). Tail disclosure as in
+    _transcript_louvain_values_sql."""
+    import duckdb
+
+    from nido_spark.oracle import louvain_numpy
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT * FROM ({_transcript_edges_sql()}) ORDER BY src, dst"
+    ).df()
+    s_ = pdf["src"].to_numpy()
+    init = {int(v): int(v) % 16 for v in set(s_.tolist())}
+    res = louvain_numpy(
+        s_, pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
+        nbatches=8, init_ids=init,
     )
     vals = ",".join(f"({int(v)},{int(c)})" for v, c in sorted(res.labels.items()))
     return (
@@ -4376,6 +4418,7 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
     sql["transcript_leiden"] = _transcript_leiden_values_sql()
+    sql["transcript_louvain_warm"] = _transcript_louvain_warm_values_sql()
     sql["corpus_bpe_merges"] = _corpus_bpe_values_sql(n_merges=10)
     sql["transcript_ecg_votes"] = _transcript_ecg_votes_values_sql()
     sql["transcript_ecg"] = _transcript_ecg_values_sql()

@@ -305,10 +305,23 @@ def louvain(
     durable_edges_prefix: str | None = None,
     durable_buckets: int | None = None,
     gamma: float = 1.0,
+    init_labels: DataFrame | None = None,
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
     nido_spark.checkpoint.LouvainCheckpointer for durable resume.
+
+    ``init_labels``: optional (v, comm) warm start applied at PHASE 0
+    instead of the singleton partition — the incremental re-clustering
+    path (re-run after streaming.IncrementalEdgeStore folds an edge
+    batch, seeded with yesterday's labels; the pagerank ``init_ranks`` /
+    ``incremental_cc`` convention for the community family). Vertices
+    missing from the mapping stay singletons; labels are canonicalized to
+    the min member id per community (the engine-portable representative,
+    same convention as ``leiden``), so any labeling works. Ignored when a
+    checkpointer resume supersedes phase 0. Same fixpoint semantics: a
+    warm start changes the trajectory, not the contract, and the NumPy
+    oracle accepts the same ``init_ids`` for exact replay.
 
     ``gamma``: Reichardt-Bornholdt resolution parameter (the standard
     Louvain knob the reference binary lacks but cuGraph's public
@@ -425,11 +438,12 @@ def louvain(
         return newp
 
     while not done and n_phases < max_phases:
+        warm = init_labels if (n_phases == 0 and start_phase == 0) else None
         if local_threshold and edges.count() <= local_threshold:
             res = _finish_local(
                 edges, flat, n_phases, total_sweeps, history,
                 nbatches, tol, max_loops, tol_phase, max_phases, checkpointer,
-                dense_relabel, gamma=gamma,
+                dense_relabel, gamma=gamma, init_labels=warm,
             )
             if pinned is not None:
                 pinned.unpersist()
@@ -443,7 +457,20 @@ def louvain(
         # coarsened weights); only the duplicate phase-0 scan is skipped
         m = m_first if m_first is not None else G.mass(edges)
         m_first = None
-        labels = truncate_lineage(singleton_labels(edges))
+        if warm is not None:
+            # canonical warm start: min member id per init community;
+            # vertices missing from the mapping stay singletons
+            cover = verts.select("v").join(
+                warm.select("v", "comm"), "v", "left"
+            ).select("v", F.coalesce("comm", F.col("v")).alias("comm"))
+            canon = cover.groupBy("comm").agg(F.min("v").alias("rep"))
+            labels = truncate_lineage(
+                cover.join(
+                    F.broadcast(canon) if bcast else canon, "comm"
+                ).select("v", F.col("rep").alias("comm"))
+            )
+        else:
+            labels = truncate_lineage(singleton_labels(edges))
         Q = modularity(edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma)
         Q_phase_start = Q
 
@@ -532,18 +559,28 @@ def _finish_local(
     checkpointer,
     dense_relabel: bool = False,
     gamma: float = 1.0,
+    init_labels: DataFrame | None = None,
 ) -> LouvainRunResult:
     """Finish the dendrogram tail on the driver via the NumPy oracle
-    (identical schedule/semantics; see louvain(local_threshold=...))."""
+    (identical schedule/semantics; see louvain(local_threshold=...)).
+    ``init_labels`` (phase-0 warm start only) is collected here — the
+    tail triggers only below local_threshold, so the vertex set is
+    driver-sized by construction."""
     from nido_spark.oracle import louvain_numpy
 
     spark = edges.sparkSession
     pdf = edges.toPandas()
+    init_ids = None
+    if init_labels is not None:
+        init_ids = {
+            int(r["v"]): int(r["comm"])
+            for r in init_labels.select("v", "comm").collect()
+        }
     res = louvain_numpy(
         pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["w"].to_numpy(),
         nbatches=nbatches, tol=tol, max_loops=max_loops,
         tol_phase=tol_phase, max_phases=max_phases - n_phases,
-        dense_relabel=dense_relabel, gamma=gamma,
+        dense_relabel=dense_relabel, gamma=gamma, init_ids=init_ids,
     )
     for h in res.history:
         history.append({**h, "phase": h["phase"] + n_phases})

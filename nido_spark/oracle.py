@@ -153,9 +153,16 @@ def louvain_numpy(
     max_phases: int = 200,
     dense_relabel: bool = False,
     gamma: float = 1.0,
+    init_ids: dict | None = None,
 ) -> LouvainResult:
     """Full multi-phase batched Louvain. Input: symmetric edge arrays.
     ``gamma``: Reichardt-Bornholdt resolution (see louvain.louvain).
+
+    ``init_ids``: optional warm start — {vertex id: community id} applied
+    at PHASE 0 instead of the singleton partition (vertices missing from
+    the mapping stay singletons). Labels are canonicalized to the min
+    member id per community first (the engine-portable representative,
+    same convention as leiden_numpy), so any labeling works.
 
     ``dense_relabel`` mirrors louvain(dense_relabel=True): order-preserving
     renumbering of super-vertices to 0..ncomm-1 at every phase transition
@@ -179,7 +186,18 @@ def louvain_numpy(
         nv = len(uids)
         k = np.bincount(s, weights=w, minlength=nv)
         m = w.sum() / 2.0
-        comm = np.arange(nv)  # singleton: community id == own vertex id
+        if n_phases == 0 and init_ids:
+            # canonical warm start: min member id per init community
+            reps: dict = {}
+            for vid in uids.tolist():
+                c = init_ids.get(int(vid), int(vid))
+                if c not in reps or vid < reps[c]:
+                    reps[c] = int(vid)
+            comm = np.searchsorted(uids, np.array(
+                [reps[init_ids.get(int(v), int(v))] for v in uids],
+                dtype=np.int64))
+        else:
+            comm = np.arange(nv)  # singleton: community id == own vertex id
         Q = _modularity_idx(s, d, w, k, m, comm, nv, gamma)
         Q_phase_start = Q
 

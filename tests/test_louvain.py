@@ -558,3 +558,31 @@ def test_leiden_numpy_parity_and_guarantee(karate):
     lv = louvain_numpy(src, dst, w, nbatches=4)
     ld = leiden_numpy(src, dst, w, nbatches=4)
     assert ld.modularity > lv.modularity + 1e-6
+
+
+def test_louvain_warm_start_parity_and_convergence(karate):
+    """init_labels warm start: exact NumPy parity on BOTH the distributed
+    and local-tail paths, canonicalization makes a singleton init a no-op,
+    and a seeded start converges in fewer sweeps than cold (the
+    incremental re-clustering contract)."""
+    edges, (src, dst, w) = karate
+    spark = edges.sparkSession
+    g1 = {0, 1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 13, 16, 17, 19, 21}
+    init = {v: (0 if v in g1 else 33) for v in range(34)}
+    init_df = spark.createDataFrame(list(init.items()), "v long, comm long")
+    ref = O.louvain_numpy(src, dst, w, nbatches=4, init_ids=init)
+    for lt in (0, 100_000):
+        got = L.louvain(edges, nbatches=4, local_threshold=lt,
+                        init_labels=init_df)
+        glab = {r["v"]: r["comm"] for r in got.labels.collect()}
+        assert glab == ref.labels, f"local_threshold={lt}"
+        assert got.modularity == pytest.approx(ref.modularity, abs=1e-9)
+        assert got.total_sweeps == ref.total_sweeps
+    cold = O.louvain_numpy(src, dst, w, nbatches=4)
+    assert ref.total_sweeps < cold.total_sweeps  # 3 vs 7 on this fixture
+    # singleton init is canonicalization-invariant: identical to no init
+    sing = spark.createDataFrame([(v, v) for v in range(34)], "v long, comm long")
+    a = L.louvain(edges, nbatches=4, local_threshold=0, init_labels=sing)
+    b = L.louvain(edges, nbatches=4, local_threshold=0)
+    assert ({r["v"]: r["comm"] for r in a.labels.collect()}
+            == {r["v"]: r["comm"] for r in b.labels.collect()})
