@@ -586,3 +586,44 @@ def test_louvain_warm_start_parity_and_convergence(karate):
     b = L.louvain(edges, nbatches=4, local_threshold=0)
     assert ({r["v"]: r["comm"] for r in a.labels.collect()}
             == {r["v"]: r["comm"] for r in b.labels.collect()})
+
+
+def test_warm_start_incremental_edge_batch(spark):
+    """The incremental deployment loop: cluster a graph, grow it with an
+    edge batch (new clique + bridge), re-cluster WARM from the old
+    labels. New vertices (absent from the seed) enter as singletons and
+    end up co-clustered with their clique; old structure keeps labels;
+    the warm trajectory is exactly the NumPy replay seeded the same way."""
+    import numpy as np
+
+    from tests.conftest import symmetric_arrays
+
+    pairs0 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    pairs0 += [(i, j) for i in range(5, 10) for j in range(i + 1, 10)]
+    pairs0 += [(4, 5)]
+    s0, d0, w0 = symmetric_arrays(pairs0)
+    e0 = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(s0, d0, w0)],
+        "src long, dst long, w double",
+    )
+    base = L.louvain(e0, nbatches=1, local_threshold=0)
+    old_labels = base.labels
+
+    # edge batch: a third clique 10..14 bridged to vertex 9
+    pairs1 = pairs0 + [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    pairs1 += [(9, 10)]
+    s1, d1, w1 = symmetric_arrays(pairs1)
+    e1 = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for a, b, x in zip(s1, d1, w1)],
+        "src long, dst long, w double",
+    )
+    init = {r["v"]: r["comm"] for r in old_labels.collect()}
+    warm = L.louvain(e1, nbatches=1, local_threshold=0, init_labels=old_labels)
+    ref = O.louvain_numpy(s1, d1, w1, nbatches=1, init_ids=init)
+    glab = {r["v"]: r["comm"] for r in warm.labels.collect()}
+    assert glab == ref.labels
+    assert warm.modularity == pytest.approx(ref.modularity, abs=1e-9)
+    # all 15 vertices labeled; the new clique is one community
+    assert set(glab) == set(range(15))
+    assert len({glab[v] for v in range(10, 15)}) == 1
+    assert len(set(glab.values())) == 3
