@@ -771,7 +771,10 @@ def partition_agreement(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def resolution_profile(
-    edges: DataFrame, gammas: list[float], **louvain_kwargs
+    edges: DataFrame,
+    gammas: list[float],
+    algorithm: str = "louvain",
+    **louvain_kwargs,
 ) -> list[dict]:
     """Resolution landscape: run ``louvain`` at each gamma (ascending) and
     report per-gamma ``{gamma, modularity, n_comms, n_phases, total_sweeps,
@@ -783,12 +786,19 @@ def resolution_profile(
     structural transition.
 
     Driver-side loop over a HANDFUL of gammas, each a full distributed
-    Louvain run — cost is len(gammas) runs, so keep the list short (3-8).
-    Labels of each run are lineage-truncated before the comparison join."""
+    run — cost is len(gammas) runs, so keep the list short (3-8).
+    Labels of each run are lineage-truncated before the comparison join.
+
+    ``algorithm``: "louvain" (default) or "leiden" — the sweep under test;
+    leiden profiles additionally carry its connectivity guarantee into
+    every row, which stabilizes the agreement scores on plateau edges."""
+    if algorithm not in ("louvain", "leiden"):
+        raise ValueError(f"resolution_profile: unknown algorithm {algorithm!r}")
+    run = louvain if algorithm == "louvain" else leiden
     out: list[dict] = []
     prev_labels = None
     for gamma in sorted(float(g) for g in gammas):
-        res = louvain(edges, gamma=gamma, **louvain_kwargs)
+        res = run(edges, gamma=gamma, **louvain_kwargs)
         labels = truncate_lineage(res.labels)
         row = {
             "gamma": gamma,

@@ -627,3 +627,17 @@ def test_warm_start_incremental_edge_batch(spark):
     assert set(glab) == set(range(15))
     assert len({glab[v] for v in range(10, 15)}) == 1
     assert len(set(glab.values())) == 3
+
+
+def test_resolution_profile_leiden(karate):
+    """algorithm='leiden' profiles the leiden sweep: per-gamma Q matches a
+    direct leiden_numpy run; unknown algorithms raise loudly."""
+    edges, (src, dst, w) = karate
+    prof = L.resolution_profile(edges, [0.5, 1.0], algorithm="leiden",
+                                nbatches=4)
+    for r in prof:
+        ref = O.leiden_numpy(src, dst, w, nbatches=4, gamma=r["gamma"])
+        assert r["modularity"] == pytest.approx(ref.modularity, abs=1e-9)
+        assert r["n_comms"] == len(set(ref.labels.values()))
+    with pytest.raises(ValueError, match="algorithm"):
+        L.resolution_profile(edges, [1.0], algorithm="cpm")
