@@ -1588,6 +1588,19 @@ def _q_transcript_louvain(spark, sf):
     return res.labels
 
 
+def _q_triangle_doulion(spark, sf):
+    # DOULION sampled triangle estimate at p=0.5 — the deterministic
+    # hash-coin makes sample, count AND estimate exactly replayable
+    from nido_spark.algos import triangle_count_sampled
+
+    r = triangle_count_sampled(lineitem_edges(spark, sf), p=0.5, seed=42)
+    return spark.createDataFrame(
+        [(r["n_sampled_pairs"], r["triangles_sampled"],
+          round(r["estimate"], 9))],
+        "n_sampled_pairs long, triangles_sampled long, estimate double",
+    )
+
+
 def _q_transcript_louvain_warm(spark, sf):
     # incremental re-clustering path: louvain warm-started from a
     # deterministic pmod-16 seeding (the "yesterday's labels" stand-in).
@@ -1844,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Louvain kernels (L0-L9, C4)
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
+        "triangle_count_doulion": _q_triangle_doulion,
         "transcript_louvain_warm": _q_transcript_louvain_warm,
         "transcript_leiden": _q_transcript_leiden,
         "transcript_ecg_votes": _q_transcript_ecg_votes,
@@ -3611,6 +3625,30 @@ win AS (
 )
 SELECT verts.v, COALESCE(win.dst_comm, verts.v) AS comm
 FROM verts LEFT JOIN win ON verts.v = win.src AND win.rn = 1"""
+
+    # DOULION: the same HUGEINT pair-fold coin as the Spark side, exact
+    # triple-join triangle count over the sample, 1/p^3 scaling (p*p*p,
+    # the Spark association)
+    _dl_p, _dl_seed = 0.5, 42
+    _dl_thr = int(_dl_p * 2147483647)
+    _dl_fold = "((src % 1073741824) * 1073741824::HUGEINT + (dst % 1073741824))"
+    _dl_bkt = (
+        f"((48271::HUGEINT * ((((1103515245::HUGEINT * (({_dl_fold}) % "
+        f"2305843009213693951 + {_dl_seed}) + 12345) % 2305843009213693951) "
+        f"% 1073741824)) + 11213) % 2147483647)"
+    )
+    sql["triangle_count_doulion"] = f"""{_E},
+pairs AS (SELECT DISTINCT src, dst FROM e WHERE src < dst),
+samp AS (SELECT src AS a, dst AS b FROM pairs WHERE {_dl_bkt} < {_dl_thr}),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS t
+  FROM samp e1
+  JOIN samp e2 ON e2.a = e1.b
+  JOIN samp e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT COUNT(*) FROM samp)::BIGINT AS n_sampled_pairs,
+       t AS triangles_sampled,
+       ROUND(t / ({_dl_p} * {_dl_p} * {_dl_p}), 9) AS estimate
+FROM tri"""
 
     sql["triangle_count"] = f"""{_E},
 und AS (

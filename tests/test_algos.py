@@ -1519,3 +1519,44 @@ def test_tool_loops_hand_case(spark):
         tool_loops(tr, period=0)
     with pytest.raises(ValueError, match="min_len"):
         tool_loops(tr, period=2, min_len=2)
+
+
+def test_triangle_count_sampled_doulion(karate):
+    """DOULION: p=1 reproduces the exact count with estimate == count;
+    p<1 matches an exact pure-Python replay of the deterministic
+    hash-coin sample (same pairs, same triangle count, same scaling);
+    loud p contract."""
+    import pytest
+
+    from nido_spark.algos import triangle_count_sampled
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+    )
+
+    edges, (src, dst, w) = karate
+    full = triangle_count_sampled(edges, p=1.0)
+    assert full["triangles_sampled"] == 45  # karate ground truth
+    assert full["estimate"] == 45.0
+
+    p, seed = 0.7, 42
+    got = triangle_count_sampled(edges, p=p, seed=seed)
+
+    def bkt(x, s):
+        r1 = (_SAMPLE_A1 * ((x % _SAMPLE_P) + s) + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    B = 1 << 30
+    pairs = {(int(a), int(b)) for a, b in zip(src, dst) if a < b}
+    thr = int(p * _SAMPLE_P2)
+    samp = {e for e in pairs if bkt((e[0] % B) * B + (e[1] % B), seed) < thr}
+    tri = sum(
+        1
+        for (x, y) in samp
+        for z in range(34)
+        if z > y and (y, z) in samp and (x, z) in samp
+    )
+    assert got["n_sampled_pairs"] == len(samp)
+    assert got["triangles_sampled"] == tri
+    assert got["estimate"] == tri / (p * p * p)
+    with pytest.raises(ValueError, match="p must"):
+        triangle_count_sampled(edges, p=0.0)
