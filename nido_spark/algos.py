@@ -2875,3 +2875,39 @@ def triangle_count_sampled(
         "triangles_sampled": int(t),
         "estimate": t / (p * p * p),
     }
+
+
+def effective_diameter(
+    edges: DataFrame, q: float = 0.9, max_t: int = 8, **anf_kwargs
+) -> dict:
+    """ANF effective diameter (Palmer et al. '02): the smallest t at which
+    the sketch-estimated number of reachable pairs within t hops covers
+    fraction ``q`` of the pairs reachable at ``max_t``. Returns
+    ``{"t_eff", "coverage", "pairs_t"}`` where pairs_t maps t -> the
+    estimated reachable-pair total N(t). This is what the
+    neighborhood_function sketches exist for — the whole-graph distance
+    profile without V BFS traversals; the per-(v, t) sketch trajectory
+    itself is the integer-exact surface the driver gate pins
+    (transcript_anf), while the float N(t) rollup and threshold decision
+    live here (driver-side floats over a max_t-row aggregate).
+
+    Note max_t must reach (or exceed) the true effective horizon for the
+    q-quantile to be meaningful — on an unknown graph, grow max_t until
+    N(max_t) plateaus (monotone by construction, so the check is one
+    extra round)."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("effective_diameter: q must be in (0, 1]")
+    nf = neighborhood_function(edges, max_t=max_t, **anf_kwargs)
+    rows = nf.groupBy("t").agg(F.sum("est").alias("n_t")).collect()
+    pairs_t = {int(r["t"]): float(r["n_t"]) for r in rows}
+    n_max = pairs_t[max(pairs_t)]
+    t_eff = max(pairs_t)
+    for t in sorted(pairs_t):
+        if pairs_t[t] >= q * n_max:
+            t_eff = t
+            break
+    return {
+        "t_eff": int(t_eff),
+        "coverage": pairs_t[t_eff] / n_max,
+        "pairs_t": pairs_t,
+    }

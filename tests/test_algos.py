@@ -1560,3 +1560,28 @@ def test_triangle_count_sampled_doulion(karate):
     assert got["estimate"] == tri / (p * p * p)
     with pytest.raises(ValueError, match="p must"):
         triangle_count_sampled(edges, p=0.0)
+
+
+def test_effective_diameter_anf(spark):
+    """Path graph P8: every distance profile is known — at q=1.0 the
+    effective diameter reaches the true diameter's horizon; N(t) grows
+    monotonically; q=0.5 returns a smaller t; loud q contract."""
+    import pytest
+
+    from nido_spark.algos import effective_diameter
+    from nido_spark.graph import normalize_edges
+
+    pairs = [(i, i + 1) for i in range(7)]
+    e = normalize_edges(
+        spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs], "src long, dst long, w double"
+        )
+    )
+    out = effective_diameter(e, q=1.0, max_t=7, n_regs=8)
+    assert out["t_eff"] == 7  # P8 diameter: monotone growth up to 7 hops
+    nts = [out["pairs_t"][t] for t in sorted(out["pairs_t"])]
+    assert nts == sorted(nts)
+    half = effective_diameter(e, q=0.5, max_t=7, n_regs=8)
+    assert half["t_eff"] < 7 and half["coverage"] >= 0.5
+    with pytest.raises(ValueError, match="q must"):
+        effective_diameter(e, q=0.0)
