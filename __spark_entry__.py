@@ -1588,6 +1588,11 @@ def _q_transcript_louvain(spark, sf):
     return res.labels
 
 
+def _q_edges_profile(spark, sf):
+    # one-row structural profile (the reference's post-load report)
+    return G.graph_profile(lineitem_edges(spark, sf))
+
+
 def _q_triangle_doulion(spark, sf):
     # DOULION sampled triangle estimate at p=0.5 — the deterministic
     # hash-coin makes sample, count AND estimate exactly replayable
@@ -1857,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Louvain kernels (L0-L9, C4)
         "louvain_full": _q_louvain_full,
         "transcript_louvain": _q_transcript_louvain,
+        "edges_profile": _q_edges_profile,
         "triangle_count_doulion": _q_triangle_doulion,
         "transcript_louvain_warm": _q_transcript_louvain_warm,
         "transcript_leiden": _q_transcript_leiden,
@@ -3637,6 +3643,25 @@ FROM verts LEFT JOIN win ON verts.v = win.src AND win.rn = 1"""
         f"2305843009213693951 + {_dl_seed}) + 12345) % 2305843009213693951) "
         f"% 1073741824)) + 11213) % 2147483647)"
     )
+    sql["edges_profile"] = f"""{_E},
+prop AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM prop GROUP BY src),
+d AS (SELECT COUNT(*)::BIGINT AS nv_proper,
+             MIN(deg)::BIGINT AS min_deg, MAX(deg)::BIGINT AS max_deg,
+             SUM(deg)::BIGINT AS sum_deg FROM deg),
+agg AS (SELECT COUNT(*)::BIGINT AS ne_directed,
+               COUNT(DISTINCT src)::BIGINT AS nv,
+               SUM(CASE WHEN src = dst THEN 1 ELSE 0 END)::BIGINT
+                 AS n_self_loops
+        FROM e)
+SELECT nv, ne_directed, (sum_deg // 2)::BIGINT AS ne_undirected,
+       COALESCE(n_self_loops, 0)::BIGINT AS n_self_loops,
+       COALESCE(min_deg, 0)::BIGINT AS min_deg,
+       COALESCE(max_deg, 0)::BIGINT AS max_deg,
+       ROUND(sum_deg / nv, 9) AS avg_deg,
+       ROUND((sum_deg / 2) / (nv * (nv - 1) / 2), 9) AS density
+FROM agg CROSS JOIN d"""
+
     sql["triangle_count_doulion"] = f"""{_E},
 pairs AS (SELECT DISTINCT src, dst FROM e WHERE src < dst),
 samp AS (SELECT src AS a, dst AS b FROM pairs WHERE {_dl_bkt} < {_dl_thr}),

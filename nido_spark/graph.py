@@ -1310,3 +1310,55 @@ def triad_census(
         F.expr("_closed div 3").alias("n_cyclic"),
         "n_transitive",
     )
+
+
+def graph_profile(edges: DataFrame) -> DataFrame:
+    """One-row structural profile of the canonical edge table — the
+    load-time report a graph user prints before running anything (the
+    reference binary prints nv/ne/mass after its CSR load; this is that
+    report as a single Spark job):
+
+        (nv, ne_directed, ne_undirected, n_self_loops, min_deg, max_deg,
+         avg_deg, density)
+
+    Degrees count distinct non-self neighbors (simple-graph view);
+    density = ne_undirected / C(nv, 2). All counts exact BIGINTs; the two
+    ratios are single divisions of exact integers (engine-bitwise), so
+    the whole row value-checks across engines. TWO aggregations total
+    (one over E rows, one over the per-vertex degree table) — scan-bound
+    at any scale."""
+    deg = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = deg.agg(
+        F.count(F.lit(1)).alias("nv_proper"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+        F.sum("deg").alias("sum_deg"),
+    )
+    e = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("ne_directed"),
+        F.countDistinct("src").cast("long").alias("nv"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self_loops"),
+    )
+    return e.crossJoin(F.broadcast(d)).select(
+        "nv",
+        "ne_directed",
+        # integer division (DIV), not double-cast: DuckDB's ::BIGINT cast
+        # ROUNDS doubles while Spark's cast truncates — the r2 hash-fail
+        # class; sum_deg is even on the canonical table either way
+        F.expr("sum_deg DIV 2").alias("ne_undirected"),
+        F.coalesce("n_self_loops", F.lit(0)).alias("n_self_loops"),
+        F.coalesce("min_deg", F.lit(0)).cast("long").alias("min_deg"),
+        F.coalesce("max_deg", F.lit(0)).cast("long").alias("max_deg"),
+        F.round(F.col("sum_deg") / F.col("nv"), 9).alias("avg_deg"),
+        F.round(
+            (F.col("sum_deg") / F.lit(2))
+            / (F.col("nv") * (F.col("nv") - F.lit(1)) / F.lit(2)),
+            9,
+        ).alias("density"),
+    )

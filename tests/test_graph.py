@@ -977,3 +977,19 @@ def test_transcript_per_turn_text_equality_under_stable_order(spark):
             assert got[c].where(got[c].notna(), None).tolist() == \
                    ref[c].where(ref[c].notna(), None).tolist(), (parts, c)
         assert (got["ts"].astype("int64") == ref["ts"].astype("int64")).all()
+
+
+def test_graph_profile_hand_counts(spark):
+    """Profile of a known graph: P3 symmetric + one self-loop; every
+    column hand-checked (incl. the self-loop exclusion from degrees and
+    the // 2 undirected count)."""
+    from nido_spark.graph import graph_profile
+
+    rows = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0), (2, 2, 5.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    r = graph_profile(e).first()
+    assert (r["nv"], r["ne_directed"], r["ne_undirected"]) == (3, 5, 2)
+    assert r["n_self_loops"] == 1
+    assert (r["min_deg"], r["max_deg"]) == (1, 2)
+    assert r["avg_deg"] == round(4 / 3, 9)
+    assert r["density"] == round(2 / 3, 9)
