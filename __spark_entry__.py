@@ -3656,7 +3656,9 @@ agg AS (SELECT COUNT(*)::BIGINT AS ne_directed,
         FROM e)
 SELECT nv, ne_directed, (sum_deg // 2)::BIGINT AS ne_undirected,
        COALESCE(n_self_loops, 0)::BIGINT AS n_self_loops,
-       COALESCE(min_deg, 0)::BIGINT AS min_deg,
+       (nv - COALESCE(nv_proper, 0))::BIGINT AS n_degree_zero,
+       CASE WHEN COALESCE(nv_proper, 0) < nv THEN 0
+            ELSE COALESCE(min_deg, 0) END::BIGINT AS min_deg,
        COALESCE(max_deg, 0)::BIGINT AS max_deg,
        ROUND(sum_deg / nv, 9) AS avg_deg,
        ROUND((sum_deg / 2) / (nv * (nv - 1) / 2), 9) AS density
@@ -4380,6 +4382,7 @@ FROM c"""
 
     import duckdb as _duck
 
+    _mix_in = ", ".join(f"'{d}'" for d in sorted(_MIX_WEIGHTS))
     _mix_con = _duck.connect()
     _mix_counts = {
         d: int(n)
@@ -4387,7 +4390,7 @@ FROM c"""
             f"""SELECT lang, SUM({_tok_expr})::BIGINT FROM read_parquet(
             '{__import__('os').environ.get('NIDO_ORACLE_SF_DIR',
                                            '/root/testdata/sf0.01')}/documents.parquet')
-            WHERE lang IN ('en', 'de') GROUP BY lang"""
+            WHERE lang IN ({_mix_in}) GROUP BY lang"""
         ).fetchall()
     }
     _mix_wsum = float(sum(_MIX_WEIGHTS.values()))
@@ -4405,7 +4408,7 @@ WITH thr(domain, copy, t) AS (VALUES {','.join(_mix_thr_rows)}),
 base AS (
   SELECT doc_id, lang AS domain, ({_tok_expr})::INT AS n_tokens,
          {_bkt_sql(42)} AS u
-  FROM documents WHERE lang IN ('en', 'de'))
+  FROM documents WHERE lang IN ({_mix_in}))
 SELECT b.doc_id, b.domain, thr.copy, b.n_tokens
 FROM base b JOIN thr USING (domain)
 WHERE ((48271 * (b.u + thr.copy) + 11213) % 2147483647) < thr.t"""

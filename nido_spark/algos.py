@@ -2900,6 +2900,11 @@ def effective_diameter(
     nf = neighborhood_function(edges, max_t=max_t, **anf_kwargs)
     rows = nf.groupBy("t").agg(F.sum("est").alias("n_t")).collect()
     pairs_t = {int(r["t"]): float(r["n_t"]) for r in rows}
+    if not pairs_t:
+        raise ValueError(
+            "effective_diameter: empty edge table — the neighborhood "
+            "function has no (v, t) rows, so no distance profile exists"
+        )
     n_max = pairs_t[max(pairs_t)]
     t_eff = max(pairs_t)
     for t in sorted(pairs_t):

@@ -1318,10 +1318,14 @@ def graph_profile(edges: DataFrame) -> DataFrame:
     reference binary prints nv/ne/mass after its CSR load; this is that
     report as a single Spark job):
 
-        (nv, ne_directed, ne_undirected, n_self_loops, min_deg, max_deg,
-         avg_deg, density)
+        (nv, ne_directed, ne_undirected, n_self_loops, n_degree_zero,
+         min_deg, max_deg, avg_deg, density)
 
-    Degrees count distinct non-self neighbors (simple-graph view);
+    Degrees count distinct non-self neighbors (simple-graph view); a
+    vertex whose only edges are self-loops has simple degree 0, so it is
+    reported in n_degree_zero and forces min_deg to 0 (the degree table
+    below can't see it — it filters src != dst — so min_deg is derived
+    from nv vs the degree-table row count, not from MIN alone).
     density = ne_undirected / C(nv, 2). All counts exact BIGINTs; the two
     ratios are single divisions of exact integers (engine-bitwise), so
     the whole row value-checks across engines. TWO aggregations total
@@ -1353,7 +1357,13 @@ def graph_profile(edges: DataFrame) -> DataFrame:
         # class; sum_deg is even on the canonical table either way
         F.expr("sum_deg DIV 2").alias("ne_undirected"),
         F.coalesce("n_self_loops", F.lit(0)).alias("n_self_loops"),
-        F.coalesce("min_deg", F.lit(0)).cast("long").alias("min_deg"),
+        (F.col("nv") - F.coalesce("nv_proper", F.lit(0)))
+        .cast("long")
+        .alias("n_degree_zero"),
+        F.when(F.coalesce("nv_proper", F.lit(0)) < F.col("nv"), F.lit(0))
+        .otherwise(F.coalesce("min_deg", F.lit(0)))
+        .cast("long")
+        .alias("min_deg"),
         F.coalesce("max_deg", F.lit(0)).cast("long").alias("max_deg"),
         F.round(F.col("sum_deg") / F.col("nv"), 9).alias("avg_deg"),
         F.round(

@@ -290,6 +290,96 @@ def dense_relabel_map(new_edges: DataFrame) -> DataFrame:
     )
 
 
+class _EdgePin:
+    """Per-phase edge pinning shared by louvain() and leiden(): pin the
+    phase's edge table hash-partitioned on src and persisted — the
+    in-memory equivalent of iterating over a src-bucketed at-rest table.
+    Every sweep/batch job then reads co-located edges; with
+    broadcast_state the batch kernels run with zero E-row exchanges.
+    One E-row shuffle per PHASE, amortized over that phase's sweeps.
+
+    Durable mode (durable_prefix): write the phase table src-bucketed at
+    rest and iterate over its scan — same partitioning guarantee
+    (bucketed scans report hashpartitioning(src)), but the table outlives
+    the job for resume/multi-job reuse. The SCAN is persisted too:
+    InMemoryTableScan preserves the child FileScan's bucketed
+    outputPartitioning, so sweeps keep the zero-exchange plans while
+    re-reading memory, not parquet — without this, 28 sweeps re-decode
+    the table per batch job (measured 216 s vs 75 s at sf0.1).
+    Durability costs ONE write per phase, not a scan per sweep."""
+
+    def __init__(self, durable_prefix: str | None = None,
+                 durable_buckets: int | None = None):
+        self._prefix = durable_prefix
+        self._buckets = durable_buckets
+        self._pinned: DataFrame | None = None
+
+    def pin(self, e: DataFrame, phase: int) -> DataFrame:
+        spark = e.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if self._prefix is not None:
+            from nido_spark.io import write_bucketed_edges
+
+            name = f"{self._prefix}_phase{phase}"
+            write_bucketed_edges(e, name, buckets=self._buckets or p)
+            newp = spark.table(name).persist()
+        else:
+            newp = e.repartition(p, "src").persist()
+        newp.count()
+        if self._pinned is not None:
+            self._pinned.unpersist()
+        self._pinned = newp
+        return newp
+
+    def release(self) -> None:
+        if self._pinned is not None:
+            self._pinned.unpersist()
+            self._pinned = None
+
+
+def _phase_local_move(
+    edges: DataFrame,
+    labels: DataFrame,
+    verts: DataFrame,
+    m: float,
+    nbatches: int,
+    tol: float,
+    max_loops: int,
+    kernel: str,
+    bcast: bool,
+    gamma: float,
+    history: list,
+    n_phases: int,
+) -> tuple[DataFrame, float, float, int]:
+    """One level's batched local-move loop, shared by louvain() and
+    leiden(): sweep until dQ <= tol or max_loops, rolling back a
+    negative-dQ sweep (louvain_gpu.cpp:85-90). Appends per-sweep rows to
+    ``history`` in place; returns (labels, Q, Q_phase_start, loops)."""
+    Q = modularity(edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma)
+    Q_phase_start = Q
+    dQ = float("inf")
+    loops = 0
+    while tol < dQ and loops < max_loops:
+        labels_prev = labels
+        labels = louvain_sweep(
+            edges, labels, verts, m, nbatches, kernel=kernel,
+            broadcast_state=bcast, gamma=gamma,
+        )
+        Qtmp = modularity(
+            edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma
+        )
+        dQ = Qtmp - Q
+        loops += 1
+        if dQ < 0:
+            labels = labels_prev  # rollback (louvain_gpu.cpp:85-90)
+        else:
+            Q = Qtmp
+        history.append(
+            {"phase": n_phases, "sweep": loops, "Q": float(Qtmp), "dQ": float(dQ)}
+        )
+    return labels, Q, Q_phase_start, loops
+
+
 def louvain(
     edges: DataFrame,
     nbatches: int = 2,
@@ -397,45 +487,7 @@ def louvain(
             n_phases = start_phase
             m_first = None  # edges replaced — recompute mass in the loop
 
-    pinned = None  # the current phase's src-partitioned persisted edge table
-
-    def _pin_edges(e: DataFrame) -> DataFrame:
-        """Pin the phase's edge table hash-partitioned on src and persisted
-        — the in-memory equivalent of iterating over a src-bucketed at-rest
-        table. Every sweep/batch job then reads co-located edges; with
-        broadcast_state the batch kernels run with zero E-row exchanges.
-        One E-row shuffle per PHASE, amortized over that phase's sweeps.
-
-        Durable mode (durable_edges_prefix): write the phase table
-        src-bucketed at rest and iterate over its scan — same partitioning
-        guarantee (bucketed scans report hashpartitioning(src)), but the
-        table outlives the job for resume/multi-job reuse."""
-        nonlocal pinned
-        spark = e.sparkSession
-        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if durable_edges_prefix is not None:
-            from nido_spark.io import write_bucketed_edges
-
-            name = f"{durable_edges_prefix}_phase{n_phases}"
-            write_bucketed_edges(e, name, buckets=durable_buckets or p)
-            # persist the SCAN too: InMemoryTableScan preserves the child
-            # FileScan's bucketed outputPartitioning, so sweeps keep the
-            # zero-exchange plans while re-reading memory, not parquet —
-            # without this, 28 sweeps re-decode the table per batch job
-            # (measured 216 s vs 75 s at sf0.1). Durability costs ONE
-            # write per phase, not a scan per sweep.
-            newp = spark.table(name).persist()
-            newp.count()
-            if pinned is not None:
-                pinned.unpersist()
-            pinned = newp
-            return newp
-        newp = e.repartition(p, "src").persist()
-        newp.count()
-        if pinned is not None:
-            pinned.unpersist()
-        pinned = newp
-        return newp
+    pin = _EdgePin(durable_edges_prefix, durable_buckets)
 
     while not done and n_phases < max_phases:
         warm = init_labels if (n_phases == 0 and start_phase == 0) else None
@@ -445,10 +497,9 @@ def louvain(
                 nbatches, tol, max_loops, tol_phase, max_phases, checkpointer,
                 dense_relabel, gamma=gamma, init_labels=warm,
             )
-            if pinned is not None:
-                pinned.unpersist()
+            pin.release()
             return res
-        edges = _pin_edges(edges)
+        edges = pin.pin(edges, n_phases)
         verts = truncate_lineage(G.vertices(edges))
         nv = verts.count()
         bcast = nv <= broadcast_threshold
@@ -471,29 +522,10 @@ def louvain(
             )
         else:
             labels = truncate_lineage(singleton_labels(edges))
-        Q = modularity(edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma)
-        Q_phase_start = Q
-
-        dQ = float("inf")
-        loops = 0
-        while tol < dQ and loops < max_loops:
-            labels_prev = labels
-            labels = louvain_sweep(
-                edges, labels, verts, m, nbatches, kernel=kernel,
-                broadcast_state=bcast, gamma=gamma,
-            )
-            Qtmp = modularity(
-                edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma
-            )
-            dQ = Qtmp - Q
-            loops += 1
-            if dQ < 0:
-                labels = labels_prev  # rollback (louvain_gpu.cpp:85-90)
-            else:
-                Q = Qtmp
-            history.append(
-                {"phase": n_phases, "sweep": loops, "Q": float(Qtmp), "dQ": float(dQ)}
-            )
+        labels, Q, Q_phase_start, loops = _phase_local_move(
+            edges, labels, verts, m, nbatches, tol, max_loops, kernel,
+            bcast, gamma, history, n_phases,
+        )
         total_sweeps += loops
         Q_final = Q
 
@@ -540,8 +572,7 @@ def louvain(
         if checkpointer is not None:
             checkpointer.save_phase(n_phases, edges, flat, history, done)
 
-    if pinned is not None:
-        pinned.unpersist()
+    pin.release()
     return LouvainRunResult(flat, float(Q_final), n_phases, total_sweeps, history)
 
 
@@ -940,6 +971,8 @@ def leiden(
     kernel: str = "sql",
     broadcast_threshold: int = 8_000_000,
     gamma: float = 1.0,
+    durable_edges_prefix: str | None = None,
+    durable_buckets: int | None = None,
 ) -> LouvainRunResult:
     """Deterministic Leiden (Traag et al. 2019): Louvain's batched local-
     move phase per level, then (the two Leiden deltas) REFINEMENT of the
@@ -961,7 +994,10 @@ def leiden(
     label-broadcast join + min-label propagation over the shrinking
     level graph) and the same coarsen groupBy — both on the level graph,
     which shrinks geometrically. Warm-start labels are one V-row groupBy
-    (min representative) + one join."""
+    (min representative) + one join.
+
+    ``durable_edges_prefix`` / ``durable_buckets``: same durable
+    src-bucketed per-level edge tables as ``louvain`` (shared _EdgePin)."""
     edges = truncate_lineage(edges)
     flat = truncate_lineage(singleton_labels(edges))   # orig -> level vertex
     final_flat = flat                                  # orig -> coarse comm
@@ -976,20 +1012,10 @@ def leiden(
     n_phases = 0
     done = False
     init_labels = None   # (v, comm) warm start for the next level
-    pinned = None
-
-    def _pin(e: DataFrame) -> DataFrame:
-        nonlocal pinned
-        p = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        newp = e.repartition(p, "src").persist()
-        newp.count()
-        if pinned is not None:
-            pinned.unpersist()
-        pinned = newp
-        return newp
+    pin = _EdgePin(durable_edges_prefix, durable_buckets)
 
     while not done and n_phases < max_phases:
-        edges = _pin(edges)
+        edges = pin.pin(edges, n_phases)
         verts = truncate_lineage(G.vertices(edges))
         nv = verts.count()
         bcast = nv <= broadcast_threshold
@@ -998,29 +1024,10 @@ def leiden(
         labels = truncate_lineage(
             singleton_labels(edges) if init_labels is None else init_labels
         )
-        Q = modularity(edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma)
-        Q_phase_start = Q
-
-        dQ = float("inf")
-        loops = 0
-        while tol < dQ and loops < max_loops:
-            labels_prev = labels
-            labels = louvain_sweep(
-                edges, labels, verts, m, nbatches, kernel=kernel,
-                broadcast_state=bcast, gamma=gamma,
-            )
-            Qtmp = modularity(
-                edges, labels, m, verts, broadcast_labels=bcast, gamma=gamma
-            )
-            dQ = Qtmp - Q
-            loops += 1
-            if dQ < 0:
-                labels = labels_prev
-            else:
-                Q = Qtmp
-            history.append(
-                {"phase": n_phases, "sweep": loops, "Q": float(Qtmp), "dQ": float(dQ)}
-            )
+        labels, Q, Q_phase_start, loops = _phase_local_move(
+            edges, labels, verts, m, nbatches, tol, max_loops, kernel,
+            bcast, gamma, history, n_phases,
+        )
         total_sweeps += loops
         Q_final = Q
         labels = truncate_lineage(labels)
@@ -1078,8 +1085,7 @@ def leiden(
             done = True
         n_phases += 1
 
-    if pinned is not None:
-        pinned.unpersist()
+    pin.release()
     return LouvainRunResult(
         final_flat, float(Q_final), n_phases, total_sweeps, history
     )

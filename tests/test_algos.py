@@ -1585,3 +1585,6 @@ def test_effective_diameter_anf(spark):
     assert half["t_eff"] < 7 and half["coverage"] >= 0.5
     with pytest.raises(ValueError, match="q must"):
         effective_diameter(e, q=0.0)
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="empty edge table"):
+        effective_diameter(empty, max_t=2, n_regs=8)

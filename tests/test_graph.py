@@ -990,6 +990,23 @@ def test_graph_profile_hand_counts(spark):
     r = graph_profile(e).first()
     assert (r["nv"], r["ne_directed"], r["ne_undirected"]) == (3, 5, 2)
     assert r["n_self_loops"] == 1
+    assert r["n_degree_zero"] == 0
     assert (r["min_deg"], r["max_deg"]) == (1, 2)
     assert r["avg_deg"] == round(4 / 3, 9)
     assert r["density"] == round(2 / 3, 9)
+
+
+def test_graph_profile_self_loop_only_vertex(spark):
+    """A vertex whose ONLY edges are self-loops has simple degree 0: it
+    must appear in n_degree_zero and pull min_deg down to 0 (the degree
+    table can't see it, so the profile derives this from nv vs the
+    degree-table row count)."""
+    from nido_spark.graph import graph_profile
+
+    rows = [(1, 2, 1.0), (2, 1, 1.0), (3, 3, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    r = graph_profile(e).first()
+    assert r["nv"] == 3
+    assert r["n_self_loops"] == 1
+    assert r["n_degree_zero"] == 1
+    assert (r["min_deg"], r["max_deg"]) == (0, 1)
