@@ -246,6 +246,30 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_densest(spark, sf):
+    # greedy densest-subgraph peel profile (Charikar/Bahmani, eps=1/2):
+    # exact integer trajectory — 3 rounds on this fixture (1370 -> 101 ->
+    # 7 vertices); the oracle unrolls 8 rounds (nv=0 rounds filtered, so
+    # the slack is an exact no-op) and replays the same cross-multiplied
+    # integer peel predicate
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.densest_subgraph(transcripts_to_edges(tr, strategy="dense"))[
+        "profile"
+    ]
+
+
+def _q_transcript_densest_members(spark, sf):
+    # the alive set at the peel's best-density round (round 2 here, 101
+    # vertices at density ~2.62 vs 1.16 for the whole graph) — the
+    # 1/(2(1+eps))-approximate densest subgraph itself, value-checked as
+    # a vertex list; best round picked by exact rational argmax in BOTH
+    # engines (integer cross-multiplication, earliest-round ties)
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.densest_subgraph(transcripts_to_edges(tr, strategy="dense"))[
+        "members"
+    ]
+
+
 def _q_transcript_role_transitions(spark, sf):
     # the conversation role Markov chain: exact integer transition counts
     # + one rounded division; oracle replays lead() over the VALUES
@@ -1874,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_full": _q_pagerank_full,
         "ppr_full": _q_ppr_full,
         "transcript_sssp": _q_transcript_sssp,
+        "transcript_densest": _q_transcript_densest,
+        "transcript_densest_members": _q_transcript_densest_members,
         "transcript_label_spread": _q_transcript_label_spread,
         "transcript_backbone": _q_transcript_backbone,
         "transcript_onion": _q_transcript_onion,
@@ -4653,6 +4679,66 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # Densest-subgraph peel (Charikar/Bahmani greedy, eps = 1/2): 8-round
+    # unroll of the exact-integer schedule — round r peels every alive
+    # vertex with deg * nv * 2 <= ned * 3 (ned = directed edge count =
+    # 2|E|); rounds after the graph empties yield nv = 0 and are filtered,
+    # so the unroll slack is an exact no-op. Best round = exact rational
+    # density argmax via integer cross-multiplication, earliest-round tie
+    # — the same compare algos.densest_subgraph runs driver-side.
+    _dn_ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src <> dst)",
+        "v0 AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM te UNION SELECT dst FROM te))",
+    ]
+    for _i in range(8):
+        _dn_ctes.append(
+            f"s{_i} AS MATERIALIZED (SELECT "
+            f"(SELECT COUNT(*) FROM v{_i})::BIGINT AS nv, "
+            f"(SELECT COUNT(*) FROM e{_i})::BIGINT AS ned)"
+        )
+        _dn_ctes.append(f"""p{_i} AS MATERIALIZED (
+  SELECT v{_i}.v FROM v{_i}
+  LEFT JOIN (SELECT src AS v, COUNT(*)::BIGINT AS d
+             FROM e{_i} GROUP BY src) dg USING (v)
+  CROSS JOIN s{_i}
+  WHERE COALESCE(dg.d, 0) * s{_i}.nv * 2 <= s{_i}.ned * 3)""")
+        _dn_ctes.append(
+            f"v{_i + 1} AS MATERIALIZED (SELECT v FROM v{_i} "
+            f"WHERE v NOT IN (SELECT v FROM p{_i}))"
+        )
+        _dn_ctes.append(f"""e{_i + 1} AS MATERIALIZED (
+  SELECT src, dst FROM e{_i}
+  WHERE src NOT IN (SELECT v FROM p{_i})
+    AND dst NOT IN (SELECT v FROM p{_i}))""")
+    _dn_prof = " UNION ALL ".join(
+        f"SELECT {_i + 1}::BIGINT AS round, nv, (ned // 2)::BIGINT AS ne "
+        f"FROM s{_i} WHERE nv > 0"
+        for _i in range(8)
+    )
+    _dn_body = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_dn_ctes)
+        + f",\nprof AS MATERIALIZED ({_dn_prof})"
+    )
+    sql["transcript_densest"] = (
+        _dn_body
+        + "\nSELECT round, nv, ne, ROUND(ne / nv, 9) AS density FROM prof"
+    )
+    _dn_alive = " UNION ALL ".join(
+        f"SELECT {_i + 1}::BIGINT AS round, v FROM v{_i}" for _i in range(8)
+    )
+    sql["transcript_densest_members"] = (
+        _dn_body
+        + f""",
+alive AS ({_dn_alive}),
+best AS (SELECT p1.round FROM prof p1 WHERE NOT EXISTS (
+  SELECT 1 FROM prof p2
+  WHERE p2.ne * p1.nv > p1.ne * p2.nv
+     OR (p2.ne * p1.nv = p1.ne * p2.nv AND p2.round < p1.round)))
+SELECT v FROM alive WHERE round = (SELECT round FROM best)"""
     )
 
     # Role transitions + conversation stats: direct renderings over the

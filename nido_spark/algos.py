@@ -2916,3 +2916,117 @@ def effective_diameter(
         "coverage": pairs_t[t_eff] / n_max,
         "pairs_t": pairs_t,
     }
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    eps_num: int = 1,
+    eps_den: int = 2,
+    max_rounds: int = 10_000,
+) -> dict:
+    """Greedy densest-subgraph peel (Charikar 2000; the parallel batched
+    rendering of Bahmani, Kumar & Vassilvitskii, VLDB 2012). Density of a
+    vertex set S is rho(S) = |E(S)| / |S| (undirected simple-graph view).
+    Round r removes EVERY remaining vertex with deg(v) <= (1+eps) * 2E/V
+    (the current subgraph's average degree scaled by 1+eps); the set alive
+    at the round of maximum density is a 1/(2(1+eps))-approximation of the
+    densest subgraph, and the peel finishes in <= log_{1+eps} V rounds
+    (survivors of a round number < V/(1+eps), so V shrinks geometrically
+    — this is what makes the schedule cluster-friendly: O(log V) full
+    passes, never a vertex-at-a-time peel).
+
+    eps is the exact rational eps_num/eps_den: the peel predicate is the
+    integer cross-multiplication
+
+        deg * nv * eps_den  <=  ne_directed * (eps_den + eps_num)
+
+    (ne_directed = 2|E| on the symmetric table), so the whole trajectory
+    — rounds, stats, membership — is exact integer math that replays
+    bit-identically in any engine; the only float anywhere is the
+    reported density, a single IEEE division of exact integers. Overflow
+    bound: nv^2 * eps_den < 2^63 (nv below ~3e9/sqrt(eps_den)) — beyond
+    that, lift the predicate to decimal(38,0).
+
+    Returns ``{"profile": DataFrame(round, nv, ne, density),
+    "members": DataFrame(v), "best_round": int, "best_density": float}``
+    — profile has one row per peel round (graph state at round START);
+    members is the alive set at best_round (ties: earliest round).
+
+    Plan shape: per round ONE degree aggregation over the shrinking edge
+    set + two anti-joins to advance it, lineage truncated; driver state
+    is two scalars per round (nv, ne). Peel slivers accumulate as
+    (v, round) unions bounded by V total rows across all rounds.
+
+    PRECONDITION: canonical SYMMETRIC edge table (normalize_edges
+    output), like k_core/onion_decomposition; self-loops ignored.
+    Raises ValueError on an empty edge table and RuntimeError if
+    ``max_rounds`` is exhausted (loud, never truncated)."""
+    if eps_num < 0 or eps_den <= 0:
+        raise ValueError("densest_subgraph: eps must be a ratio >= 0")
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = truncate_lineage(
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .repartition(nparts, "src")
+    )
+    remaining = truncate_lineage(_all_vertices(edges))
+    stats: list[tuple[int, int, int]] = []   # (round, nv, ne_undirected)
+    peeled: list[DataFrame] = []
+    best = (0, 1, 0)                         # (ne, nv, round) — compare ne/nv
+    rnd = 0
+    while True:
+        nv = remaining.count()
+        if nv == 0:
+            break
+        rnd += 1
+        if rnd > max_rounds:
+            raise RuntimeError(
+                f"densest_subgraph: max_rounds={max_rounds} exhausted with "
+                f"{nv} vertices alive — the profile is truncated, not done"
+            )
+        ne_directed = e.count()
+        stats.append((rnd, nv, ne_directed // 2))
+        # exact rational density compare: ne/nv > best_ne/best_nv
+        if (ne_directed // 2) * best[1] > best[0] * nv:
+            best = (ne_directed // 2, nv, rnd)
+        deg = remaining.join(
+            e.groupBy(F.col("src").alias("v")).agg(
+                F.count(F.lit(1)).cast("long").alias("d")
+            ),
+            "v",
+            "left",
+        ).select("v", F.coalesce("d", F.lit(0)).alias("d"))
+        peel = truncate_lineage(
+            deg.where(
+                F.col("d") * F.lit(nv * eps_den)
+                <= F.lit(ne_directed * (eps_den + eps_num))
+            ).select("v", F.lit(rnd).cast("long").alias("peel_round"))
+        )
+        peeled.append(peel)
+        remaining = truncate_lineage(
+            remaining.join(peel.select("v"), "v", "left_anti")
+        )
+        e = truncate_lineage(
+            e.join(
+                peel.select(F.col("v").alias("src")), "src", "left_anti"
+            ).join(peel.select(F.col("v").alias("dst")), "dst", "left_anti")
+        )
+    if not stats:
+        raise ValueError(
+            "densest_subgraph: empty edge table — no vertex universe"
+        )
+    profile = spark.createDataFrame(
+        stats, "round long, nv long, ne long"
+    ).withColumn("density", F.round(F.col("ne") / F.col("nv"), 9))
+    members = peeled[0]
+    for p in peeled[1:]:
+        members = members.unionByName(p)
+    members = members.where(F.col("peel_round") >= best[2]).select("v")
+    return {
+        "profile": profile,
+        "members": members,
+        "best_round": int(best[2]),
+        "best_density": best[0] / best[1],
+    }

@@ -529,3 +529,48 @@ def leiden_numpy(
 
     labels = {int(v): int(c) for v, c in zip(orig_uids, final_flat)}
     return LouvainResult(labels, float(Q_final), n_phases, total_sweeps, history)
+
+
+def densest_peel_numpy(
+    src, dst, eps_num: int = 1, eps_den: int = 2
+) -> dict:
+    """Independent adjacency-set replay of the greedy densest-subgraph
+    peel (Charikar 2000 / Bahmani et al. 2012) with the same exact
+    integer schedule as algos.densest_subgraph: round r removes every
+    alive vertex with deg * nv * eps_den <= 2*ne * (eps_den + eps_num);
+    best round by exact rational density compare, earliest tie. Returns
+    {"profile": [(round, nv, ne)], "members": set, "best_round": int}.
+    Simple-graph semantics (self-loops dropped, parallel edges
+    collapsed); vertex universe = src UNION dst."""
+    src = np.asarray(src, np.int64); dst = np.asarray(dst, np.int64)
+    adj: dict[int, set] = {
+        int(v): set() for v in np.unique(np.concatenate([src, dst]))
+    }
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    profile: list[tuple[int, int, int]] = []
+    peel_round: dict[int, int] = {}
+    best = (0, 1, 0)                    # (ne, nv, round)
+    rnd = 0
+    while alive:
+        rnd += 1
+        nv = len(alive)
+        ne = sum(len(adj[v]) for v in alive) // 2
+        profile.append((rnd, nv, ne))
+        if ne * best[1] > best[0] * nv:
+            best = (ne, nv, rnd)
+        peel = {
+            v for v in alive
+            if len(adj[v]) * nv * eps_den <= 2 * ne * (eps_den + eps_num)
+        }
+        for v in peel:
+            peel_round[v] = rnd
+            for u in adj[v]:
+                adj[u].discard(v)
+            adj[v].clear()
+        alive -= peel
+    members = {v for v, r in peel_round.items() if r >= best[2]}
+    return {"profile": profile, "members": members, "best_round": best[2]}

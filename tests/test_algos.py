@@ -1588,3 +1588,71 @@ def test_effective_diameter_anf(spark):
     empty = spark.createDataFrame([], "src long, dst long, w double")
     with pytest.raises(ValueError, match="empty edge table"):
         effective_diameter(empty, max_t=2, n_regs=8)
+
+
+def test_densest_subgraph_matches_replay_karate(karate):
+    edges, (src, dst, w) = karate
+    got = A.densest_subgraph(edges)
+    ref = O.densest_peel_numpy(src, dst)
+    prof = [
+        (r["round"], r["nv"], r["ne"])
+        for r in got["profile"].orderBy("round").collect()
+    ]
+    assert prof == ref["profile"]
+    assert got["best_round"] == ref["best_round"]
+    assert {r["v"] for r in got["members"].collect()} == ref["members"]
+    best_ne, best_nv, _ = max(
+        ((ne, nv, -rnd) for rnd, nv, ne in ref["profile"]),
+        key=lambda t: (t[0] / t[1], t[2]),
+    )
+    assert got["best_density"] == pytest.approx(best_ne / best_nv)
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    # K6 planted on a long path: the clique (density 2.5) must dominate
+    # the path (density ~1/2); greedy 2(1+eps)-approx with eps=1/2 must
+    # report density >= 2.5 / 3 and the returned members must contain
+    # only clique vertices once the path is peeled away.
+    clique = [(a, b) for a in range(6) for b in range(6) if a != b]
+    path = [(i, i + 1) for i in range(100, 140)] + [
+        (i + 1, i) for i in range(100, 140)
+    ] + [(5, 100), (100, 5)]
+    rows = [(int(a), int(b), 1.0) for a, b in clique + path]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = A.densest_subgraph(edges)
+    assert got["best_density"] >= 2.5 / 3
+    members = {r["v"] for r in got["members"].collect()}
+    assert set(range(6)) <= members
+    ref = O.densest_peel_numpy(
+        [r[0] for r in rows], [r[1] for r in rows]
+    )
+    assert members == ref["members"]
+
+
+def test_densest_subgraph_contracts(spark):
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="empty edge table"):
+        A.densest_subgraph(empty)
+    with pytest.raises(ValueError, match="eps must"):
+        A.densest_subgraph(empty, eps_num=-1)
+    one = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (3, 3, 1.0)],
+        "src long, dst long, w double",
+    )
+    star = spark.createDataFrame(
+        [(0, i, 1.0) for i in (1, 2, 3)] + [(i, 0, 1.0) for i in (1, 2, 3)],
+        "src long, dst long, w double",
+    )
+    # eps=0 peels exactly the <=avg-degree vertices: leaves round 1, the
+    # then-isolated hub round 2 — so max_rounds=1 must raise loudly
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        A.densest_subgraph(star, eps_num=0, max_rounds=1)
+    got = A.densest_subgraph(one)
+    # self-loop-only vertex 3 is in the universe (deg 0, peels round 1);
+    # EVERYTHING peels in round 1 here, so the best (and only) round
+    # state is the full universe at density 1/3 — the greedy only ever
+    # evaluates round-start states
+    first = got["profile"].orderBy("round").first()
+    assert (first["nv"], first["ne"]) == (3, 1)
+    assert {r["v"] for r in got["members"].collect()} == {1, 2, 3}
+    assert got["best_density"] == pytest.approx(1 / 3)
