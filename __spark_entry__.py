@@ -1548,6 +1548,14 @@ def _q_doc_jaccard_join(spark, sf):
     )
 
 
+def _q_doc_edit_dups(spark, sf):
+    # exact edit-distance similarity join (Ed-Join q-gram prefix filter +
+    # levenshtein verify): guaranteed-recall, so the oracle is the
+    # EXHAUSTIVE length-filtered levenshtein join — any filter unsoundness
+    # shows up as a missing row
+    return D.edit_distance_join(_docs(spark, sf), d=5, q=3)
+
+
 def _q_minhash_near_dups(spark, sf):
     return D.minhash_dedup(_docs(spark, sf), threshold=0.6).select(
         "a", "b", F.round("jaccard", 9).alias("jaccard")
@@ -1978,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "doc_winnow_fingerprints": _q_doc_winnow,
         "minhash_near_dups": _q_minhash_near_dups,
+        "doc_edit_dups": _q_doc_edit_dups,
         "doc_jaccard_join": _q_doc_jaccard_join,
         "fuzzy_dedup_survivors": _q_fuzzy_dedup_survivors,
         "corpus_prepare": _q_corpus_prepare,
@@ -4235,6 +4244,14 @@ SELECT pex.vec_id,
        ROUND(SUM(pex.x * pr6.rv) - (SELECT mr FROM pmrf), 9) AS proj
 FROM pex JOIN pr6 USING (i) GROUP BY pex.vec_id"""
     )
+
+    sql["doc_edit_dups"] = """
+SELECT a.doc_id AS a, b.doc_id AS b,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND ABS(LENGTH(a.text) - LENGTH(b.text)) <= 5
+WHERE levenshtein(a.text, b.text) <= 5"""
 
     sql["minhash_near_dups"] = f"""
 WITH {_jaccard_pairs_cte()}

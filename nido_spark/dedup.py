@@ -577,3 +577,141 @@ def containment_pairs(
         )
     )
     return out.where(F.greatest("c_ab", "c_ba") >= threshold)
+
+
+def edit_distance_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    d: int = 2,
+    q: int = 3,
+    max_short: int = 100_000,
+) -> DataFrame:
+    """(a, b, dist) — EVERY unordered pair of docs with RAW-text
+    Levenshtein distance <= d: the exact string-similarity join (Ed-Join,
+    Xiao, Wang & Lin, VLDB 2008 — q-gram prefix filtering), the
+    edit-distance complement to ``jaccard_join``. Use it where token
+    overlap is the wrong metric: OCR noise, typo dedup, template drift
+    with character-level damage.
+
+    Recall guarantee (count filter, Gravano et al. '01): one edit
+    operation destroys at most q positional q-grams, so ed(a, b) <= d
+    leaves at most q*d of a's q-gram occurrences unmatched in b — hence
+    at most q*d DISTINCT grams of a can be entirely absent from b
+    (each fully-absent gram costs >= 1 unmatched occurrence). Order each
+    doc's distinct grams by global document frequency (rarest first, fp
+    tie-break — one total order for all docs): among a's first q*d + 1
+    grams at least one must appear somewhere in b, so the candidate join
+    runs a's PREFIX grams against b's FULL gram set (both directions via
+    unordered-pair dedup). Grams are over the RAW string — the same
+    string the verify and the oracle measure — so the filter is sound
+    w.r.t. the reported distance (the shared canonicalizing shingle path
+    would break that).
+
+    Docs with <= q*d distinct grams (shorter than ~q*(d+1) chars, or
+    longer but repetitive, e.g. 'aaaa...': ONE distinct gram at any
+    length) get no prefix guarantee — ALL their grams can go unmatched
+    within d edits. They fall back to a broadcast length-band cross join
+    (|len diff| <= d is necessary for ed <= d); ``max_short`` keeps that
+    bucket broadcastable and raises loudly past it — at corpus scale a
+    large short bucket means the corpus needs a length floor upstream,
+    not a silent quadratic join.
+
+    100 TB shape: the prefix side ships q*d + 1 (doc_id, fp) rows per
+    doc; the full side's fan-out per prefix gram is that gram's document
+    frequency — prefix grams are each doc's RAREST, so boilerplate
+    grams (df in the millions) never enter a prefix except for
+    gram-starved docs, which are exactly the short bucket. Text is only
+    shipped for verified CANDIDATE pairs (the levenshtein arguments),
+    never exploded. Verify is one JVM-codegen levenshtein per candidate;
+    the length filter (necessary condition) prunes before it."""
+    if d < 1:
+        raise ValueError(f"edit_distance_join: d must be >= 1, got {d}")
+    if q < 2:
+        raise ValueError(f"edit_distance_join: q must be >= 2, got {q}")
+    base = docs.select(
+        F.col("doc_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
+    )
+    t = F.col("_txt")
+    grams_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(t) - q, F.lit(0))),
+                lambda i: t.substr(i + 1, F.lit(q)),
+            ),
+            lambda s: F.length(s) == q,
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.transform(grams_arr, lambda g: F.xxhash64(g))).alias("fp"),
+    )
+    ng = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    prefix_len = q * d + 1
+    # short bucket: docs whose distinct-gram count gives no prefix
+    # guarantee (includes zero-gram docs via the left join + coalesce)
+    short = (
+        base.join(ng, "doc_id", "left")
+        .where(F.coalesce("ng", F.lit(0)) <= q * d)
+        .select("doc_id", "_len")
+    )
+    n_short = short.count()
+    if n_short > max_short:
+        raise ValueError(
+            f"edit_distance_join: {n_short} docs have <= q*d = {q * d} "
+            f"distinct q-grams (> max_short={max_short}) — the fallback "
+            f"cross join would not be broadcastable; raise max_short or "
+            f"floor the corpus length upstream"
+        )
+    df_tbl = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "fp")
+    prefix = (
+        grams.join(df_tbl, "fp")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= prefix_len)
+        .select("doc_id", "fp")
+    )
+    cand_prefix = (
+        prefix.withColumnRenamed("doc_id", "pa")
+        .join(grams.withColumnRenamed("doc_id", "pb"), "fp")
+        .where(F.col("pa") != F.col("pb"))
+        .select(
+            F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
+        )
+    )
+    cand_short = (
+        F.broadcast(short.select(F.col("doc_id").alias("sa"), F.col("_len").alias("la")))
+        .join(
+            base.select(F.col("doc_id").alias("sb"), F.col("_len").alias("lb")),
+            F.abs(F.col("la") - F.col("lb")) <= d,
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
+        )
+    )
+    cands = cand_prefix.unionByName(cand_short).distinct()
+    txt = base.select("doc_id", "_txt", "_len")
+    return (
+        cands.join(
+            txt.select(
+                F.col("doc_id").alias("a"),
+                F.col("_txt").alias("ta"),
+                F.col("_len").alias("la"),
+            ),
+            "a",
+        )
+        .join(
+            txt.select(
+                F.col("doc_id").alias("b"),
+                F.col("_txt").alias("tb"),
+                F.col("_len").alias("lb"),
+            ),
+            "b",
+        )
+        .where(F.abs(F.col("la") - F.col("lb")) <= d)
+        .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
+        .where(F.col("dist") <= d)
+        .select("a", "b", "dist")
+    )

@@ -2014,3 +2014,81 @@ def test_mix_corpus_map_only_plan(spark):
     physical = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in physical, physical
     assert "BroadcastExchange" in physical or "BroadcastHashJoin" in physical
+
+
+def _lev(a: str, b: str) -> int:
+    # textbook DP, the independent reference for edit_distance_join
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _ed_exhaustive(rows, d):
+    return {
+        (ra[0], rb[0], _lev(ra[1], rb[1]))
+        for i, ra in enumerate(rows)
+        for rb in rows[i + 1:]
+        if _lev(ra[1], rb[1]) <= d
+    }
+
+
+def test_edit_distance_join_exhaustive_parity(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quack")),          # ed 1
+        (3, base.replace("brown fox", "green cat")),  # ed ~7
+        (4, "completely different text about spark engines and shuffles"),
+        (5, base + "!!"),                              # ed 2 from 1, 4 from 2
+        (6, "zz"),                                     # shorter than q: short bucket
+        (7, "z"),                                      # ed 1 from 6 via short bucket
+        (8, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),         # 1 distinct gram: short bucket
+        (9, "aaaaaaaaaaaaaaabaaaaaaaaaaaaaa"),         # ed 1 from 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in D.edit_distance_join(df, d=3, q=3).collect()
+    }
+    assert got == _ed_exhaustive(rows, 3)
+    assert (6, 7, 1) in got and (8, 9, 1) in got     # short-bucket recall
+    assert (1, 2, 1) in got and (1, 5, 2) in got     # prefix-filter recall
+
+
+def test_edit_distance_join_on_corpus(docs):
+    # real documents at sf0.001: every reported pair must verify against
+    # the pure-Python DP, and the exhaustive answer must be fully recalled
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in D.edit_distance_join(docs, d=5, q=3).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    # exhaustive reference with the length filter to keep the test quick
+    ref = {
+        (a, b, _lev(ta, tb))
+        for i, (a, ta) in enumerate(rows)
+        for (b, tb) in rows[i + 1:]
+        if abs(len(ta) - len(tb)) <= 5 and _lev(ta, tb) <= 5
+    }
+    ref = {(min(a, b), max(a, b), x) for a, b, x in ref}
+    assert got == ref
+    assert len(got) > 0          # the fixture plants near-dups
+
+
+def test_edit_distance_join_contracts(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "also short")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="d must"):
+        D.edit_distance_join(df, d=0)
+    with pytest.raises(ValueError, match="q must"):
+        D.edit_distance_join(df, q=1)
+    # 'short' (3 distinct grams <= q*d = 6) is the one short-bucket doc
+    with pytest.raises(ValueError, match="max_short"):
+        D.edit_distance_join(df, d=2, q=3, max_short=0)
