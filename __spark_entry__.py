@@ -246,6 +246,15 @@ def _q_transcript_sssp(spark, sf):
     return out.select("v", F.round("dist", 9).alias("dist"))
 
 
+def _q_transcript_truss(spark, sf):
+    # full truss decomposition (per-edge trussness) on the transcript
+    # graph: the batched Spark peel must agree EXACTLY with the oracle's
+    # independent sequential min-support peel (trussness is
+    # schedule-independent), over the independently SQL-derived edge set
+    tr = synth_transcripts(spark, 500, seed=42)
+    return A.truss_decomposition(transcripts_to_edges(tr, strategy="dense"))
+
+
 def _q_transcript_densest(spark, sf):
     # greedy densest-subgraph peel profile (Charikar/Bahmani, eps=1/2):
     # exact integer trajectory — 3 rounds on this fixture (1370 -> 101 ->
@@ -1906,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_full": _q_pagerank_full,
         "ppr_full": _q_ppr_full,
         "transcript_sssp": _q_transcript_sssp,
+        "transcript_truss": _q_transcript_truss,
         "transcript_densest": _q_transcript_densest,
         "transcript_densest_members": _q_transcript_densest_members,
         "transcript_label_spread": _q_transcript_label_spread,
@@ -4696,6 +4706,28 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    # Trussness as a VALUES literal from the INDEPENDENT sequential
+    # min-support peel (oracle.trussness_numpy) over the independent SQL
+    # edge derivation — a different algorithm schedule than the Spark
+    # batched peel; trussness is schedule-independent so they must agree.
+    import duckdb as _duck_tr
+
+    from nido_spark.oracle import trussness_numpy as _trussness
+
+    _tr_pdf = _duck_tr.connect().execute(
+        f"SELECT src, dst FROM ({_transcript_edges_sql()}) WHERE src < dst "
+        f"ORDER BY src, dst"
+    ).df()
+    _tr_truss = _trussness(_tr_pdf["src"].to_numpy(), _tr_pdf["dst"].to_numpy())
+    sql["transcript_truss"] = (
+        "SELECT a::BIGINT AS a, b::BIGINT AS b, t::BIGINT AS truss FROM "
+        "(VALUES "
+        + ",".join(
+            f"({a},{b},{t})" for (a, b), t in sorted(_tr_truss.items())
+        )
+        + ") AS t(a, b, t)"
     )
 
     # Densest-subgraph peel (Charikar/Bahmani greedy, eps = 1/2): 8-round

@@ -3030,3 +3030,73 @@ def densest_subgraph(
         "best_round": int(best[2]),
         "best_density": best[0] / best[1],
     }
+
+
+def truss_decomposition(
+    edges: DataFrame, max_rounds: int = 10_000
+) -> DataFrame:
+    """(a, b, truss) — per-edge TRUSSNESS: the largest k such that the
+    edge survives in the k-truss (every edge of the k-truss closes
+    >= k-2 triangles within it). Generalizes ``k_truss`` from a single
+    membership query to the full decomposition — one run answers every
+    k, the edge-level analogue of ``k_core``/``onion_decomposition``.
+
+    Batched peel (the edge-level Batagelj-Zaversnik schedule): thr
+    ratchets up from 0; each round computes triangle support WITHIN the
+    surviving subgraph (the shared degree-oriented wedge join,
+    ``_edge_support`` — no deg^2 hub explosion), lifts thr to
+    max(thr, current min support), and peels EVERY edge with support <=
+    thr at trussness thr + 2. Removals can drop survivors' support
+    below thr; those peel in later rounds at the SAME trussness — which
+    is exactly why threshold-at-removal equals the sequential
+    min-peel's answer (trussness is schedule-independent; the pytest
+    pins this against an independent sequential-peel oracle).
+
+    Like the k_truss full-recompute path, each round re-runs the wedge
+    join over the surviving edge set; rounds = number of peel layers.
+    (The k_truss frontier-decrement optimization applies here too and
+    would cut round cost to O(wedges(frontier)) — correctness is
+    identical either way, so this decomposition keeps the simpler
+    recompute.) Raises loudly if ``max_rounds`` is exhausted.
+
+    PRECONDITION: canonical SYMMETRIC edge table (normalize_edges
+    output) — undirected pairs are taken from src < dst, like k_truss;
+    self-loops ignored. Isolated edges (no triangles) get truss 2."""
+    und = truncate_lineage(
+        edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    peeled: list[DataFrame] = []
+    thr = 0
+    rounds = 0
+    while True:
+        n = und.count()
+        if n == 0:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"truss_decomposition: max_rounds={max_rounds} exhausted "
+                f"with {n} edges unpeeled — the decomposition is "
+                f"truncated, not done"
+            )
+        sup = truncate_lineage(_edge_support(und))
+        minsup = int(sup.agg(F.min("support")).first()[0])
+        thr = max(thr, minsup)
+        peel = truncate_lineage(
+            sup.where(F.col("support") <= thr).select(
+                "a", "b", F.lit(thr + 2).cast("long").alias("truss")
+            )
+        )
+        peeled.append(peel)
+        und = truncate_lineage(
+            und.join(peel.select("a", "b"), ["a", "b"], "left_anti")
+        )
+    if not peeled:
+        return spark.createDataFrame([], "a long, b long, truss long")
+    out = peeled[0]
+    for p in peeled[1:]:
+        out = out.unionByName(p)
+    return out

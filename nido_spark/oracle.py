@@ -574,3 +574,39 @@ def densest_peel_numpy(
         alive -= peel
     members = {v for v, r in peel_round.items() if r >= best[2]}
     return {"profile": profile, "members": members, "best_round": best[2]}
+
+
+def trussness_numpy(src, dst) -> dict[tuple[int, int], int]:
+    """Exact per-edge trussness via the SEQUENTIAL min-support peel —
+    remove the single minimum-support edge, decrement the supports of
+    the <= sup(e) edges sharing its triangles, ratchet the threshold;
+    trussness = threshold at removal + 2. A genuinely different
+    schedule from algos.truss_decomposition's batched rounds (trussness
+    is schedule-independent, so they must agree exactly). Simple-graph
+    semantics: self-loops dropped, parallel edges collapsed."""
+    src = np.asarray(src, np.int64); dst = np.asarray(dst, np.int64)
+    adj: dict[int, set] = {}
+    live: set[tuple[int, int]] = set()
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a == b:
+            continue
+        e = (min(a, b), max(a, b))
+        live.add(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sup = {(a, b): len(adj[a] & adj[b]) for a, b in live}
+    truss: dict[tuple[int, int], int] = {}
+    k = 0
+    while live:
+        e = min(live, key=lambda x: (sup[x], x))
+        a, b = e
+        k = max(k, sup[e])
+        truss[e] = k + 2
+        for w in adj[a] & adj[b]:
+            for f in ((min(a, w), max(a, w)), (min(b, w), max(b, w))):
+                if f in live and f != e:
+                    sup[f] -= 1
+        live.discard(e)
+        adj[a].discard(b)
+        adj[b].discard(a)
+    return truss

@@ -1656,3 +1656,38 @@ def test_densest_subgraph_contracts(spark):
     assert (first["nv"], first["ne"]) == (3, 1)
     assert {r["v"] for r in got["members"].collect()} == {1, 2, 3}
     assert got["best_density"] == pytest.approx(1 / 3)
+
+
+def test_truss_decomposition_matches_sequential_peel(karate):
+    edges, (src, dst, w) = karate
+    got = {
+        (r["a"], r["b"]): r["truss"]
+        for r in A.truss_decomposition(edges).collect()
+    }
+    ref = O.trussness_numpy(src, dst)
+    assert got == ref
+    assert max(got.values()) >= 4          # karate has a 4-truss (cliques)
+
+
+def test_truss_decomposition_consistent_with_k_truss(karate):
+    edges, _ = karate
+    dec = {
+        (r["a"], r["b"]): r["truss"]
+        for r in A.truss_decomposition(edges).collect()
+    }
+    for k in (3, 4, 5):
+        kt = {(r["a"], r["b"]) for r in A.k_truss(edges, k).collect()}
+        assert kt == {e for e, t in dec.items() if t >= k}
+
+
+def test_truss_decomposition_hand_graph(spark):
+    # K4 on {0,1,2,3} (every edge in 2 triangles -> truss 4) plus a
+    # pendant edge 3-9 (no triangles -> truss 2)
+    und = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)]
+    rows = [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {(r["a"], r["b"]): r["truss"] for r in A.truss_decomposition(e).collect()}
+    assert got[(3, 9)] == 2
+    assert all(got[e_] == 4 for e_ in und if e_ != (3, 9))
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    assert A.truss_decomposition(empty).count() == 0
