@@ -200,6 +200,15 @@ def _q_karate_k_truss(spark, sf):
     return A.k_truss(_karate_edges(spark), k=4)
 
 
+def _q_karate_truss(spark, sf):
+    # full trussness on a triangle-RICH graph (the transcript graph is
+    # triangle-free, so transcript_truss only pins the degenerate all-2
+    # path): batched Spark peel vs the sequential min-peel literal; the
+    # k=4 slice additionally cross-checks against the networkx-derived
+    # KARATE_4TRUSS literal via karate_k_truss (truss >= 4 iff member)
+    return A.truss_decomposition(_karate_edges(spark))
+
+
 def _q_karate_msf(spark, sf):
     # Boruvka minimum spanning forest on karate with DISTINCT weights
     # (w = 100*src + dst on the canonical pair) — distinctness makes the
@@ -1870,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_eigenvector": _q_transcript_eigenvector,
         "transcript_katz": _q_transcript_katz,
         "karate_k_truss": _q_karate_k_truss,
+        "karate_truss": _q_karate_truss,
         "luby_coloring": _q_luby_coloring,
         "media_stats": _q_media_stats,
         "media_headers": _q_media_headers,
@@ -4545,6 +4555,18 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
         _transcript_resolution_profile_values_sql()
     )
     sql["transcript_louvain_refined"] = _transcript_louvain_refined_sql()
+    from nido_spark.oracle import trussness_numpy as _trussness_k
+
+    _ka_truss = _trussness_k(
+        [a for a, _ in KARATE_PAIRS], [b for _, b in KARATE_PAIRS]
+    )
+    sql["karate_truss"] = (
+        "SELECT a::BIGINT AS a, b::BIGINT AS b, t::BIGINT AS truss FROM "
+        "(VALUES "
+        + ",".join(f"({a},{b},{t})" for (a, b), t in sorted(_ka_truss.items()))
+        + ") AS t(a, b, t)"
+    )
+
     sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)
 
     sql["karate_msf"] = _karate_msf_values_sql()

@@ -733,6 +733,83 @@ def _sketch_probe(sf_dir: str, cpus: int, replicate: int = 64) -> float:
     return rate
 
 
+def _truss_probe(sf_dir: str, cpus: int, nv: int = 60_000) -> float:
+    """Truss-decomposition scaling probe (round-5 truss_decomposition):
+    full per-edge trussness over a deterministic BA-shaped random graph
+    (triangle-rich — the transcript/lineitem graphs are triangle-free, so
+    they would only exercise the degenerate one-round path). Each peel
+    round is a full degree-oriented wedge join over the surviving edge
+    set — this probes the wedge-join machinery under iteration the way
+    _scaling_probe probes the pagerank fold. Prints und-edges/sec over
+    the full decomposition."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import algos as A
+    from nido_spark.io import ba_random_edges
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_truss_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    e = ba_random_edges(spark, nv).repartition(cpus * 2, "src").persist()
+    n = e.where(F.col("src") < F.col("dst")).count()
+    A.truss_decomposition(e).count()  # warm-up (JIT, codegen, scan cache)
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        A.truss_decomposition(e).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "edges_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_und_edges": n}))
+    spark.stop()
+    return n / dt
+
+
+def _edjoin_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
+    """Edit-distance-join scaling probe (round-5 edit_distance_join):
+    Ed-Join prefix-filter candidates + levenshtein verify over a
+    ``replicate``-times id-offset copy of the documents table. Each
+    copy's text is salted with a unique 16-char tag (> d edits from any
+    other copy's tag), so cross-copy pairs are correctly REJECTED and
+    result volume scales linearly in ``replicate`` — replicating
+    identical text instead multiplies every planted near-dup cluster
+    into a replicate-times-bigger clique, and an EXACT join's output
+    (and verify cost) on cliques is quadratic by definition (measured:
+    8 identical copies at sf0.1 ran 30+ min). The salt grams are each
+    copy's rarest, so prefixes stay copy-local — the probe measures the
+    df-ordered candidate machinery, not an output blow-up. Prints
+    docs/sec over the full join."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import dedup as D
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_edjoin_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(
+            spark.range(replicate).select((F.col("id") * 10_000_000).alias("off"))
+        )
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" #"), F.md5(F.col("off").cast("string"))).alias("text"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    n = big.count()
+    D.edit_distance_join(big, d=5, q=3).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        D.edit_distance_join(big, d=5, q=3).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_docs": n}))
+    spark.stop()
+    return n / dt
+
+
 def _interval_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     """Interval-join scaling probe (round-5 interval_join): gap-1800
     sessions of a ``replicate``-times copy of events (user ids offset AND
@@ -870,6 +947,16 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-jaccard":
         _jaccard_probe(sf_dir, int(sys.argv[2]),
                        int(sys.argv[3]) if len(sys.argv) > 3 else 1)
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-truss":
+        _truss_probe(sf_dir, int(sys.argv[2]),
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 60_000)
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-edjoin":
+        _edjoin_probe(sf_dir, int(sys.argv[2]),
+                      int(sys.argv[3]) if len(sys.argv) > 3 else 8)
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-interval":

@@ -585,6 +585,7 @@ def edit_distance_join(
     d: int = 2,
     q: int = 3,
     max_short: int = 100_000,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """(a, b, dist) — EVERY unordered pair of docs with RAW-text
     Levenshtein distance <= d: the exact string-similarity join (Ed-Join,
@@ -616,6 +617,14 @@ def edit_distance_join(
     large short bucket means the corpus needs a length floor upstream,
     not a silent quadratic join.
 
+    CHOOSING q — the filter lives or dies on gram rarity: candidates
+    per doc ~ (q*d + 1) * df(rarest grams), so pick q large enough that
+    |alphabet|^q far exceeds the corpus's total gram volume (heavy-tail
+    real text: q=2..3; narrow synthetic/hex-ish alphabets need q=5..6 —
+    measured on the sf0.1 fixture, q=3 made EVERY gram common, df~100,
+    60M candidates from 5k docs; q=6 collapsed candidates to the true
+    near-dups at identical recall, the theorem holds for any q >= 2).
+
     100 TB shape: the prefix side ships q*d + 1 (doc_id, fp) rows per
     doc; the full side's fan-out per prefix gram is that gram's document
     frequency — prefix grams are each doc's RAREST, so boilerplate
@@ -623,7 +632,17 @@ def edit_distance_join(
     gram-starved docs, which are exactly the short bucket. Text is only
     shipped for verified CANDIDATE pairs (the levenshtein arguments),
     never exploded. Verify is one JVM-codegen levenshtein per candidate;
-    the length filter (necessary condition) prunes before it."""
+    the length filter (necessary condition) prunes before it.
+
+    ``persist_grams=True`` (default) caches the exploded gram table —
+    it is consumed four times (short-bucket count, document frequency,
+    prefix ranking, candidate join); without the cache each consumer
+    re-runs the explode+hash over all text. Like dup_spans, the
+    operator is then EAGER: the slim (a, b) candidate set is
+    materialized before returning and the gram cache RELEASED, so
+    repeated calls don't accumulate cached tables; the returned verify
+    plan re-reads only candidate texts. ``persist_grams=False`` keeps
+    the plan fully lazy."""
     if d < 1:
         raise ValueError(f"edit_distance_join: d must be >= 1, got {d}")
     if q < 2:
@@ -645,8 +664,11 @@ def edit_distance_join(
     )
     grams = base.select(
         "doc_id",
+        "_len",
         F.explode(F.transform(grams_arr, lambda g: F.xxhash64(g))).alias("fp"),
     )
+    if persist_grams:
+        grams = grams.persist()
     ng = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
     prefix_len = q * d + 1
     # short bucket: docs whose distinct-gram count gives no prefix
@@ -670,12 +692,30 @@ def edit_distance_join(
         grams.join(df_tbl, "fp")
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= prefix_len)
-        .select("doc_id", "fp")
+        .select("doc_id", "_len", "fp")
     )
+    if persist_grams:
+        prefix = prefix.persist()
+    # the LENGTH filter (necessary for ed <= d) is applied INSIDE the
+    # candidate join, not after the distinct: both sides carry their
+    # length inline (8 bytes/row, linear), so boilerplate-heavy corpora
+    # where even rare grams are shared by ~100 docs prune ~98% of the
+    # gram-match rows before the pair-dedup shuffle (measured sf0.1:
+    # 7.8M -> ~0.2M distinct candidates, 2.5x end-to-end)
     cand_prefix = (
-        prefix.withColumnRenamed("doc_id", "pa")
-        .join(grams.withColumnRenamed("doc_id", "pb"), "fp")
-        .where(F.col("pa") != F.col("pb"))
+        prefix.select(
+            F.col("doc_id").alias("pa"), F.col("_len").alias("la"), "fp"
+        )
+        .join(
+            grams.select(
+                F.col("doc_id").alias("pb"), F.col("_len").alias("lb"), "fp"
+            ),
+            "fp",
+        )
+        .where(
+            (F.col("pa") != F.col("pb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= d)
+        )
         .select(
             F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
         )
@@ -692,6 +732,19 @@ def edit_distance_join(
         )
     )
     cands = cand_prefix.unionByName(cand_short).distinct()
+    if persist_grams:
+        from nido_spark.plans import truncate_lineage
+
+        # materialize the slim candidate pairs (the one action consuming
+        # every gram-table branch), then release the gram + prefix caches.
+        # The stage boundaries matter far beyond re-compute avoidance:
+        # fused into ONE job, this plan runs 5x slower (160 s vs 31 s on
+        # the sf0.1 corpus, measured) than with the prefix and candidate
+        # tables materialized — the fused plan re-evaluates the
+        # window/df subtrees across the join's task boundaries
+        cands = truncate_lineage(cands)
+        prefix.unpersist()
+        grams.unpersist()
     txt = base.select("doc_id", "_txt", "_len")
     return (
         cands.join(
@@ -711,7 +764,16 @@ def edit_distance_join(
             "b",
         )
         .where(F.abs(F.col("la") - F.col("lb")) <= d)
-        .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
-        .where(F.col("dist") <= d)
+        # THRESHOLDED levenshtein (Spark >= 3.5 three-arg form): banded
+        # DP, O(d * min(len)) per pair instead of O(len^2) — ~300x less
+        # work at len~300, d=5 (measured 74 s -> 21 s verify on sf0.1).
+        # Returns -1 when the distance exceeds d, so the filter is
+        # dist >= 0; Catalyst pushes the predicate into the join
+        # condition and re-evaluates it in the project, which is why the
+        # cheap banded form matters twice.
+        .withColumn(
+            "dist", F.levenshtein("ta", "tb", d).cast("long")
+        )
+        .where(F.col("dist") >= 0)
         .select("a", "b", "dist")
     )
