@@ -776,7 +776,8 @@ def _edjoin_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
     (and verify cost) on cliques is quadratic by definition (measured:
     8 identical copies at sf0.1 ran 30+ min). The salt grams are each
     copy's rarest, so prefixes stay copy-local — the probe measures the
-    df-ordered candidate machinery, not an output blow-up. Prints
+    df-ordered candidate machinery, not an output blow-up. q=6 per
+    the operator docstring (narrow synthetic alphabet). Prints
     docs/sec over the full join."""
     from pyspark.sql import functions as F
 
@@ -797,11 +798,11 @@ def _edjoin_probe(sf_dir: str, cpus: int, replicate: int = 8) -> float:
         .persist()
     )
     n = big.count()
-    D.edit_distance_join(big, d=5, q=3).count()  # warm-up
+    D.edit_distance_join(big, d=5, q=6).count()  # warm-up
     runs = []
     for _ in range(2):
         t0 = time.time()
-        D.edit_distance_join(big, d=5, q=3).count()
+        D.edit_distance_join(big, d=5, q=6).count()
         runs.append(time.time() - t0)
     dt = min(runs)
     print(json.dumps({"cpus": cpus, "docs_per_sec": n / dt, "sec": dt,
