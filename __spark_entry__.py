@@ -264,6 +264,16 @@ def _q_transcript_truss(spark, sf):
     return A.truss_decomposition(transcripts_to_edges(tr, strategy="dense"))
 
 
+def _q_transcript_sssp_tree(spark, sf):
+    # shortest-path TREE: the sssp oracle's unrolled relaxation plus one
+    # parent join — parent(v) = min u with dist(u) + w == dist(v), EXACT
+    # IEEE equality (dist(v) is bitwise one of those sums), so DuckDB
+    # reproduces the parents from the same unrolled distances
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.sssp_tree(transcripts_to_edges(tr, strategy="dense"), source=0)
+    return out.select("v", F.round("dist", 9).alias("dist"), "parent")
+
+
 def _q_transcript_densest(spark, sf):
     # greedy densest-subgraph peel profile (Charikar/Bahmani, eps=1/2):
     # exact integer trajectory — 3 rounds on this fixture (1370 -> 101 ->
@@ -1925,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_full": _q_pagerank_full,
         "ppr_full": _q_ppr_full,
         "transcript_sssp": _q_transcript_sssp,
+        "transcript_sssp_tree": _q_transcript_sssp_tree,
         "transcript_truss": _q_transcript_truss,
         "transcript_densest": _q_transcript_densest,
         "transcript_densest_members": _q_transcript_densest_members,
@@ -4728,6 +4739,23 @@ FROM allv LEFT JOIN per USING (v)"""
         f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
         + ",\n".join(_sssp_ctes)
         + "\nSELECT v, ROUND(dist, 9) AS dist FROM s14"
+    )
+
+    sql["transcript_sssp_tree"] = (
+        f"WITH te AS MATERIALIZED ({_transcript_edges_sql()}),\n"
+        + ",\n".join(_sssp_ctes)
+        + """
+SELECT s14.v, ROUND(s14.dist, 9) AS dist,
+       CASE WHEN s14.v = 0 THEN NULL ELSE p.parent END AS parent
+FROM s14 LEFT JOIN (
+  SELECT te.dst AS v, MIN(te.src)::BIGINT AS parent
+  FROM te
+  JOIN s14 su ON su.v = te.src
+  JOIN s14 sv ON sv.v = te.dst
+  WHERE su.dist IS NOT NULL AND sv.dist IS NOT NULL
+    AND su.dist + te.w = sv.dist
+  GROUP BY te.dst
+) p USING (v)"""
     )
 
     # Trussness as a VALUES literal from the INDEPENDENT sequential

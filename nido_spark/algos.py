@@ -706,6 +706,44 @@ def sssp(
     return dist
 
 
+def sssp_tree(
+    edges: DataFrame, source: int, **sssp_kwargs
+) -> DataFrame:
+    """(v, dist, parent) — the shortest-path TREE: sssp distances plus,
+    per reached non-source vertex, the smallest in-neighbor u with
+    dist(u) + w(u, v) == dist(v). That equality is EXACT IEEE double
+    comparison, not a tolerance: dist(v) was computed as the min over
+    candidates of exactly those sums, so the minimum is bitwise one of
+    them, and any engine computing the same sums reproduces the same
+    parents (the driver oracle replays it in DuckDB). min-u ties make
+    the tree deterministic. source and unreachable vertices get NULL
+    parent. Walking parent pointers from any reached vertex reaches
+    ``source`` in <= (path edge count) hops — path RECONSTRUCTION, which
+    plain sssp's distance table cannot do.
+
+    Cost on top of sssp: ONE post-pass E-row join against the final
+    distance table (two V-row hash joins + a groupBy min) — no
+    per-round overhead, so the relaxation loop's zero-E-row-exchange
+    plan shape is untouched."""
+    dist = sssp(edges, source, **sssp_kwargs)
+    d_src = dist.select(F.col("v").alias("src"), F.col("dist").alias("du"))
+    d_dst = dist.select(F.col("v").alias("dst"), F.col("dist").alias("dv"))
+    par = (
+        edges.join(d_src, "src")
+        .join(d_dst, "dst")
+        .where(F.col("du") + F.col("w") == F.col("dv"))
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.min("src").alias("parent"))
+    )
+    return dist.join(par, "v", "left").select(
+        "v",
+        "dist",
+        F.when(F.col("v") == source, F.lit(None).cast("long"))
+        .otherwise(F.col("parent"))
+        .alias("parent"),
+    )
+
+
 def multi_source_sssp(
     edges: DataFrame,
     sources,

@@ -1691,3 +1691,50 @@ def test_truss_decomposition_hand_graph(spark):
     assert all(got[e_] == 4 for e_ in und if e_ != (3, 9))
     empty = spark.createDataFrame([], "src long, dst long, w double")
     assert A.truss_decomposition(empty).count() == 0
+
+
+def test_sssp_tree_karate(karate):
+    edges, (src, dst, w) = karate
+    rows = A.sssp_tree(edges, source=0, max_iters=50).collect()
+    dist = {r["v"]: r["dist"] for r in rows}
+    parent = {r["v"]: r["parent"] for r in rows}
+    ref = {r["v"]: r["dist"] for r in A.sssp(edges, source=0, max_iters=50).collect()}
+    assert dist == ref                       # distances untouched
+    assert parent[0] is None
+    ew = {}
+    for a, b, x in zip(src, dst, w):
+        ew[(int(a), int(b))] = float(x)
+    for v, p in parent.items():
+        if v == 0 or p is None:
+            continue
+        # tree edge relation: EXACT IEEE equality by construction
+        assert dist[p] + ew[(p, v)] == dist[v]
+        # min-u determinism: no smaller in-neighbor achieves equality
+        smaller = [
+            u for (u, x) in ew if x == v and u < p
+            and dist.get(u) is not None and dist[u] + ew[(u, x)] == dist[v]
+        ]
+        assert smaller == []
+    # walking parents terminates at the source for every reached vertex
+    for v in dist:
+        if dist[v] is None:
+            continue
+        hops = 0
+        cur = v
+        while cur != 0:
+            cur = parent[cur]
+            hops += 1
+            assert hops <= len(dist)
+    assert all(parent[v] is None for v in dist if dist[v] is None)
+
+
+def test_sssp_tree_tie_and_unreachable(spark):
+    # two equal-cost paths 0->1->3 and 0->2->3 (cost 2): parent(3) must be
+    # the SMALLER of {1, 2}; vertex 9 is a separate island -> NULL dist+parent
+    und = [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (8, 9, 1.0)]
+    rows = [(a, b, x) for a, b, x in und] + [(b, a, x) for a, b, x in und]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["v"]: (r["dist"], r["parent"]) for r in A.sssp_tree(e, source=0).collect()}
+    assert got[3] == (2.0, 1)
+    assert got[9] == (None, None)
+    assert got[0] == (0.0, None)
