@@ -188,6 +188,25 @@ KARATE_PAIRS = [
 ]
 
 
+# k-clique percolation (k=3) communities of the karate graph, derived from
+# networkx.algorithms.community.k_clique_communities(G, 3) over KARATE_PAIRS
+# (an INDEPENDENT implementation of Palla et al. percolation); each row is
+# (comm_a, comm_b, v) where (comm_a, comm_b) is the community's smallest
+# triangle edge — the same canonical id algos.triangle_percolation_communities
+# derives from its min packed edge-node component label. Vertex 0 is the min
+# member of TWO overlapping communities, which is exactly why the canonical
+# id is an edge, not a vertex. Frozen (networkx is not assumed in the driver
+# environment); regeneration script in the commit that added it.
+KARATE_TRIANGLE_COMMS = [
+    (0, 1, 0), (0, 1, 1), (0, 1, 2), (0, 1, 3), (0, 1, 7), (0, 1, 8),
+    (0, 1, 12), (0, 1, 13), (0, 1, 14), (0, 1, 15), (0, 1, 17), (0, 1, 18),
+    (0, 1, 19), (0, 1, 20), (0, 1, 21), (0, 1, 22), (0, 1, 23), (0, 1, 26),
+    (0, 1, 27), (0, 1, 28), (0, 1, 29), (0, 1, 30), (0, 1, 31), (0, 1, 32),
+    (0, 1, 33), (0, 4, 0), (0, 4, 4), (0, 4, 5), (0, 4, 6), (0, 4, 10),
+    (0, 4, 16), (24, 25, 24), (24, 25, 25), (24, 25, 31)
+]
+
+
 def _karate_edges(spark):
     rows = [(a, b, 1.0) for a, b in KARATE_PAIRS] + [
         (b, a, 1.0) for a, b in KARATE_PAIRS
@@ -207,6 +226,12 @@ def _q_karate_truss(spark, sf):
     # k=4 slice additionally cross-checks against the networkx-derived
     # KARATE_4TRUSS literal via karate_k_truss (truss >= 4 iff member)
     return A.truss_decomposition(_karate_edges(spark))
+
+
+def _q_karate_triangle_comms(spark, sf):
+    # overlapping k-clique percolation communities (k=3) — networkx-derived
+    # frozen literal oracle (KARATE_TRIANGLE_COMMS provenance note)
+    return A.triangle_percolation_communities(_karate_edges(spark))
 
 
 def _q_karate_msf(spark, sf):
@@ -1890,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_katz": _q_transcript_katz,
         "karate_k_truss": _q_karate_k_truss,
         "karate_truss": _q_karate_truss,
+        "karate_triangle_comms": _q_karate_triangle_comms,
         "luby_coloring": _q_luby_coloring,
         "media_stats": _q_media_stats,
         "media_headers": _q_media_headers,
@@ -4576,6 +4602,13 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
         "(VALUES "
         + ",".join(f"({a},{b},{t})" for (a, b), t in sorted(_ka_truss.items()))
         + ") AS t(a, b, t)"
+    )
+
+    sql["karate_triangle_comms"] = (
+        "SELECT a::BIGINT AS comm_a, b::BIGINT AS comm_b, v::BIGINT AS v "
+        "FROM (VALUES "
+        + ",".join(f"({a},{b},{v})" for a, b, v in KARATE_TRIANGLE_COMMS)
+        + ") AS t(a, b, v)"
     )
 
     sql["karate_k_truss"] = _karate_k_truss_values_sql(k=4)

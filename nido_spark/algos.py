@@ -2257,10 +2257,12 @@ def adamic_adar(
     )
 
 
-def _edge_support(und: DataFrame) -> DataFrame:
-    """(a, b, support) for a canonical undirected pair set (a < b):
-    triangles through each edge, via the degree-oriented wedge join
-    (same machinery as triangle counting — no deg^2 hub explosion)."""
+def _triangles(und: DataFrame) -> DataFrame:
+    """(u, x, y) — each triangle of a canonical undirected pair set
+    (a < b) EXACTLY once, via the degree-oriented wedge join (same
+    machinery as triangle counting — no deg^2 hub explosion): u is the
+    wedge apex under the (degree, id) total order, x < y its closing
+    endpoints."""
     deg = (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
@@ -2284,7 +2286,14 @@ def _edge_support(und: DataFrame) -> DataFrame:
     closing = o.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         o.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
-    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    return wedges.join(closing, ["x", "y"], "left_semi")
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, support) for a canonical undirected pair set (a < b):
+    triangles through each edge, via the degree-oriented wedge join
+    (same machinery as triangle counting — no deg^2 hub explosion)."""
+    tris = _triangles(und)
     pairs = (
         tris.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .unionByName(
@@ -3138,3 +3147,94 @@ def truss_decomposition(
     for p in peeled[1:]:
         out = out.unionByName(p)
     return out
+
+
+def triangle_percolation_communities(
+    edges: DataFrame,
+    max_iters: int = 100,
+    broadcast_threshold: int = 8_000_000,
+) -> DataFrame:
+    """(comm, v) — OVERLAPPING communities by k-clique percolation at
+    k = 3 (Palla et al., Nature 2005): two triangles are adjacent iff
+    they share an edge; a community is a maximal set of edge-connected
+    triangles, and its members are every vertex of every triangle in it.
+    A vertex may belong to several communities (the classic overlap the
+    partition-style detectors — Louvain/LPA/CC — cannot express), and
+    triangle-free vertices belong to none.
+
+    Rendering: enumerate each triangle once (the shared degree-oriented
+    wedge join, ``_triangles``), explode it into its 3 canonical edges,
+    pack each edge (a < b) into one id (a * 2^30 + b), connect the 3
+    edge-nodes of every triangle pairwise, and run the existing
+    ``connected_components`` min-label propagation over that derived
+    graph — triangles sharing an edge share an edge-NODE, so components
+    of the derived graph ARE the percolation communities. Members are
+    the unpacked endpoints; the community id is canonicalized to the
+    community's smallest EDGE (comm_a, comm_b) — NOT its smallest
+    vertex, which overlapping communities can SHARE (karate: vertex 0
+    is the min member of two distinct percolation communities, so a
+    vertex-canonical id would silently merge them).
+
+    The derived graph has 3T nodes / 6T directed edges for T triangles
+    — linear in the triangle count, never materializing
+    triangle-x-triangle adjacency (a hub edge in many triangles would
+    make that quadratic; here it is ONE node of high degree, which
+    min-label propagation handles in O(diameter) rounds).
+
+    PRECONDITION: canonical SYMMETRIC edge table (normalize_edges
+    output), like k_truss; vertex ids must be < 2^30 (the edge-id pack
+    — checked, raises loudly)."""
+    und = truncate_lineage(
+        edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    mx = edges.agg(F.max(F.greatest("src", "dst"))).first()[0]
+    if mx is not None and int(mx) >= (1 << 30):
+        raise ValueError(
+            f"triangle_percolation_communities: max vertex id {mx} >= 2^30 "
+            f"— the (a, b) edge-id pack would collide; relabel densely first"
+        )
+    pack = lambda a, b: F.col(a) * F.lit(1 << 30) + F.col(b)  # noqa: E731
+    tris = _triangles(und).select(
+        F.sort_array(F.array("u", "x", "y")).alias("t")
+    ).select(
+        F.col("t")[0].alias("p"), F.col("t")[1].alias("q"), F.col("t")[2].alias("r")
+    )
+    e1 = pack("p", "q")
+    e2 = pack("p", "r")
+    e3 = pack("q", "r")
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(e1.alias("src"), e2.alias("dst")),
+                F.struct(e1.alias("src"), e3.alias("dst")),
+                F.struct(e2.alias("src"), e3.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    derived = tri_edges.unionByName(
+        tri_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cc = connected_components(
+        derived, max_iters=max_iters, broadcast_threshold=broadcast_threshold
+    )
+    members = (
+        cc.select(
+            "comm",
+            F.explode(
+                F.array(
+                    F.expr("v DIV 1073741824"), F.pmod("v", F.lit(1 << 30))
+                )
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    # comm is the component's min PACKED edge id — unpack it to the
+    # community's smallest (a, b) edge for an interpretable, engine-
+    # portable, and UNIQUE canonical id
+    return members.select(
+        F.expr("comm DIV 1073741824").cast("long").alias("comm_a"),
+        F.pmod("comm", F.lit(1 << 30)).cast("long").alias("comm_b"),
+        "v",
+    ).distinct()

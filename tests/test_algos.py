@@ -1738,3 +1738,45 @@ def test_sssp_tree_tie_and_unreachable(spark):
     assert got[3] == (2.0, 1)
     assert got[9] == (None, None)
     assert got[0] == (0.0, None)
+
+
+def test_triangle_percolation_matches_networkx_karate(karate):
+    nx = pytest.importorskip("networkx")
+    from networkx.algorithms.community import k_clique_communities
+
+    edges, (src, dst, w) = karate
+    got = {}
+    for r in A.triangle_percolation_communities(edges).collect():
+        got.setdefault((r["comm_a"], r["comm_b"]), set()).add(r["v"])
+    g = nx.Graph()
+    g.add_edges_from(zip(src, dst))
+    ref = {frozenset(int(x) for x in c) for c in k_clique_communities(g, 3)}
+    assert {frozenset(m) for m in got.values()} == ref
+    # canonical id = the community's smallest edge, which is a member
+    # edge: both endpoints belong to the community
+    assert all(a in m and b in m for (a, b), m in got.items())
+    # karate overlap regression: vertex 0 is the min member of TWO
+    # communities — an id canonicalized to min VERTEX would merge them
+    assert sum(0 in m for m in got.values()) == 2
+
+
+def test_triangle_percolation_overlap_and_separation(spark):
+    # triangles (0,1,2) and (1,2,3) share edge (1,2) -> ONE community;
+    # triangle (3,8,9) shares only VERTEX 3 with it -> a SEPARATE
+    # community; vertex 3 belongs to BOTH (the overlap partition-style
+    # detectors cannot express); pendant 20-21 is in none
+    und = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 8), (3, 9), (8, 9), (20, 21)]
+    rows = [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {}
+    for r in A.triangle_percolation_communities(e).collect():
+        got.setdefault((r["comm_a"], r["comm_b"]), set()).add(r["v"])
+    assert {frozenset(m) for m in got.values()} == {
+        frozenset({0, 1, 2, 3}),
+        frozenset({3, 8, 9}),
+    }
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    assert A.triangle_percolation_communities(empty).count() == 0
+    big = spark.createDataFrame([(1 << 31, 5, 1.0)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="2\\^30"):
+        A.triangle_percolation_communities(big)
