@@ -2578,9 +2578,13 @@ def onion_decomposition(
         return edges.sparkSession.createDataFrame(
             [], "v long, core long, layer long"
         )
+    # periodic fold (the luby_mis_coloring pattern): a deep core
+    # hierarchy peels in hundreds of layers — bound the union plan depth
     out = peeled[0]
-    for p in peeled[1:]:
+    for i, p in enumerate(peeled[1:], start=1):
         out = out.unionByName(p)
+        if i % 32 == 0:
+            out = truncate_lineage(out)
     return out
 
 
@@ -3068,8 +3072,10 @@ def densest_subgraph(
         stats, "round long, nv long, ne long"
     ).withColumn("density", F.round(F.col("ne") / F.col("nv"), 9))
     members = peeled[0]
-    for p in peeled[1:]:
+    for i, p in enumerate(peeled[1:], start=1):
         members = members.unionByName(p)
+        if i % 32 == 0:
+            members = truncate_lineage(members)
     members = members.where(F.col("peel_round") >= best[2]).select("v")
     return {
         "profile": profile,
@@ -3143,9 +3149,13 @@ def truss_decomposition(
         )
     if not peeled:
         return spark.createDataFrame([], "a long, b long, truss long")
+    # periodic fold (the luby_mis_coloring pattern) — peel layer counts
+    # are graph-dependent, so bound the union plan depth
     out = peeled[0]
-    for p in peeled[1:]:
+    for i, p in enumerate(peeled[1:], start=1):
         out = out.unionByName(p)
+        if i % 32 == 0:
+            out = truncate_lineage(out)
     return out
 
 
