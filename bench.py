@@ -153,6 +153,14 @@ def _run_queries(sf_dir: str, cpus: int) -> dict:
         ).count(),
     )
 
+    # q21 (new in round 5): exact edit-distance join — Ed-Join q-gram
+    # prefix candidates + banded thresholded-levenshtein verify; q=6 per
+    # the operator docstring (narrow synthetic alphabet)
+    timed(
+        "q21_edit_join",
+        lambda: D.edit_distance_join(docs, d=5, q=6).count(),
+    )
+
     # throughput: edges-processed/sec over the PageRank loop (10 iterations
     # touch each directed edge once per iteration)
     eps = ne * 10 / timings["q5_pagerank_10it"]
