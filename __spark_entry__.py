@@ -801,6 +801,18 @@ def _q_transcript_walks(spark, sf):
     return out.select("start", "step", "v")
 
 
+def _q_transcript_skipgrams(spark, sf):
+    # walks -> word2vec skip-gram pairs (window=2): the corpus-prep step
+    # after transcript_walks; the oracle nests the walks CTE and replays
+    # the pair explosion as a band self-join — counts are exact integers
+    tr = synth_transcripts(spark, 500, seed=42)
+    wk = G.random_walks(
+        transcripts_to_edges(tr, strategy="dense"), starts=list(range(16)),
+        length=5, seed=42,
+    )
+    return G.walk_skipgram_pairs(wk, window=2)
+
+
 def _q_doc_line_dedup(spark, sf):
     # C4-style corpus-wide line dedup: md5 byte parity of the rewritten
     # text. Spark groups on a 128-bit line hash, the oracle on the line
@@ -2018,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "karate_msf": _q_karate_msf,
         "transcript_walks": _q_transcript_walks,
+        "transcript_skipgrams": _q_transcript_skipgrams,
         "transcript_node2vec": _q_transcript_node2vec,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
@@ -6114,6 +6127,19 @@ w5 AS MATERIALIZED (
   ) r WHERE r.rn = 1
 )
 SELECT start, 0 AS step, v FROM w0 UNION ALL SELECT start, 1 AS step, v FROM w1 UNION ALL SELECT start, 2 AS step, v FROM w2 UNION ALL SELECT start, 3 AS step, v FROM w3 UNION ALL SELECT start, 4 AS step, v FROM w4 UNION ALL SELECT start, 5 AS step, v FROM w5"""
+    )
+
+    # Skip-gram pairs from the SAME walk corpus: nest the walks query as
+    # a CTE (DuckDB allows WITH inside a CTE body) and replay the pair
+    # explosion as a |Δstep| in [1, window] band self-join on the walk id
+    sql["transcript_skipgrams"] = (
+        "WITH wk AS MATERIALIZED (\n"
+        + sql["transcript_walks"]
+        + "\n)\n"
+        + """SELECT a.v AS center, b.v AS context, COUNT(*)::BIGINT AS cnt
+FROM wk a JOIN wk b
+  ON a.start = b.start AND abs(a.step - b.step) BETWEEN 1 AND 2
+GROUP BY a.v, b.v"""
     )
 
     # C4-style line dedup: window rn/cnt over the line TEXT (the

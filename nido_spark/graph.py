@@ -805,6 +805,46 @@ def node2vec_walks(
     return reduce(lambda a, b: a.unionByName(b), out)
 
 
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, cnt) — word2vec skip-gram training pairs from a
+    walk corpus (``random_walks``/``node2vec_walks`` output, one row per
+    (start, step, v)): every ordered pair of vertices co-visited by the
+    same walk at distance 1..``window`` steps, counted corpus-wide.
+    Symmetric by construction — each co-visit yields both (a, b) and
+    (b, a) — matching word2vec's symmetric context window. This is the
+    walks→pairs step of the DeepWalk pipeline (Perozzi '14 §4.2); feed
+    the counts to ``cooccurrence_pmi``-style shifted-PMI weighting or an
+    external trainer.
+
+    Scale shape: ONE groupBy on the walk id collects each walk into a
+    ≤length+1 array (map-side partial collect; walks are generated
+    already keyed by start so the exchange moves only walk rows), then
+    the pair explosion runs as a higher-order-function expression inside
+    whole-stage codegen — no self-join, no second shuffle; ≤ 2·window
+    output rows per walk row ahead of the final (center, context) count
+    aggregation."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    arr = walks.groupBy("start").agg(
+        F.sort_array(F.collect_list(F.struct("step", "v"))).alias("a")
+    )
+    # distinct lambda variable names per nesting level — Spark resolves
+    # same-named nested lambda args to the innermost binding (clobbering)
+    pair_expr = (
+        "flatten(transform(a, ci -> "
+        "transform(filter(a, cx -> abs(cx.step - ci.step) BETWEEN 1 AND {w}), "
+        "cy -> struct(ci.v AS center, cy.v AS context))))"
+    ).format(w=int(window))
+    return (
+        arr.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # Weisfeiler-Lehman flow-fingerprint constants: all multipliers < 2^20 and
 # state < 2^31, so every expression below stays under 2^62 — ANSI-safe
 # (memory: spark-iterative-pitfalls) and bit-identical in any engine.

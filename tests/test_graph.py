@@ -301,6 +301,65 @@ def test_random_walks_dead_end_stops(spark):
     assert {(r["step"], r["v"]) for r in rows} == {(0, 0), (1, 1), (2, 2)}
 
 
+def test_walk_skipgram_pairs_brute_force(spark):
+    """Skip-gram pairs from a hand-built walk corpus match a brute-force
+    Python count over every |i-j| in [1, window] permutation, including
+    a length-1 walk (no pairs) and repeated vertices across walks
+    (corpus-level aggregation)."""
+    import collections
+    import itertools
+
+    from nido_spark.graph import walk_skipgram_pairs
+
+    walks = {10: [5, 6, 7, 8, 6], 11: [6, 5], 12: [7], 13: [5, 6]}
+    rows = [
+        (wid, i, v) for wid, vs in walks.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "start long, step int, v long")
+    for window in (1, 2, 3):
+        got = {
+            (r["center"], r["context"]): r["cnt"]
+            for r in walk_skipgram_pairs(df, window=window).collect()
+        }
+        exp = collections.Counter()
+        for vs in walks.values():
+            for i, j in itertools.permutations(range(len(vs)), 2):
+                if 1 <= abs(i - j) <= window:
+                    exp[(vs[i], vs[j])] += 1
+        assert got == dict(exp), window
+    # symmetric window => symmetric counts
+    pairs = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in walk_skipgram_pairs(df, window=2).collect()
+    }
+    assert all(pairs[(b, a)] == c for (a, b), c in pairs.items())
+
+
+def test_walk_skipgram_pairs_on_real_walks(spark, karate):
+    """End-to-end walks -> pairs on karate: row count bound (<= 2*window
+    per walk row) and every pair's vertices co-occur within the window in
+    the generating walk."""
+    from nido_spark.graph import random_walks, walk_skipgram_pairs
+
+    edges, _ = karate
+    wk = random_walks(edges, list(range(8)), length=6, seed=9)
+    wrows = wk.collect()
+    out = walk_skipgram_pairs(wk, window=2)
+    total = out.agg({"cnt": "sum"}).first()[0]
+    assert 0 < total <= 2 * 2 * len(wrows)
+    byw = {}
+    for r in wrows:
+        byw.setdefault(r["start"], {})[r["step"]] = r["v"]
+    valid = set()
+    for steps in byw.values():
+        for i, a in steps.items():
+            for j, b in steps.items():
+                if 1 <= abs(i - j) <= 2:
+                    valid.add((a, b))
+    got = {(r["center"], r["context"]) for r in out.collect()}
+    assert got <= valid and got == valid
+
+
 def test_avg_neighbor_degree_matches_networkx(spark, karate):
     """Per-vertex mean neighbor degree vs networkx average_neighbor_degree
     on karate (unit weights, symmetric table)."""
