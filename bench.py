@@ -614,6 +614,55 @@ def _anf_probe(sf_dir: str, cpus: int, replicate: int = 32) -> float:
     return ne * rounds / dt
 
 
+def _walks_probe(sf_dir: str, cpus: int, replicate: int = 32, length: int = 4) -> float:
+    """DeepWalk corpus scaling probe (round-5 skip-gram family): walks of
+    ``length`` steps from EVERY vertex of the replicated lineitem graph
+    (V-row walker state — the embedding-corpus worst case) followed by
+    walk_skipgram_pairs(window=2). With all-vertex starts each step's
+    candidate join touches every directed edge whose src still walks, so
+    ne*length/sec is the (upper-bound-exact on this dead-end-free graph)
+    edge-visit throughput of the walk stage; the pair stage adds one
+    walk-row shuffle + a codegen higher-order explosion on top."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import graph as G
+    from nido_spark.io import lineitem_edges
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_walks_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    base = lineitem_edges(spark, sf_dir)
+    copies = spark.range(replicate).select((F.col("id") * 1_000_000_000).alias("off"))
+    edges = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("src") + F.col("off")).alias("src"),
+            (F.col("dst") + F.col("off")).alias("dst"),
+            "w",
+        )
+        .repartition(cpus * 2, "src")
+        .persist()
+    )
+    ne = edges.count()
+    starts = edges.select("src").distinct()
+
+    def once() -> int:
+        wk = G.random_walks(edges, starts, length=length, seed=7)
+        return G.walk_skipgram_pairs(wk, window=2).count()
+
+    once()  # warm-up (JIT, codegen, scan cache)
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        once()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "edge_visits_per_sec": ne * length / dt,
+                      "sec": dt, "runs_sec": [round(r, 1) for r in runs],
+                      "n_edges": ne, "length": length}))
+    spark.stop()
+    return ne * length / dt
+
+
 def _scc_probe(sf_dir: str, cpus: int, replicate: int = 64) -> float:
     """Strongly-connected-components scaling probe (the round-5 directed
     family): FW-BW-Trim over a ``replicate``-times disjoint-copy DIRECTED
@@ -996,6 +1045,11 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-anf":
         _anf_probe(sf_dir, int(sys.argv[2]))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-walks":
+        rep = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        _walks_probe(sf_dir, int(sys.argv[2]), replicate=rep)
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-scc":
