@@ -1150,6 +1150,17 @@ def _q_corpus_sample(spark, sf):
     return assign_shards(s, n_shards=4, seed=11).select("doc_id", "shard")
 
 
+def _q_corpus_split(spark, sf):
+    # deterministic 80/10/10 train/val/test assignment on the shared
+    # bucket hash; the oracle replays the CASE over the same cumulative
+    # integer thresholds (accumulated with the SAME float additions)
+    from nido_spark.pipeline import split_corpus
+
+    return split_corpus(
+        _docs(spark, sf), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=13
+    ).select("doc_id", "split")
+
+
 def _q_corpus_sample_stratified(spark, sf):
     from nido_spark.pipeline import sample_stratified
 
@@ -2061,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_survivors": _q_fuzzy_dedup_survivors,
         "corpus_prepare": _q_corpus_prepare,
         "corpus_sample": _q_corpus_sample,
+        "corpus_split": _q_corpus_split,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -4555,6 +4567,17 @@ GROUP BY 1, 2, 3"""
     sql["corpus_sample"] = f"""
 SELECT doc_id, ({_bkt_sql(11)} % 4)::INT AS shard
 FROM documents WHERE {_bkt_sql(7)} < {thr}"""
+
+    # split thresholds accumulate with the SAME float additions as
+    # split_corpus (0.8, then 0.8 + 0.1) — int(cum*P2) must match bit-ly
+    _cum_train = 0.8
+    _cum_val = _cum_train + 0.1
+    sql["corpus_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_bkt_sql(13)} < {int(_cum_train * _SAMPLE_P2)} THEN 'train'
+            WHEN {_bkt_sql(13)} < {int(_cum_val * _SAMPLE_P2)} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
 
     sql["corpus_sample_stratified"] = f"""
 SELECT doc_id, lang FROM documents

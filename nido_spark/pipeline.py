@@ -132,6 +132,46 @@ def sample_stratified(
     )
 
 
+def split_corpus(
+    docs: DataFrame,
+    ratios: dict[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """docs + ``split`` — deterministic train/val/test assignment on the
+    shared affine bucket hash (default 98/1/1): the [0, P2) bucket range
+    is carved into consecutive half-open intervals sized by ``ratios``
+    (iteration order), and a row's split is the interval its bucket
+    lands in. Every row is assigned exactly once (the LAST split absorbs
+    the integer-rounding remainder up to P2), splits are disjoint by
+    construction, and membership is a pure function of the id — the same
+    document lands in the same split on any engine, partitioning, rerun,
+    or corpus SUPERSET (a doc ingested tomorrow cannot move today's docs
+    across the train/eval boundary — the leakage guarantee rand()-based
+    re-splitting cannot give). Composes with sample_corpus /
+    sample_stratified / assign_shards under a different seed (same hash
+    family, decorrelated streams). Map-only, no shuffle."""
+    if ratios is None:
+        ratios = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not ratios:
+        raise ValueError("ratios must be non-empty")
+    if any(r < 0 for r in ratios.values()):
+        raise ValueError("ratios must be non-negative")
+    total = sum(ratios.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"ratios must sum to 1.0 (got {total})")
+    names = list(ratios)
+    b = _bucket(id_col, seed)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += ratios[name]
+        cond = b < F.lit(int(cum * _SAMPLE_P2))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", split)
+
+
 def assign_shards(
     docs: DataFrame, n_shards: int, seed: int = 42, id_col: str = "doc_id"
 ) -> DataFrame:

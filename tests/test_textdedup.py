@@ -421,6 +421,47 @@ def test_redact_pii_counts_and_replacement(spark):
     assert got[2]["n_email"] == 0
 
 
+def test_split_corpus_disjoint_exhaustive_superset_stable(docs, spark):
+    """Train/val/test split: every doc assigned exactly once, assignment
+    is partition-invariant, ratio-accurate, superset-stable (splitting a
+    superset never moves an existing doc across splits), and invalid
+    ratios raise."""
+    import pytest as _pytest
+
+    from nido_spark.pipeline import split_corpus
+
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=13)
+    n = docs.count()
+    assert out.count() == n  # exhaustive: no row dropped or duplicated
+    counts = {r["split"]: r["c"] for r in
+              out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 * n <= counts["train"] <= 0.9 * n
+    # partition-invariant
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_corpus(
+            docs.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=13,
+        ).collect()
+    )
+    assert a == b
+    # superset-stable: splitting half the corpus agrees with the full split
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    ha = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_corpus(
+            half, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=13
+        ).collect()
+    )
+    assert ha == [p for p in a if p[0] % 2 == 0]
+    with _pytest.raises(ValueError):
+        split_corpus(docs, {"train": 0.5, "val": 0.1}, seed=13)  # sums to 0.6
+    with _pytest.raises(ValueError):
+        split_corpus(docs, {}, seed=13)
+
+
 def test_sample_stratified_rates_and_determinism(docs, spark):
     from nido_spark.pipeline import sample_corpus, sample_stratified
 
