@@ -1852,6 +1852,16 @@ def _q_corpus_bpe_merges(spark, sf):
     return X.learn_bpe_merges(_docs(spark, sf), n_merges=10)
 
 
+def _q_corpus_bpe_token_counts(spark, sf):
+    # tokenizer APPLY: true per-doc subword counts under the 10 learned
+    # merges — the oracle re-learns the merges in pure Python (the
+    # corpus_bpe_merges replay), encodes every word TYPE, and joins the
+    # (word, n_syms) literal back onto the corpus
+    docs = _docs(spark, sf)
+    merges = X.learn_bpe_merges(docs, n_merges=10)
+    return X.bpe_token_counts(docs, merges)
+
+
 def _q_corpus_pack(spark, sf):
     # deterministic concat-and-chunk packing of the corpus into
     # 1000-token shard-local packs (8 shards, portable hash layout)
@@ -2009,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_kl": _q_doc_unigram_kl,
         "corpus_pack": _q_corpus_pack,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
+        "corpus_bpe_token_counts": _q_corpus_bpe_token_counts,
         "corpus_mix": _q_corpus_mix,
         "transcript_diameter": _q_transcript_diameter,
         "transcript_anf": _q_transcript_anf,
@@ -2705,6 +2716,65 @@ SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w"""
         f"cnt::BIGINT AS cnt "
         f"FROM (VALUES {vals}) AS t(rank, left_s, right_s, cnt)"
     )
+
+
+def _corpus_bpe_counts_sql(n_merges: int = 10) -> str:
+    """Per-doc TRUE subword counts under the learned merges: the same
+    pure-Python Sennrich replay as ``_corpus_bpe_values_sql`` (word-type
+    counts from DuckDB, merge learning, greedy left-to-right encode of
+    every word TYPE), emitted as a (word, n_syms) VALUES literal joined
+    back onto the corpus word stream — integer-exact end to end."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    wc_rows = con.execute(
+        rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
+  FROM read_parquet('{sf_dir}/documents.parquet')
+  WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> '')
+SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w"""
+    ).fetchall()
+    wc = {w: int(c) for w, c in wc_rows}
+    vocab = {w: list(w) for w in wc}
+    for _rank in range(n_merges):
+        pc: dict = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + wc[w]
+        if not pc:
+            break
+        (l, r), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            o, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    o.append(l + r)
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            vocab[w] = o
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",".join(f"({q(w)},{len(syms)})" for w, syms in sorted(vocab.items()))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
+  FROM documents
+  WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''),
+enc AS (SELECT * FROM (VALUES {vals}) AS t(w, n_syms))
+SELECT toks.doc_id, SUM(enc.n_syms)::BIGINT AS n_tokens
+FROM toks JOIN enc USING (w)
+GROUP BY toks.doc_id"""
 
 
 def _transcript_leiden_values_sql() -> str:
@@ -4622,6 +4692,7 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["transcript_leiden"] = _transcript_leiden_values_sql()
     sql["transcript_louvain_warm"] = _transcript_louvain_warm_values_sql()
     sql["corpus_bpe_merges"] = _corpus_bpe_values_sql(n_merges=10)
+    sql["corpus_bpe_token_counts"] = _corpus_bpe_counts_sql(n_merges=10)
     sql["transcript_ecg_votes"] = _transcript_ecg_votes_values_sql()
     sql["transcript_ecg"] = _transcript_ecg_values_sql()
     sql["transcript_resolution_profile"] = (

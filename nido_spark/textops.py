@@ -1440,3 +1440,53 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         out, "rank long, left string, right string, cnt long"
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    truncate_every: int = 16,
+) -> DataFrame:
+    """(doc_id, n_tokens) — the TRUE subword count of each document under
+    a learned BPE merge table (``learn_bpe_merges`` output, or
+    ``[(left, right), ...]`` in rank order): the tokenizer-APPLY step
+    that turns ``token_count_bpe``'s regex proxy into exact budget
+    accounting once the vocab exists. Same tokenization as training
+    (lowercased regex-trim whitespace words); docs with no words (empty
+    or all-whitespace text) produce no row, matching the word explode.
+
+    100 TB shape: merges apply over the word-TYPE table (distinct words
+    — 10^6-10^8 rows at web scale, never the 10^12-token stream) as
+    chained engine-side aggregate folds (``_bpe_merge_apply``, no Python
+    per row), lineage-truncated every ``truncate_every`` merges so
+    expression depth stays bounded at any merge count; the corpus is
+    touched twice (word explode for the vocab; word explode + join on
+    the encoded vocab + per-doc sum — the join side is the tiny vocab,
+    broadcast below the join threshold). The only collect is the merge
+    table itself, n_merges rows by construction."""
+    from nido_spark.plans import truncate_lineage
+
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+    merges = list(merges)
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    vocab = truncate_lineage(
+        words.select("w").distinct().select("w", F.split("w", "").alias("syms"))
+    )
+    for i, (left, right) in enumerate(merges):
+        vocab = vocab.select(
+            "w", _bpe_merge_apply(F.col("syms"), str(left), str(right)).alias("syms")
+        )
+        if (i + 1) % int(truncate_every) == 0 and i + 1 < len(merges):
+            vocab = truncate_lineage(vocab)
+    enc = vocab.select("w", F.size("syms").alias("n_syms"))
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("long").alias("n_tokens"))
+    )

@@ -1965,6 +1965,51 @@ def test_learn_bpe_merges_reference_replay(spark):
         learn_bpe_merges(docs, 0)
 
 
+def test_bpe_token_counts_reference_replay(spark):
+    """True subword counts under learned merges match a pure-Python
+    encode of every word type; merges accepted as DataFrame or list;
+    whitespace-only docs produce no row; truncate_every=2 exercises the
+    mid-chain lineage truncation without changing results."""
+    from nido_spark.textops import bpe_token_counts, learn_bpe_merges
+
+    texts = {
+        1: "low low low lower newest newest widest",
+        2: "newest widest low",
+        3: "   ",
+        4: "aaaa lower aaaa",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    merges_df = learn_bpe_merges(docs, 6)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    assert len(merges) == 6
+
+    def enc_len(w):
+        syms = list(w)
+        for left, right in merges:
+            o, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    o.append(left + right)
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            syms = o
+        return len(syms)
+
+    exp = {
+        d: sum(enc_len(w) for w in t.lower().split())
+        for d, t in texts.items()
+        if t.split()
+    }
+    for m in (merges_df, merges):
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in bpe_token_counts(docs, m, truncate_every=2).collect()
+        }
+        assert got == exp, type(m)
+
+
 def test_pack_documents_single_exchange_plan(spark):
     """Scale-shape pin: the whole packing job is ONE hash exchange on the
     shard column — the second window (shard, pack) is satisfied by the
