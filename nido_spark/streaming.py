@@ -161,6 +161,47 @@ def streaming_dedup(
     return rows.dropDuplicates(list(key_cols))
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER equi-join with an event-time band:
+    each left row pairs with the right rows of the same ``key`` whose
+    timestamp falls in ``[left_ts, left_ts + upper]`` — the enrichment
+    join an ingest pipeline runs between two live feeds (e.g. user turns
+    against the tool results that answered them within 5 minutes). Right
+    columns (including the key) come back suffixed ``_r`` so the two
+    sides never collide whatever their schemas share.
+
+    State is bounded on BOTH sides: Spark's stream-stream join keeps a
+    left row only until the right watermark passes ``left_ts + upper``
+    and a right row until the left watermark passes ``right_ts`` — the
+    band + watermark give the engine the eviction bound an unbanded
+    stream-stream join lacks (which would otherwise buffer both streams
+    forever). Works identically on batch frames (same function, no
+    stream required — the stream==batch parity test's contract); use
+    relational.interval_join for the bucketized batch-scale variant."""
+    r2 = right.select(
+        *[F.col(c).alias(c + "_r") for c in right.columns]
+    )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = r2.withWatermark(right_ts + "_r", watermark)
+    cond = (
+        (F.col(key) == F.col(key + "_r"))
+        & (F.col(right_ts + "_r") >= F.col(left_ts))
+        & (
+            F.col(right_ts + "_r")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
 # ---------------------------------------------------------------------------
 # Stateful cross-batch turn reassembly
 # ---------------------------------------------------------------------------

@@ -21,6 +21,65 @@ def transcript_dir(spark, tmp_path):
     return path
 
 
+def test_streaming_interval_join_stream_batch_parity(spark, tmp_path):
+    """Stream-stream band join == the same function on the batch frames:
+    user turns enriched with the assistant turns that answered them
+    within 5 minutes, delivered across interleaved file waves (each side
+    split across two files, maxFilesPerTrigger=1 forces multi-epoch
+    buffering on both sides)."""
+    tr = synth_transcripts(spark, 80, seed=7)
+    users = tr.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    asst = tr.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts"
+    )
+    upath, apath = str(tmp_path / "users"), str(tmp_path / "asst")
+    for df, path in ((users, upath), (asst, apath)):
+        df.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(path + "/w1")
+        df.where(F.col("turn_idx") % 2 == 1).coalesce(1).write.parquet(path + "/w2")
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    lstream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(upath + "/w*")
+    )
+    rstream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(apath + "/w*")
+    )
+    joined = ST.streaming_interval_join(
+        lstream, rstream, key="conv_id", upper="5 minutes"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ivj")
+        .option("checkpointLocation", str(tmp_path / "ck_ivj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["turn_idx_r"])
+            for r in spark.sql(
+                "SELECT conv_id, turn_idx, turn_idx_r FROM ivj"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["turn_idx_r"])
+        for r in ST.streaming_interval_join(
+            users, asst, key="conv_id", upper="5 minutes"
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    # band semantics: every pair's answer really is within [0, 5m]
+    deltas = ST.streaming_interval_join(
+        users, asst, key="conv_id", upper="5 minutes"
+    ).select(
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("d")
+    ).collect()
+    assert all(0 <= r["d"] <= 300_000_000 for r in deltas)
+
+
 def test_streaming_turn_counts(spark, transcript_dir, tmp_path):
     stream = ST.stream_transcripts(spark, transcript_dir + "/wave*")
     agg = ST.streaming_turn_counts(stream)
