@@ -872,6 +872,16 @@ def _q_emb_kmeans(spark, sf):
     return out.select("id", "cid", F.round("sqdist", 6).alias("sqdist"))
 
 
+def _q_emb_semantic_dedup(spark, sf):
+    # SemDeDup end-to-end: kmeans buckets (the emb_kmeans replay), within-
+    # cluster cosine >= 0.3 pairs, CC groups, min-id survivor — the oracle
+    # replays centroids as literals and the group closure as a recursive
+    # CTE (the fuzzy_dedup_survivors template)
+    return S.semantic_dedup(
+        _emb(spark, sf), k=8, tau=0.3, iters=5, seed=42
+    ).select("vec_id")
+
+
 def _q_emb_neighbor_mean(spark, sf):
     # GraphSAGE-mean aggregate over a deterministic ring+chord graph on
     # the embedding ids (dst of id -> (id+1) % n and (7*id+3) % n,
@@ -2056,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_node2vec": _q_transcript_node2vec,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
         "emb_pca_proj": _q_emb_pca_proj,
         "emb_silhouette": _q_emb_silhouette,
         "emb_quantize": _q_emb_quantize,
@@ -3057,6 +3068,65 @@ best AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
     FROM ad) WHERE rn = 1)
 SELECT vec_id AS id, j AS cid, ROUND(d, 6) AS sqdist FROM best"""
+
+
+def _emb_semantic_dedup_sql(
+    k: int = 8, iters: int = 5, dim: int = 64, tau: float = 0.3
+) -> str:
+    """Exact mirror of similarity.semantic_dedup: the NumPy-replayed final
+    centroids as literals (the _emb_kmeans_sql recipe) -> same (d, cid)
+    argmin assignment -> within-cluster a<b pairs with
+    list_cosine_similarity >= tau (the embedding_near_dups cosine
+    pairing) -> recursive-CTE transitive closure -> min-id survivors
+    (the fuzzy_dedup_survivors template)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from nido_spark.similarity import kmeans_schedule_numpy
+
+    sf_dir = os.environ.get("NIDO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = list(pdf["vec_id"])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C, _ = kmeans_schedule_numpy(ids, X, k=k, iters=iters, seed=42)
+    cent_rows = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in C[j])}]::DOUBLE[])"
+        for j in range(k)
+    )
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> (ev.v[i] - cent.c[i]) * (ev.v[i] - cent.c[i])), (a, x) -> a + x)"
+    )
+    return f"""
+WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(j, c) AS (VALUES {cent_rows}),
+ad AS (SELECT ev.vec_id, cent.j, {sq} AS d FROM ev CROSS JOIN cent),
+best AS (
+  SELECT vec_id, j AS cid FROM (
+    SELECT vec_id, j, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn
+    FROM ad) WHERE rn = 1),
+sp AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM best a JOIN best b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {tau!r}),
+und AS (SELECT a, b FROM sp UNION SELECT b AS a, a AS b FROM sp),
+reach(v, r) AS (
+  SELECT a AS v, b AS r FROM und
+  UNION
+  SELECT reach.v, und.b FROM reach JOIN und ON und.a = reach.r
+),
+losers AS (SELECT DISTINCT v AS vec_id FROM reach WHERE r < v)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM losers)"""
 
 
 def _emb_silhouette_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
@@ -4687,6 +4757,9 @@ ORDER BY wk ASC, doc_id ASC LIMIT 50"""
     sql["ann_ivfpq_topk"] = _ivfpq_ann_sql(k=5, n_lists=8, n_probe=3,
                                            m=8, nbits=4, dim=64)
     sql["emb_kmeans"] = _emb_kmeans_sql(k=8, iters=5, dim=64)
+    sql["emb_semantic_dedup"] = _emb_semantic_dedup_sql(
+        k=8, iters=5, dim=64, tau=0.3
+    )
     sql["emb_silhouette"] = _emb_silhouette_sql(k=8, iters=5, dim=64)
     sql["transcript_louvain"] = _transcript_louvain_values_sql()
     sql["transcript_leiden"] = _transcript_leiden_values_sql()

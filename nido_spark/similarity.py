@@ -629,6 +629,82 @@ def near_duplicates(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 64,
+    tau: float = 0.95,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 10_000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate REMOVAL over
+    an embedding column — k-means buckets the corpus, cosine >= ``tau``
+    pairs WITHIN each cluster form duplicate groups (connected
+    components, the transitive closure dedup needs), and the smallest id
+    per group survives. Returns the surviving rows with all input
+    columns — the operator a pipeline consumes, like ``fuzzy_dedup``;
+    complements ``near_duplicates`` (LSH buckets, returns pairs) with
+    the published kmeans-bucketed end-to-end variant.
+
+    Scale shape: candidate pairs are generated per CLUSTER — the
+    SemDeDup point, never a corpus self-join: one broadcast-centroid
+    assign pass, a cid-keyed id-only self-join whose fan-out is bounded
+    by ``max_cluster_size`` (over-full clusters are EXCLUDED, the LSH
+    bucket-cap discipline — an over-full cluster means k is too small
+    for the corpus; pass None to disable), a pair verify that re-joins
+    embeddings per unique pair, and an id-only anti-join. Pass
+    precomputed ``centroids`` (``kmeans_fit`` output) so scheduled jobs
+    train once and reuse (the ivf_ann_topk discipline)."""
+    from nido_spark.dedup import dedup_clusters
+    from nido_spark.plans import truncate_lineage
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(
+            corpus, k=k, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    )
+    assign = truncate_lineage(
+        kmeans_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+            "id", "cid"
+        )
+    )
+    if max_cluster_size is not None:
+        keep = (
+            assign.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= int(max_cluster_size))
+            .select("cid")
+        )
+        assign = assign.join(F.broadcast(keep), "cid")
+    la = assign.select("cid", F.col("id").alias("a"))
+    lb = assign.select("cid", F.col("id").alias("b"))
+    cand = la.join(lb, "cid").where(F.col("a") < F.col("b")).select("a", "b")
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / F.greatest(
+        _norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-12)
+    )
+    pairs = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= tau)
+        .select("a", "b")
+    )
+    clusters = dedup_clusters(pairs)
+    losers = truncate_lineage(
+        clusters.where(F.col("doc_id") != F.col("cluster")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def pca_power(
     vectors: DataFrame,
     n_iters: int = 6,

@@ -732,6 +732,55 @@ def test_kmeans_fit_matches_numpy_schedule(emb):
         assert arows[vid] == int(final[i]), vid
 
 
+def test_semantic_dedup_groups_and_centroid_reuse(spark):
+    """SemDeDup on planted near-copy groups: exactly the min id per group
+    plus every singleton survives; precomputed centroids reproduce the
+    trained run; the cluster-size cap excludes over-full clusters
+    (nothing from them dedups, all their rows survive)."""
+    import random
+
+    from nido_spark import similarity as S
+
+    random.seed(3)
+    rows, vid = [], 0
+    base = {g: [random.gauss(0, 1) for _ in range(8)] for g in range(3)}
+    for g in range(3):
+        for _ in range(4):
+            rows.append(
+                (vid, [x + random.gauss(0, 0.001) for x in base[g]])
+            )
+            vid += 1
+    for _ in range(5):
+        rows.append((vid, [random.gauss(0, 1) for _ in range(8)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exp = [0, 4, 8, 12, 13, 14, 15, 16]  # min id per group + singletons
+    got = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(df, k=4, tau=0.99, iters=4, seed=1).collect()
+    )
+    assert got == exp
+    # precomputed centroids (train-once discipline) == trained run
+    cents = S.kmeans_fit(df, k=4, iters=4, seed=1)
+    got2 = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, tau=0.99, centroids=cents
+        ).collect()
+    )
+    assert got2 == exp
+    # cap: k=1 puts everything in one 17-row cluster; cap 10 excludes it,
+    # so no pairs form and every row survives
+    all_ids = sorted(r[0] for r in rows)
+    capped = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            df, k=1, tau=0.99, iters=2, seed=1, max_cluster_size=10
+        ).collect()
+    )
+    assert capped == all_ids
+
+
 def test_bm25_matches_hand_computation(spark):
     """BM25 scores == a direct Python evaluation of the Okapi formula
     (Lucene idf) on a tiny corpus; no-hit docs score 0/n_hit 0; ranking
