@@ -268,6 +268,22 @@ def _q_transcript_eigenvector(spark, sf):
     return out.select("v", F.round("x", 9).alias("x"))
 
 
+def _q_transcript_simrank(spark, sf):
+    # candidate-scoped SimRank (Jeh-Widom) on the transcript actor graph:
+    # 3-round fixed schedule, hub cap 32 (the deg-338 tool hub alone would
+    # mint ~57k candidate pairs; capped P is 1,486). The oracle replays
+    # the SAME generic update (sym = state + diagonal, two adjacency
+    # folds) unrolled per round — validated against a dense NumPy
+    # truncated-SimRank reference (max abs diff 0.0 at build time;
+    # tests/test_algos.py pins the same semantics on wheel/karate).
+    tr = synth_transcripts(spark, 500, seed=42)
+    out = A.simrank(
+        transcripts_to_edges(tr, strategy="dense"),
+        c=0.8, max_iters=3, max_wedge_degree=32,
+    )
+    return out.select("a", "b", F.round("s", 9).alias("s"))
+
+
 def _q_transcript_sssp(spark, sf):
     # weighted single-source shortest paths from actor 0 on the transcript
     # graph: Spark runs the Bellman-Ford relaxation to FIXPOINT (10 rounds
@@ -617,6 +633,21 @@ def _q_lineitem_sweep_cut(spark, sf):
         F.round("vol", 6).alias("vol"),
         F.round("cut", 6).alias("cut"),
         F.round("phi", 9).alias("phi"),
+    )
+
+
+def _q_lineitem_local_community(spark, sf):
+    # ACL PPR-Nibble: the argmin-conductance prefix of the sweep curve —
+    # pure composition of personalized_pagerank + sweep_cut (the same
+    # 12-iter/5-seed schedule as lineitem_sweep_cut); argmin on ROUND-9
+    # phi with earliest-rank ties, so the selection replays exactly
+    edges = lineitem_edges(spark, sf)
+    seeds = [r["v"] for r in G.vertices(edges).orderBy("v").limit(5).collect()]
+    out = A.local_community(edges, seeds, max_iters=12)
+    return out.select(
+        "v",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("phi_star", 9).alias("phi_star"),
     )
 
 
@@ -2130,6 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_edges": _q_events_edges,
         "transcript_edges": _q_transcript_edges,
         "events_asof_click": _q_events_asof_click,
+        "transcript_simrank": _q_transcript_simrank,
+        "lineitem_local_community": _q_lineitem_local_community,
     }
     return _rotated(impls)
 
@@ -5976,6 +6009,86 @@ SELECT v, rank, ROUND(vol, 6) AS vol, ROUND(cut, 6) AS cut,
        CASE WHEN LEAST(vol, (SELECT t FROM tot) - vol) > 0
             THEN ROUND(cut / LEAST(vol, (SELECT t FROM tot) - vol), 9) END AS phi
 FROM curve"""
+
+    # PPR-Nibble replay: the sweep-cut CTE chain again, then the argmin-
+    # conductance prefix on the ROUND-9 phi (earliest rank on ties) —
+    # exactly local_community's replayable selection contract
+    sql["lineitem_local_community"] = f"""{_E},
+ppr AS MATERIALIZED (SELECT * FROM ({_ppr_full_sql(iters=12, n_seeds=5)})),
+deg AS (SELECT src AS v, SUM(w) AS k FROM e GROUP BY src),
+rk AS MATERIALIZED (
+  SELECT ppr.v, deg.k,
+         ROW_NUMBER() OVER (ORDER BY ppr.r / deg.k DESC, ppr.v ASC) AS rank
+  FROM ppr JOIN deg ON ppr.v = deg.v),
+je AS (
+  SELECT rs.rank AS r_src, rd.rank AS r_dst, e.w
+  FROM e JOIN rk rs ON e.src = rs.v LEFT JOIN rk rd ON e.dst = rd.v
+  WHERE rd.rank IS NULL OR rs.rank < rd.rank),
+del AS (
+  SELECT rank, SUM(d) AS d
+  FROM (SELECT r_src AS rank, w AS d FROM je
+        UNION ALL SELECT r_dst AS rank, -w AS d FROM je WHERE r_dst IS NOT NULL)
+  GROUP BY rank),
+tot AS (SELECT SUM(k) AS t FROM deg),
+curve AS (
+  SELECT rk.v, rk.rank,
+         SUM(rk.k) OVER (ORDER BY rk.rank) AS vol,
+         SUM(COALESCE(del.d, 0)) OVER (ORDER BY rk.rank) AS cut
+  FROM rk LEFT JOIN del USING (rank)),
+phis AS (
+  SELECT v, rank,
+         CASE WHEN LEAST(vol, (SELECT t FROM tot) - vol) > 0
+              THEN ROUND(cut / LEAST(vol, (SELECT t FROM tot) - vol), 9)
+         END AS phi
+  FROM curve),
+best AS (SELECT rank AS brank, phi FROM phis WHERE phi IS NOT NULL
+         ORDER BY phi ASC, rank ASC LIMIT 1)
+SELECT v, rank, (SELECT phi FROM best) AS phi_star
+FROM phis WHERE rank <= (SELECT brank FROM best)"""
+
+    # candidate-scoped SimRank, generic update unrolled per round: sym =
+    # positive state + its mirror + the pinned diagonal; fold the i-side
+    # adjacency, then the j-side; rescale on the candidate table (LEFT
+    # join — a candidate pair's mass can be 0 only in round 1 semantics,
+    # but the COALESCE keeps the round total). Same truncation semantics
+    # as algos.simrank (cap gates membership, recurrence uses FULL
+    # adjacency + true degrees).
+    _sr_c, _sr_cap = 0.8, 32
+    _sr_parts = [f"""te AS MATERIALIZED ({_transcript_edges_sql()}),
+half AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+sdeg AS MATERIALIZED (SELECT src AS u, COUNT(*) AS deg FROM half GROUP BY 1),
+srhub AS (SELECT u FROM sdeg WHERE deg <= {_sr_cap}),
+sradj AS (SELECT h.src AS u, h.dst AS n FROM half h JOIN srhub ON srhub.u = h.src),
+srpairs AS (
+  SELECT x.n AS a, y.n AS b FROM sradj x JOIN sradj y ON x.u = y.u AND x.n < y.n
+  GROUP BY 1, 2),
+srcand AS MATERIALIZED (
+  SELECT p.a, p.b, da.deg AS da, db.deg AS db
+  FROM srpairs p JOIN sdeg da ON da.u = p.a JOIN sdeg db ON db.u = p.b
+  WHERE da.deg <= {_sr_cap} AND db.deg <= {_sr_cap}),
+srverts AS (SELECT DISTINCT src AS v FROM te),
+sr0 AS MATERIALIZED (SELECT a, b, 0.0 AS s FROM srcand)"""]
+    for _k in range(1, 4):
+        _sr_parts.append(f"""srsym{_k - 1} AS MATERIALIZED (
+  SELECT a, b, s FROM sr{_k - 1} WHERE s > 0
+  UNION ALL SELECT b AS a, a AS b, s FROM sr{_k - 1} WHERE s > 0
+  UNION ALL SELECT v AS a, v AS b, 1.0 AS s FROM srverts),
+sru{_k} AS MATERIALIZED (
+  SELECT h.src AS x, sy.b AS j, SUM(sy.s) AS us
+  FROM half h JOIN srsym{_k - 1} sy ON sy.a = h.dst GROUP BY 1, 2),
+srraw{_k} AS MATERIALIZED (
+  SELECT sru{_k}.x AS a, h2.src AS b, SUM(sru{_k}.us) AS raw
+  FROM sru{_k} JOIN half h2 ON h2.dst = sru{_k}.j
+  WHERE sru{_k}.x < h2.src GROUP BY 1, 2),
+sr{_k} AS MATERIALIZED (
+  SELECT srcand.a, srcand.b,
+         {_sr_c} / (srcand.da * srcand.db) * COALESCE(srraw{_k}.raw, 0.0) AS s
+  FROM srcand LEFT JOIN srraw{_k}
+       ON srraw{_k}.a = srcand.a AND srraw{_k}.b = srcand.b)""")
+    sql["transcript_simrank"] = (
+        "WITH " + ",\n".join(_sr_parts)
+        + "\nSELECT a, b, ROUND(s, 9) AS s FROM sr3"
+    )
 
     # same regex-trim tokenization as doc_token_count (the divergence-free
     # rendering documented at textops.tokens); the quantile itself IS

@@ -3248,3 +3248,177 @@ def triangle_percolation_communities(
         F.pmod("comm", F.lit(1 << 30)).cast("long").alias("comm_b"),
         "v",
     ).distinct()
+
+
+def simrank(
+    edges: DataFrame,
+    c: float = 0.8,
+    max_iters: int = 3,
+    max_wedge_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """(a, b, s) — candidate-scoped SimRank (Jeh & Widom, KDD'02) over the
+    undirected graph: s(v,v) = 1 and
+
+        s_k(a,b) = c / (deg(a) * deg(b)) * SUM_{i in N(a), j in N(b)} s_{k-1}(i,j)
+
+    iterated a FIXED ``max_iters`` rounds (engine-replayable schedule, like
+    katz/eigenvector) from s_0 = identity. Unweighted SimRank — the classic
+    definition walks the adjacency structure, not edge weights.
+
+    Truncation (the 100 TB-safe rendering): similarity is maintained ONLY on
+    the candidate pair set P = distance-2 pairs (a < b sharing >=
+    ``min_common`` wedge centers); mass flowing to pairs outside P is
+    dropped each round, a one-sided underestimate and the standard
+    bounded-state pruning — full SimRank state is THETA(V^2), which no
+    engine materializes at scale. On graphs where every vertex pair shares
+    a neighbor (e.g. a wheel/star), P is all pairs and the truncation is
+    exact (test-pinned vs a dense NumPy reference).
+
+    ``max_wedge_degree`` (strongly recommended on skewed graphs) drops
+    wedges THROUGH hub centers during candidate generation — a deg-d hub
+    alone contributes d^2/2 candidate pairs — AND excludes pairs whose own
+    endpoint degree exceeds the cap: each update joins the pair state
+    through BOTH endpoints' adjacency, so a hub endpoint expands a pair row
+    by its degree. Hub pairs carry ~0 similarity anyway (the 1/(da*db)
+    scale), which is why endpoint capping is the standard SimRank pruning.
+    The recurrence itself always uses the FULL adjacency and true degrees —
+    the cap gates candidate MEMBERSHIP, never the neighbor sums (a capped
+    common neighbor still contributes its meeting mass).
+
+    Per-iteration plan: one E-row join folding the i-side adjacency into
+    the symmetrized state (|P|*2 + V rows), one groupBy, one E-row join
+    folding the j-side, one groupBy, one join back to P — all
+    hash-partitioned, no driver-side loops; state goes through
+    ``truncate_lineage`` every round. The diagonal contribution is exactly
+    one pass over E (sym carries V diagonal rows), so each round costs
+    O(E + P * cap) shuffled rows under the cap.
+
+    PRECONDITION: canonical SYMMETRIC edge table (normalize_edges output),
+    like edge_jaccard/k_truss; self-loops ignored."""
+    if max_iters < 1:
+        raise ValueError("simrank needs max_iters >= 1")
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # loop-invariant E-row table, columnar .persist() pinned on dst — BOTH
+    # per-round adjacency folds join on the dst side (i = dst, j = dst), so
+    # each iteration reuses this partitioning with zero E-row exchanges
+    half = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
+    )
+    half.count()
+    deg = half.groupBy(F.col("src").alias("u")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    hub = deg if max_wedge_degree is None else deg.where(
+        F.col("deg") <= max_wedge_degree
+    )
+    adj = half.select(F.col("src").alias("u"), F.col("dst").alias("n")).join(
+        hub.select("u"), "u"
+    )
+    pairs = (
+        adj.select("u", F.col("n").alias("a"))
+        .join(adj.select("u", F.col("n").alias("b")), "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+        .select("a", "b")
+    )
+    cand = pairs.join(
+        deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")), "b")
+    if max_wedge_degree is not None:
+        cand = cand.where(
+            (F.col("da") <= max_wedge_degree) & (F.col("db") <= max_wedge_degree)
+        )
+    cand = truncate_lineage(cand).persist()
+    cand.count()
+    diag = half.select(F.col("src").alias("a")).distinct().select(
+        "a", F.col("a").alias("b"), F.lit(1.0).alias("s")
+    )
+    state = cand.select("a", "b", F.lit(0.0).alias("s"))
+    for _ in range(max_iters):
+        sym = (
+            state.where(F.col("s") > 0)
+            .unionByName(
+                state.where(F.col("s") > 0).select(
+                    F.col("b").alias("a"), F.col("a").alias("b"), "s"
+                )
+            )
+            .unionByName(diag)
+        )
+        u = (
+            half.select(F.col("dst").alias("i"), F.col("src").alias("x"))
+            .join(sym.select(F.col("a").alias("i"), F.col("b").alias("j"), "s"), "i")
+            .groupBy("x", "j")
+            .agg(F.sum("s").alias("us"))
+        )
+        raw = (
+            u.join(
+                half.select(F.col("dst").alias("j"), F.col("src").alias("y")), "j"
+            )
+            .where(F.col("x") < F.col("y"))
+            .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+            .agg(F.sum("us").alias("raw"))
+        )
+        state = truncate_lineage(
+            cand.join(raw, ["a", "b"], "left").select(
+                "a",
+                "b",
+                (
+                    F.lit(c)
+                    / (F.col("da") * F.col("db"))
+                    * F.coalesce("raw", F.lit(0.0))
+                ).alias("s"),
+            )
+        )
+    half.unpersist()
+    cand.unpersist()
+    return state
+
+
+def local_community(
+    edges: DataFrame,
+    sources,
+    damping: float = 0.85,
+    max_iters: int = 12,
+) -> DataFrame:
+    """(v, rank, phi_star) — the classic ACL PPR-Nibble local community
+    around ``sources``: ``personalized_pagerank`` scores swept by
+    ``sweep_cut``, returning the members of the minimum-conductance prefix
+    (phi_star = that minimum ROUNDED to 9 dp, stamped on every member row;
+    earliest-rank argmin on ties, NULL-phi ranks excluded). Pure
+    composition of the two existing primitives — the point of keeping
+    sweep_cut curve-valued.
+
+    Scale: inherits sweep_cut's LOCAL contract — the sweep windows are
+    single-partition over the SCORED vertex slice; restrict scores first
+    (khop_subgraph / top-N) when V is web-scale. PPR itself is the
+    broadcast-gated fixed-schedule kernel."""
+    scores = personalized_pagerank(
+        edges, sources, damping=damping, max_iters=max_iters
+    )
+    # truncate_lineage materializes the curve, so the argmin action and the
+    # member filter below read the checkpointed blocks, not a PPR re-run
+    curve = truncate_lineage(
+        sweep_cut(edges, scores.where(F.col("r") > 0), "r")
+    )
+    # argmin on the ROUND-9 conductance (earliest rank on ties): cut/vol are
+    # float cumsums whose association order differs per engine, so the
+    # rounded key — not the raw double — is what replays exactly in SQL
+    best = (
+        curve.where(F.col("phi").isNotNull())
+        .select("rank", F.round("phi", 9).alias("phi"))
+        .orderBy(F.col("phi").asc(), F.col("rank").asc())
+        .first()
+    )
+    if best is None:
+        raise ValueError("local_community: empty sweep curve (no scored edges)")
+    out = curve.where(F.col("rank") <= best["rank"]).select(
+        "v", "rank", F.lit(float(best["phi"])).alias("phi_star")
+    )
+    return out

@@ -1780,3 +1780,119 @@ def test_triangle_percolation_overlap_and_separation(spark):
     big = spark.createDataFrame([(1 << 31, 5, 1.0)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="2\\^30"):
         A.triangle_percolation_communities(big)
+
+
+# ---------------------------------------------------------------------------
+# SimRank (candidate-scoped) + PPR-Nibble local community
+# ---------------------------------------------------------------------------
+
+
+def _simrank_numpy(A, c, iters, mask=None):
+    """Dense SimRank reference: S_0 = I, S_k = c * (A S A) / outer(d, d)
+    with the diagonal pinned to 1 each round; ``mask`` (bool, symmetric)
+    zeroes off-diagonal pairs outside the candidate set — the truncation
+    nido_spark.algos.simrank applies. mask=None is FULL SimRank."""
+    d = np.maximum(A.sum(1), 1.0)
+    S = np.eye(A.shape[0])
+    for _ in range(iters):
+        T = c * (A @ S @ A) / np.outer(d, d)
+        if mask is not None:
+            T = T * mask
+        np.fill_diagonal(T, 1.0)
+        S = T
+    return S
+
+
+def _wheel_edges(spark, n_rim=12):
+    """Wheel graph: hub 0 + rim cycle 1..n_rim. EVERY vertex pair shares a
+    common neighbor, so the distance-2 candidate set is ALL pairs and
+    candidate-scoped SimRank equals full SimRank exactly."""
+    pairs = [(0, i) for i in range(1, n_rim + 1)] + [
+        (i, i % n_rim + 1) for i in range(1, n_rim + 1)
+    ]
+    rows = [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs]
+    return (
+        spark.createDataFrame(rows, "src long, dst long, w double"),
+        pairs,
+    )
+
+
+def test_simrank_exact_on_wheel(spark):
+    edges, pairs = _wheel_edges(spark)
+    n = 13
+    M = np.zeros((n, n))
+    for a, b in pairs:
+        M[a, b] = M[b, a] = 1.0
+    for iters in (1, 3, 5):
+        got = {(r["a"], r["b"]): r["s"]
+               for r in A.simrank(edges, c=0.8, max_iters=iters).collect()}
+        # all pairs are candidates on a wheel
+        assert len(got) == n * (n - 1) // 2
+        S = _simrank_numpy(M, 0.8, iters)
+        for (a, b), s in got.items():
+            assert s == pytest.approx(S[a, b], abs=1e-9), (a, b, iters)
+        # classic SimRank bound: off-diagonal scores live in (0, c]
+        assert all(0 < s <= 0.8 + 1e-12 for s in got.values())
+
+
+def test_simrank_truncation_matches_masked_reference_karate(karate):
+    edges, (src, dst, w) = karate
+    n = int(max(src.max(), dst.max())) + 1
+    M = np.zeros((n, n))
+    M[src, dst] = 1.0
+    got = {(r["a"], r["b"]): r["s"]
+           for r in A.simrank(edges, c=0.8, max_iters=4).collect()}
+    # candidate set = pairs sharing >= 1 neighbor
+    common = (M @ M) > 0
+    np.fill_diagonal(common, False)
+    want_pairs = {(a, b) for a in range(n) for b in range(a + 1, n)
+                  if common[a, b]}
+    assert set(got) == want_pairs
+    S = _simrank_numpy(M, 0.8, 4, mask=common)
+    for (a, b), s in got.items():
+        assert s == pytest.approx(S[a, b], abs=1e-9), (a, b)
+
+
+def test_simrank_hub_cap_gates_membership_not_values(spark):
+    # star hub 0 with leaves 1..5, plus the leaf-leaf edge (1, 2)
+    pairs = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    rows = [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    # cap 2: the only cap-surviving wedge centers are leaves 1 and 2, whose
+    # wedges all involve the deg-5 hub as an endpoint -> no candidates at all
+    assert A.simrank(edges, max_wedge_degree=2).count() == 0
+    # uncapped: leaf pairs (through the hub) + (0,1)/(0,2) (through 2/1);
+    # (0,3)/(0,4)/(0,5) share NO neighbor (N(3) = {0} itself) -> excluded
+    got = {(r["a"], r["b"]): r["s"]
+           for r in A.simrank(edges, c=0.8, max_iters=3).collect()}
+    leaf_pairs = {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    assert set(got) == leaf_pairs | {(0, 1), (0, 2)}
+    # VALUES use true degrees/neighbor sums even where membership was capped:
+    # symmetric leaves 3,4,5 (deg 1, only neighbor the hub) all tie
+    assert got[(3, 4)] == pytest.approx(got[(4, 5)], abs=1e-12)
+    n = 6
+    M = np.zeros((n, n))
+    for a, b in pairs:
+        M[a, b] = M[b, a] = 1.0
+    common = (M @ M) > 0
+    np.fill_diagonal(common, False)
+    S = _simrank_numpy(M, 0.8, 3, mask=common)
+    for (a, b), s in got.items():
+        assert s == pytest.approx(S[a, b], abs=1e-9), (a, b)
+
+
+def test_local_community_recovers_barbell_clique(spark):
+    # two K6 cliques {0..5} and {10..15} joined by the bridge (5, 10)
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    pairs = clique(range(6)) + clique(range(10, 16)) + [(5, 10)]
+    rows = [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    out = A.local_community(edges, [0], max_iters=12).collect()
+    members = {r["v"] for r in out}
+    assert members == set(range(6))
+    phi = out[0]["phi_star"]
+    # cut = the 1-weight bridge, vol(K6 side) = 6*5 + 1 bridge half = 31
+    assert phi == pytest.approx(1.0 / 31.0, abs=1e-9)
+    assert all(r["phi_star"] == phi for r in out)
