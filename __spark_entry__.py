@@ -636,6 +636,20 @@ def _q_lineitem_sweep_cut(spark, sf):
     )
 
 
+def _q_corpus_dsir_sample(spark, sf):
+    # DSIR importance resampling (Xie et al. '23): target slice = the
+    # 'src0' domain; winners by Gumbel top-k in log space over the shared
+    # affine-bucket u (seed 7) reading the ROUND-9 logw — the oracle
+    # replays LM smoothing, log-ratio sum, bucket draw and race verbatim
+    from nido_spark.pipeline import dsir_sample
+
+    docs = _docs(spark, sf)
+    out = dsir_sample(docs, docs.where(F.col("source") == "src0"), k=60, seed=7)
+    return out.select(
+        "doc_id", "n_tokens", F.round("logw", 9).alias("logw")
+    )
+
+
 def _q_lineitem_local_community(spark, sf):
     # ACL PPR-Nibble: the argmin-conductance prefix of the sweep curve —
     # pure composition of personalized_pagerank + sweep_cut (the same
@@ -2163,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": _q_events_asof_click,
         "transcript_simrank": _q_transcript_simrank,
         "lineitem_local_community": _q_lineitem_local_community,
+        "corpus_dsir_sample": _q_corpus_dsir_sample,
     }
     return _rotated(impls)
 
@@ -4772,6 +4787,43 @@ FROM (SELECT doc_id, n_chars,
              ROUND(-ln(({_bkt_sql(7)} + 1) / 2147483648.0) / n_chars, 9) AS wk
       FROM documents WHERE n_chars > 0)
 ORDER BY wk ASC, doc_id ASC LIMIT 50"""
+
+    # DSIR replay: add-0.5-smoothed unigram LMs over the union vocab
+    # (raw corpus vs the src0 target slice), per-doc log-ratio sum over
+    # pre-reduced (doc, token, m), ROUND-9 logw, then the log-space
+    # Gumbel race on the same affine bucket draw (seed 7)
+    sql["corpus_dsir_sample"] = f"""
+WITH tokr AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array({_lc_txt}, '\\s+')) AS token
+  FROM documents WHERE {_lc_txt} <> ''),
+cr AS (SELECT token, COUNT(*)::BIGINT AS cr FROM tokr GROUP BY 1),
+ct AS (SELECT token, COUNT(*)::BIGINT AS ct FROM tokr
+       WHERE source = 'src0' GROUP BY 1),
+vj AS (
+  SELECT COALESCE(cr.token, ct.token) AS token,
+         COALESCE(cr.cr, 0) AS cr, COALESCE(ct.ct, 0) AS ct
+  FROM cr FULL OUTER JOIN ct ON cr.token = ct.token),
+tot AS (SELECT COUNT(*) AS v, SUM(cr) AS nr, SUM(ct) AS nt FROM vj),
+lr AS (
+  SELECT token,
+         ln((ct + 0.5) / ((SELECT nt FROM tot) + 0.5 * (SELECT v FROM tot)))
+       - ln((cr + 0.5) / ((SELECT nr FROM tot) + 0.5 * (SELECT v FROM tot)))
+         AS lr
+  FROM vj),
+occ AS (SELECT doc_id, token, COUNT(*)::BIGINT AS m FROM tokr GROUP BY 1, 2),
+scored AS (
+  SELECT occ.doc_id, SUM(m)::BIGINT AS n_tokens, SUM(m * lr.lr) AS logw
+  FROM occ JOIN lr ON lr.token = occ.token GROUP BY 1),
+wts AS (
+  SELECT d.doc_id, COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens,
+         ROUND(COALESCE(s.logw, 0.0), 9) AS logw
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, logw
+FROM (SELECT doc_id, n_tokens, logw,
+             ROUND(logw - ln(-ln(({_bkt_sql(7)} + 1) / 2147483648.0)), 9) AS gk
+      FROM wts)
+ORDER BY gk DESC, doc_id ASC LIMIT 60"""
 
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["ppr_full"] = _ppr_full_sql(iters=12, n_seeds=5)

@@ -460,3 +460,126 @@ def mix_corpus(
         .where(u_i < F.col("thr"))
         .select("doc_id", "domain", "copy", "n_tokens")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, logw) — per-document log importance weight for
+    Data Selection via Importance Resampling (DSIR, Xie et al., NeurIPS
+    2023): logw(x) = SUM_t c_t(x) * (ln p_target(t) - ln p_raw(t)) under
+    add-alpha-smoothed unigram LMs fit on the raw corpus (``docs``) and
+    the in-domain exemplar slice (``target``), both over their UNION
+    vocab (strictly positive, both directions finite — the unigram_kl
+    smoothing convention, same lowercased whitespace tokenizer).
+    Zero-token documents keep logw = 0 (the empty product), n_tokens 0.
+
+    The paper hashes n-grams into a fixed bucket space; at these vocab
+    sizes the exact token identity is strictly better and stays
+    oracle-replayable — swap the token column for a hash bucket when V
+    itself is web-scale.
+
+    100 TB shape: two explode+groupBy token counts (map-side combined),
+    ONE full-outer join on the token for the log-ratio table, totals as
+    two driver scalars (house rule), then the per-doc pass: token
+    occurrences pre-reduced per (doc, token) BEFORE the ratio join (the
+    bigram_logloss discipline — repeated tokens never shuffle twice) and
+    one grouped sum. Text never shuffles; only (doc_id, token, m)."""
+    from nido_spark.textops import tokens as _toks
+
+    def _counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(_toks(F.lower(F.col(text_col)))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    vocabj = (
+        _counts(docs, "cr")
+        .join(_counts(target, "ct"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = vocabj.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cr").alias("nr"),
+        F.sum("ct").alias("nt"),
+    ).first()
+    v = int(tot["v"] or 0)
+    if v == 0:
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("logw"),
+        )
+    nr, nt, al = float(tot["nr"] or 0), float(tot["nt"] or 0), float(alpha)
+    lr = vocabj.select(
+        "token",
+        (
+            F.log((F.col("ct") + F.lit(al)) / F.lit(nt + al * v))
+            - F.log((F.col("cr") + F.lit(al)) / F.lit(nr + al * v))
+        ).alias("lr"),
+    )
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_toks(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    scored = occ.join(lr, "token").groupBy("doc_id").agg(
+        F.sum("m").alias("n_tokens"),
+        F.sum(F.col("m") * F.col("lr")).alias("logw"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    seed: int = 42,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, logw) of the ``k`` DSIR winners — importance
+    resampling with probability proportional to exp(logw), rendered as
+    deterministic Gumbel top-k ENTIRELY in log space: each doc draws u
+    from its id's shared affine bucket and scores
+
+        gk = logw - ln(-ln(u))        (the Gumbel-max trick)
+
+    whose top-k is exactly Efraimidis-Spirakis weighted sampling without
+    replacement with w = exp(logw) — but immune to exp overflow/underflow
+    at the extreme weights long documents produce. The race reads the
+    ROUND-9 logw (not the raw double: logw is a float sum whose
+    association order differs per engine; the rounded value is the
+    cross-engine contract) and gk itself rounds to 9 dp (the race
+    convention); ties break on doc_id. orderBy+limit compiles to
+    TakeOrderedAndProject (bounded heaps, no global sort)."""
+    w = dsir_weights(docs, target, text_col=text_col, alpha=alpha, id_col=id_col)
+    u = (_bucket("doc_id", seed) + F.lit(1)) / F.lit(float(_SAMPLE_P2 + 1))
+    gk = F.round(F.round(F.col("logw"), 9) - F.log(-F.log(u)), 9)
+    return (
+        w.withColumn("_gk", gk)
+        .orderBy(F.col("_gk").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .drop("_gk")
+    )

@@ -2227,3 +2227,104 @@ def test_edit_distance_join_contracts(spark):
     # 'short' (3 distinct grams <= q*d = 6) is the one short-bucket doc
     with pytest.raises(ValueError, match="max_short"):
         D.edit_distance_join(df, d=2, q=3, max_short=0)
+
+
+def test_dsir_weights_pure_python_replay(spark):
+    """logw replayed in pure Python: add-0.5 unigram LMs over the union
+    vocab of raw vs target, per-doc sum of count * log-ratio; zero-token
+    docs keep (0, 0.0)."""
+    import math
+    from collections import Counter
+
+    from nido_spark.pipeline import dsir_weights
+
+    rows = [
+        (1, "apple banana apple", "t"),
+        (2, "car truck road", "r"),
+        (3, "apple road", "r"),
+        (4, "   ", "r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logw"])
+        for r in dsir_weights(df, df.where("dom = 't'")).collect()
+    }
+
+    def toks(t):
+        t = t.lower().strip()
+        return t.split() if t else []
+
+    craw = Counter(w for _, t, _ in rows for w in toks(t))
+    ctgt = Counter(w for _, t, d in rows if d == "t" for w in toks(t))
+    vocab = set(craw) | set(ctgt)
+    v, nr, nt = len(vocab), sum(craw.values()), sum(ctgt.values())
+    lr = {
+        w: math.log((ctgt[w] + 0.5) / (nt + 0.5 * v))
+        - math.log((craw[w] + 0.5) / (nr + 0.5 * v))
+        for w in vocab
+    }
+    for doc_id, text, _ in rows:
+        ts = toks(text)
+        want = sum(lr[w] for w in ts)
+        assert got[doc_id][0] == len(ts)
+        assert abs(got[doc_id][1] - want) < 1e-9, doc_id
+    assert got[4] == (0, 0.0)
+    # in-domain doc 1 upweighted, off-domain doc 2 downweighted
+    assert got[1][1] > 0 > got[2][1]
+
+
+def test_dsir_sample_race_replay_and_bias(spark):
+    """Winners are exactly the k largest ROUND(round9(logw) - ln(-ln u), 9)
+    keys (ties by id) — pure-Python replay of bucket + race on top of the
+    replayed weights — and the winner set is biased toward the target
+    domain."""
+    import math
+    from collections import Counter
+
+    from nido_spark.pipeline import (
+        _SAMPLE_A1, _SAMPLE_A2, _SAMPLE_B1, _SAMPLE_B2, _SAMPLE_P, _SAMPLE_P2,
+        dsir_sample,
+    )
+
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            rows.append((i, "alpha beta gamma alpha", "tgtlike"))
+        else:
+            rows.append((i, "zeta yota kappa omega", "off"))
+    # the explicit target slice: first 10 target-like docs
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    target = df.where("dom = 'tgtlike' AND doc_id < 30")
+    got = [r["doc_id"] for r in dsir_sample(df, target, k=25, seed=7).collect()]
+
+    def toks(t):
+        t = t.lower().strip()
+        return t.split() if t else []
+
+    craw = Counter(w for _, t, _ in rows for w in toks(t))
+    tgt_rows = [r for r in rows if r[2] == "tgtlike" and r[0] < 30]
+    ctgt = Counter(w for _, t, _ in tgt_rows for w in toks(t))
+    vocab = set(craw) | set(ctgt)
+    v, nr, nt = len(vocab), sum(craw.values()), sum(ctgt.values())
+    lr = {
+        w: math.log((ctgt[w] + 0.5) / (nt + 0.5 * v))
+        - math.log((craw[w] + 0.5) / (nr + 0.5 * v))
+        for w in vocab
+    }
+
+    def bucket(x, seed):
+        r1 = (_SAMPLE_A1 * ((x % _SAMPLE_P) + seed) + _SAMPLE_B1) % _SAMPLE_P
+        return (_SAMPLE_A2 * (r1 % (1 << 30)) + _SAMPLE_B2) % _SAMPLE_P2
+
+    keyed = []
+    for i, t, _ in rows:
+        logw = round(sum(lr[w] for w in toks(t)), 9)
+        u = (bucket(i, 7) + 1) / float(_SAMPLE_P2 + 1)
+        keyed.append((round(logw - math.log(-math.log(u)), 9), -i))
+    want = sorted(
+        -i for _, i in sorted(keyed, reverse=True)[:25]
+    )
+    assert sorted(got) == want
+    # bias: target-like docs are 1/3 of the corpus but dominate the sample
+    n_tgt = sum(1 for i in got if i % 3 == 0)
+    assert n_tgt > 18, n_tgt
