@@ -980,10 +980,63 @@ def _jaccard_probe(sf_dir: str, cpus: int, replicate: int = 1) -> float:
     return n / dt
 
 
+def _simrank_probe(sf_dir: str, cpus: int, replicate: int = 256) -> float:
+    """Candidate-scoped SimRank scaling probe (new in round 5): the
+    transcript actor graph replicated ``replicate`` times with disjoint id
+    offsets (copies are independent components, so candidate pairs and
+    per-round join volume scale exactly linearly), 3 update rounds at hub
+    cap 32. Each round folds the pair state through BOTH endpoint
+    adjacencies — a heavier per-round shuffle mix than pagerank's single
+    fold, which is what this probes. Prints pair-round updates/sec."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import algos as A
+    from nido_spark.io import synth_transcripts, transcripts_to_edges
+    from nido_spark.session import get_spark
+
+    spark = get_spark(
+        f"nido_simrank_scale_{cpus}", cores=cpus, shuffle_partitions=cpus
+    )
+    base = transcripts_to_edges(
+        synth_transcripts(spark, 500, seed=42), strategy="dense"
+    )
+    copies = spark.range(replicate).select(
+        (F.col("id") * 1_000_000_000).alias("off")
+    )
+    edges = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("src") + F.col("off")).alias("src"),
+            (F.col("dst") + F.col("off")).alias("dst"),
+            "w",
+        )
+        .repartition(cpus * 2, "dst")
+        .persist()
+    )
+    edges.count()
+    npairs = A.simrank(edges, max_iters=1, max_wedge_degree=32).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        A.simrank(edges, max_iters=3, max_wedge_degree=32).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "pair_rounds_per_sec": npairs * 3 / dt,
+                      "sec": dt, "runs_sec": [round(r, 1) for r in runs],
+                      "n_pairs": npairs, "replicate": replicate}))
+    spark.stop()
+    return npairs * 3 / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-simrank":
+        _simrank_probe(sf_dir, int(sys.argv[2]),
+                       int(sys.argv[3]) if len(sys.argv) > 3 else 256)
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe":
         _scaling_probe(sf_dir, int(sys.argv[2]))
