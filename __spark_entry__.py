@@ -927,6 +927,16 @@ def _q_emb_semantic_dedup(spark, sf):
     ).select("vec_id")
 
 
+def _q_emb_dbscan(spark, sf):
+    # density clustering over the production LSH path: the oracle replays
+    # the SAME seeded banding (the _lsh_cte recipe), so the eps-neighbor
+    # candidate set — and hence core flags, components and border
+    # assignments — is identical by construction, not approximately equal
+    return S.dbscan(_emb(spark, sf), eps=0.7, min_pts=4, dim=64).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "is_core"
+    )
+
+
 def _q_emb_neighbor_mean(spark, sf):
     # GraphSAGE-mean aggregate over a deterministic ring+chord graph on
     # the embedding ids (dst of id -> (id+1) % n and (7*id+3) % n,
@@ -2112,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "emb_dbscan": _q_emb_dbscan,
         "emb_pca_proj": _q_emb_pca_proj,
         "emb_silhouette": _q_emb_silhouette,
         "emb_quantize": _q_emb_quantize,
@@ -4601,6 +4612,53 @@ scored AS (
   JOIN ev eb ON pairs.b = eb.vec_id
 )
 SELECT a, b, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.3"""
+
+    # DBSCAN over the replayed LSH candidate set: same banding -> same
+    # eps-neighbor pairs (cos >= 1 - 0.7); core = |N| + 1 >= 4 (sklearn
+    # convention, self included); cluster label = min core id in the
+    # density-connected component (transitive closure over core-core
+    # edges, the fuzzy_dedup recursive-CTE template; isolated cores keep
+    # their own id); border = min cluster among core neighbors; noise -1
+    sql["emb_dbscan"] = f"""
+WITH RECURSIVE {_lsh_cte(n_bands=4, rows_per_band=4)},
+dpairs AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM banded l JOIN banded r USING (band, key)
+  WHERE l.vec_id < r.vec_id
+),
+dnbr0 AS (
+  SELECT dpairs.a, dpairs.b
+  FROM dpairs
+  JOIN ev ea ON dpairs.a = ea.vec_id
+  JOIN ev eb ON dpairs.b = eb.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+),
+dsym AS (SELECT a AS v, b AS n FROM dnbr0 UNION ALL SELECT b, a FROM dnbr0),
+dcore AS (SELECT v FROM dsym GROUP BY v HAVING COUNT(*) + 1 >= 4),
+dce AS (
+  SELECT s.v AS a, s.n AS b
+  FROM dsym s JOIN dcore c1 ON s.v = c1.v JOIN dcore c2 ON s.n = c2.v
+),
+dreach(v, r) AS (
+  SELECT a, b FROM dce
+  UNION
+  SELECT dreach.v, dce.b FROM dreach JOIN dce ON dce.a = dreach.r
+),
+dclab AS (
+  SELECT dcore.v, LEAST(dcore.v, COALESCE(MIN(dreach.r), dcore.v)) AS cluster
+  FROM dcore LEFT JOIN dreach ON dreach.v = dcore.v GROUP BY dcore.v
+),
+dborder AS (
+  SELECT s.v, MIN(cl.cluster) AS cluster
+  FROM dsym s JOIN dclab cl ON s.n = cl.v
+  WHERE s.v NOT IN (SELECT v FROM dcore) GROUP BY s.v
+)
+SELECT e.vec_id,
+       COALESCE(cl.cluster, b.cluster, -1)::BIGINT AS cluster,
+       (cl.v IS NOT NULL) AS is_core
+FROM embeddings e
+LEFT JOIN dclab cl ON e.vec_id = cl.v
+LEFT JOIN dborder b ON e.vec_id = b.v"""
 
     sql["transcript_edges"] = _transcript_edges_sql()
 

@@ -1486,3 +1486,143 @@ def mmr_select(
         rows_out.append((r, row["vec_id"], float(row["_s"])))
     spark = vectors.sparkSession
     return spark.createDataFrame(rows_out, "rank int, vec_id long, score double")
+
+
+def _cosine_pairs_exact(
+    corpus: DataFrame, tau: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """ALL (a < b, cos >= tau) pairs via the quadratic self-join — the
+    verification path (oracle parity, small corpora). At scale use the
+    LSH-bucketed generator; this one exists so exactness is a parameter,
+    not a fork of the algorithm."""
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / F.greatest(
+        _norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-12)
+    )
+    return (
+        va.join(vb, F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= tau)
+        .select("a", "b")
+    )
+
+
+def dbscan(
+    corpus: DataFrame,
+    eps: float = 0.7,
+    min_pts: int = 4,
+    method: str = "lsh",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over an
+    embedding column with cosine distance (neighbor iff
+    cosine >= 1 - eps). Returns one row per corpus id:
+    ``(vec_id, cluster, is_core)`` — cluster = the smallest CORE id in
+    the point's density-connected component, border points take the
+    smallest cluster among their core neighbors (the deterministic
+    rendering of DBSCAN's order-dependent border assignment), noise is
+    cluster = -1.
+
+    Core test matches sklearn: |N_eps(p)| including p itself >= min_pts.
+
+    Distributed shape (the NG-DBSCAN/RP-DBSCAN discipline — never a
+    corpus self-join at scale):
+
+    - ``method="lsh"``: eps-neighbor candidates from the seeded
+      random-hyperplane bucketing (``near_duplicates``) — only
+      (id, band, key) rows cross the exchange, buckets are capped, and
+      the pair verify re-joins embeddings per unique pair. Approximate
+      in exactly the LSH sense: a missed candidate pair can demote a
+      boundary core or split a thinly-connected cluster; recall is
+      tuned with n_bits/n_bands. The DuckDB oracle replays the SAME
+      banding, so the gate value-checks the production path itself.
+    - ``method="exact"``: the quadratic verify path for oracles/tests.
+
+    After the pair step everything is id-only: a single-pass mirror
+    (explode, not self-union), one map-side-combined degree count, a
+    core-core semi-join, min-label connected components (broadcast-gated,
+    zero E-row exchanges per round below the gate), and one groupBy-min
+    border assignment. An isolated core (all eps-neighbors non-core)
+    keeps its own id as the cluster label — CC only sees core-core edges,
+    so the label table is completed with ``coalesce(comm, v)``.
+
+    Reference parity: the reference ships only modularity clustering
+    (cugraph-scripts/cug_louvain_mm.py:35); DBSCAN is the density
+    companion a data-curation user expects next to SemDeDup — cluster
+    the embedding space, keep cluster exemplars, drop noise."""
+    from nido_spark.algos import connected_components
+    from nido_spark.plans import truncate_lineage
+
+    tau = 1.0 - float(eps)
+    if method == "lsh":
+        pairs = near_duplicates(
+            corpus,
+            tau=tau,
+            n_bits=n_bits,
+            n_bands=n_bands,
+            dim=dim,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket_size=max_bucket_size,
+        ).select("a", "b")
+    elif method == "exact":
+        pairs = _cosine_pairs_exact(corpus, tau, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown method {method!r} (lsh|exact)")
+
+    # id-only from here on; pin the pair set once — it feeds the degree
+    # count, the core-core join and the border join
+    pairs = truncate_lineage(pairs.select("a", "b"))
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("v"), F.col("b").alias("n")),
+                F.struct(F.col("b").alias("v"), F.col("a").alias("n")),
+            )
+        ).alias("_e")
+    ).select("_e.v", "_e.n")
+    cores = (
+        sym.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+        .where(F.col("_nn") + 1 >= int(min_pts))
+        .select("v")
+    )
+    core_edges = (
+        sym.join(cores, "v", "left_semi")
+        .join(cores.withColumnRenamed("v", "n"), "n", "left_semi")
+        .select(F.col("v").alias("src"), F.col("n").alias("dst"), F.lit(1.0).alias("w"))
+    )
+    comp = connected_components(core_edges)  # (v, comm); isolated cores absent
+    core_lab = truncate_lineage(
+        cores.join(comp, "v", "left").select(
+            "v", F.coalesce(F.col("comm"), F.col("v")).alias("cluster")
+        )
+    )
+    border = (
+        sym.join(cores, "v", "left_anti")
+        .join(
+            core_lab.select(F.col("v").alias("n"), "cluster"), "n"
+        )
+        .groupBy("v")
+        .agg(F.min("cluster").alias("_bcluster"))
+    )
+    ids = corpus.select(F.col(id_col).alias("v"))
+    return (
+        ids.join(core_lab.withColumnRenamed("cluster", "_ccluster"), "v", "left")
+        .join(border, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce(F.col("_ccluster"), F.col("_bcluster"), F.lit(-1)).alias(
+                "cluster"
+            ),
+            F.col("_ccluster").isNotNull().alias("is_core"),
+        )
+    )

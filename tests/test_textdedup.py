@@ -2328,3 +2328,98 @@ def test_dsir_sample_race_replay_and_bias(spark):
     # bias: target-like docs are 1/3 of the corpus but dominate the sample
     n_tgt = sum(1 for i in got if i % 3 == 0)
     assert n_tgt > 18, n_tgt
+
+
+def test_dbscan_numpy_reference_parity(spark):
+    """dbscan(method='exact') vs a direct NumPy rendering of the published
+    semantics (Ester '96 / sklearn core rule) with the engine's
+    deterministic tie-breaks: cluster = min core id in the
+    density-connected component, border = min cluster among core
+    neighbors, noise = -1."""
+    import numpy as np
+
+    from nido_spark.similarity import dbscan
+
+    rng = np.random.default_rng(3)
+    # three tight blobs + per-blob fringe points (the border class) +
+    # scattered noise, in 8 dims (seed picked so every row class occurs)
+    centers = rng.standard_normal((3, 8)) * 4
+    pts = np.vstack(
+        [c + 0.35 * rng.standard_normal((14, 8)) for c in centers]
+        + [c + 0.8 * rng.standard_normal((3, 8)) for c in centers]
+        + [6 * rng.standard_normal((10, 8))]
+    )
+    eps, min_pts = 0.25, 4
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_core"])
+        for r in dbscan(df, eps=eps, min_pts=min_pts, method="exact").collect()
+    }
+
+    norms = np.linalg.norm(pts, axis=1)
+    cos = (pts @ pts.T) / np.outer(norms, norms)
+    nbr = (cos >= 1.0 - eps) & ~np.eye(len(pts), dtype=bool)
+    core = nbr.sum(axis=1) + 1 >= min_pts
+    # components over core-core adjacency (BFS), label = min core id
+    label = {}
+    for s in np.flatnonzero(core):
+        if s in label:
+            continue
+        comp, stack = {int(s)}, [int(s)]
+        while stack:
+            u = stack.pop()
+            for w in np.flatnonzero(nbr[u] & core):
+                if int(w) not in comp:
+                    comp.add(int(w))
+                    stack.append(int(w))
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    want = {}
+    for i in range(len(pts)):
+        if core[i]:
+            want[i] = (label[i], True)
+        else:
+            cand = [label[int(j)] for j in np.flatnonzero(nbr[i] & core)]
+            want[i] = (min(cand), False) if cand else (-1, False)
+    assert got == want
+    # the fixture must exercise every row class
+    kinds = {(c >= 0, ic) for c, ic in want.values()}
+    assert kinds == {(True, True), (True, False), (False, False)}
+    assert len({c for c, ic in want.values() if ic}) >= 2
+
+
+def test_dbscan_isolated_core_and_lsh_contract(spark):
+    """A star whose center is core but whose leaves are not: the center is
+    an ISOLATED core (no core-core edge), so CC never sees it — the label
+    completion must still give it its own id, and the leaves must attach
+    as borders. Also pins the lsh path's method validation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nido_spark.similarity import dbscan
+
+    base = np.eye(4)[0]
+    leaves = [np.eye(4)[0] * 0.9 + 0.25 * np.eye(4)[k] for k in (1, 2, 3)]
+    far = [np.eye(4)[1], np.eye(4)[2]]
+    pts = [base] + leaves + far
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    # cosine distances: center-leaf 0.0365, leaf-leaf 0.0716 — at
+    # eps=0.05 each leaf sees ONLY the center, the center sees all three
+    # leaves: center is core at min_pts=4 with zero core neighbors (the
+    # isolated-core completion path), leaves are borders, far points noise
+    out = {
+        r["vec_id"]: (r["cluster"], r["is_core"])
+        for r in dbscan(df, eps=0.05, min_pts=4, method="exact").collect()
+    }
+    assert out[0] == (0, True)
+    assert all(out[i] == (0, False) for i in (1, 2, 3))
+    assert all(out[i] == (-1, False) for i in (4, 5))
+    with _pytest.raises(ValueError):
+        dbscan(df, method="nope").collect()
