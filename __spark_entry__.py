@@ -858,6 +858,18 @@ def _q_transcript_skipgrams(spark, sf):
     return G.walk_skipgram_pairs(wk, window=2)
 
 
+def _q_doc_text_tiles(spark, sf):
+    # TextTiling topic segmentation: per-gap block Jaccard + valley
+    # boundaries; scores are integer-count divisions so the oracle's
+    # window comparisons reproduce the flags bit-for-bit
+    from nido_spark.textops import text_tiles
+
+    out = text_tiles(_docs(spark, sf), w=10)
+    return out.select(
+        "doc_id", "gap", F.round("score", 9).alias("score"), "is_boundary"
+    )
+
+
 def _q_doc_line_dedup(spark, sf):
     # C4-style corpus-wide line dedup: md5 byte parity of the rewritten
     # text. Spark groups on a 128-bit line hash, the oracle on the line
@@ -2120,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_skipgrams": _q_transcript_skipgrams,
         "transcript_node2vec": _q_transcript_node2vec,
         "doc_line_dedup": _q_doc_line_dedup,
+        "doc_text_tiles": _q_doc_text_tiles,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "emb_dbscan": _q_emb_dbscan,
@@ -6535,6 +6548,52 @@ GROUP BY a.v, b.v"""
     # C4-style line dedup: window rn/cnt over the line TEXT (the
     # collision-free rendering of Spark's 128-bit line-hash groupBy),
     # canonical occurrence = smallest (doc_id, idx); string_agg rebuild
+    # TextTiling replay: tokens with 0-based positions, each token fans
+    # into its 2w (gap, side) memberships via generate_series (the same
+    # explode the engine runs), distinct sets, sides=2 intersection over
+    # count union, lag/lead valley flags
+    sql["doc_text_tiles"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk
+  FROM documents
+  WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+),
+ttok AS (
+  SELECT doc_id, u.i - 1 AS p, d.tk[u.i] AS tok
+  FROM d, LATERAL unnest(generate_series(1, len(d.tk))) AS u(i)
+),
+tn AS (SELECT doc_id, COUNT(*) AS nt FROM ttok GROUP BY doc_id),
+tmemb AS (
+  SELECT doc_id, g.g, 0 AS side, tok
+  FROM ttok, LATERAL unnest(generate_series(p + 1, p + 10)) AS g(g)
+  UNION ALL
+  SELECT doc_id, g.g, 1 AS side, tok
+  FROM ttok, LATERAL unnest(generate_series(p - 10 + 1, p)) AS g(g)
+),
+tvalid AS (
+  SELECT DISTINCT m.doc_id, m.g, m.side, m.tok
+  FROM tmemb m JOIN tn USING (doc_id)
+  WHERE m.g >= 10 AND m.g <= tn.nt - 10
+),
+tper AS (
+  SELECT doc_id, g, tok, COUNT(*) AS sides FROM tvalid GROUP BY doc_id, g, tok
+),
+tsc AS (
+  SELECT doc_id, g,
+         SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS score
+  FROM tper GROUP BY doc_id, g
+),
+twnd AS (
+  SELECT doc_id, g, score,
+         LAG(score)  OVER (PARTITION BY doc_id ORDER BY g) AS prev,
+         LEAD(score) OVER (PARTITION BY doc_id ORDER BY g) AS nxt
+  FROM tsc
+)
+SELECT doc_id, g AS gap, ROUND(score, 9) AS score,
+       COALESCE(score < prev AND score <= nxt, FALSE) AS is_boundary
+FROM twnd"""
+
     sql["doc_line_dedup"] = """
 WITH la AS MATERIALIZED (
   SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents

@@ -1490,3 +1490,76 @@ def bpe_token_counts(
         .groupBy("doc_id")
         .agg(F.sum("n_syms").cast("long").alias("n_tokens"))
     )
+
+
+def text_tiles(
+    docs: DataFrame, w: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997): per-gap lexical
+    cohesion scores and boundary flags. For every within-document token
+    gap g (g in [w, n_tokens - w]), score = Jaccard similarity of the
+    DISTINCT token sets of the w tokens before vs the w tokens after the
+    gap; a gap is a segment boundary when it is a cohesion VALLEY
+    (score < previous gap's AND score <= next gap's) — the deterministic
+    rendering of TextTiling's depth scoring (no smoothing pass, strict-<
+    on the left so a plateau marks only its first gap). Returns
+    (doc_id, gap, score, is_boundary); documents shorter than 2w tokens
+    yield no rows.
+
+    Distributed shape: one map-side explode fans each token into its 2w
+    (gap, side) block memberships (sequence + transform, no join against
+    a gap table), everything after is (doc_id, gap)-keyed aggregation —
+    no self-joins, no per-doc collects; cost is the textbook O(n * w)
+    with w a small constant. Exchanges carry (doc_id, gap, side, token);
+    at petabyte scale dictionary-encode or hash the token column first —
+    kept as strings here so the DuckDB oracle compares the exact sets.
+    Scores are integer-count divisions (exactly rounded IEEE doubles),
+    so the valley comparisons are engine-portable bit-for-bit."""
+    from pyspark.sql import Window
+
+    from nido_spark.plans import truncate_lineage
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    nt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nt"))
+    left = F.transform(
+        F.sequence(F.col("p") + 1, F.col("p") + w),
+        lambda g: F.struct(F.lit(0).alias("side"), g.alias("g")),
+    )
+    right = F.transform(
+        F.sequence(F.col("p") - w + 1, F.col("p")),
+        lambda g: F.struct(F.lit(1).alias("side"), g.alias("g")),
+    )
+    memb = (
+        tok.select("doc_id", "tok", F.explode(F.concat(left, right)).alias("_m"))
+        .select("doc_id", "tok", "_m.side", "_m.g")
+        .join(nt, "doc_id")
+        .where((F.col("g") >= w) & (F.col("g") <= F.col("_nt") - w))
+        .select("doc_id", "g", "side", "tok")
+        .distinct()
+    )
+    score = (
+        memb.groupBy("doc_id", "g", "tok")
+        .agg(F.count(F.lit(1)).alias("_sides"))
+        .groupBy("doc_id", "g")
+        .agg(
+            (
+                F.sum((F.col("_sides") == 2).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("score")
+        )
+    )
+    score = truncate_lineage(score)
+    wd = Window.partitionBy("doc_id").orderBy("g")
+    return score.select(
+        "doc_id",
+        F.col("g").alias("gap"),
+        "score",
+        F.coalesce(
+            (F.col("score") < F.lag("score").over(wd))
+            & (F.col("score") <= F.lead("score").over(wd)),
+            F.lit(False),
+        ).alias("is_boundary"),
+    )

@@ -2423,3 +2423,55 @@ def test_dbscan_isolated_core_and_lsh_contract(spark):
     assert all(out[i] == (-1, False) for i in (4, 5))
     with _pytest.raises(ValueError):
         dbscan(df, method="nope").collect()
+
+
+def test_text_tiles_pure_python_replay(spark):
+    """text_tiles vs a direct Python rendering of the TextTiling valley
+    rule: block-Jaccard at every interior gap, boundary iff
+    score < prev AND score <= next. Covers a real topic shift, a
+    plateau (only its first gap may mark), and the short-doc exclusion."""
+    from nido_spark.textops import text_tiles
+
+    w = 3
+    docs = [
+        # two topical halves with a bridge word
+        (1, "cat dog cat bird dog cat bird car road car truck road car truck"),
+        # uniform text -> plateau of equal scores, no strict valley
+        (2, "x y " * 8),
+        # too short for any gap at w=3 (5 tokens < 2w)
+        (3, "a b c d e"),
+        (4, "  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["gap"]): (r["score"], r["is_boundary"])
+        for r in text_tiles(df, w=w).collect()
+    }
+
+    want = {}
+    for did, text in docs:
+        toks = text.split()
+        n = len(toks)
+        scores = {}
+        for g in range(w, n - w + 1):
+            a, b = set(toks[g - w:g]), set(toks[g:g + w])
+            scores[g] = len(a & b) / len(a | b)
+        gaps = sorted(scores)
+        for i, g in enumerate(gaps):
+            prev = scores[gaps[i - 1]] if i > 0 else None
+            nxt = scores[gaps[i + 1]] if i + 1 < len(gaps) else None
+            bnd = (
+                prev is not None
+                and nxt is not None
+                and scores[g] < prev
+                and scores[g] <= nxt
+            )
+            want[(did, g)] = (scores[g], bnd)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][0] - want[k][0]) < 1e-12, k
+    # the fixture must exercise a found boundary and a boundary-free doc
+    assert any(b for (d, _), (_, b) in got.items() if d == 1)
+    assert not any(b for (d, _), (_, b) in got.items() if d == 2)
+    assert not any(d == 3 or d == 4 for (d, _) in got)
