@@ -1674,6 +1674,13 @@ def _q_cc_full(spark, sf):
     return A.connected_components(lineitem_edges(spark, sf))
 
 
+def _q_cc_alternating(spark, sf):
+    # alternating large-star/small-star CC (Kiveris SoCC'14): identical
+    # labels to min-label CC by theorem, so it shares cc_full's unrolled
+    # oracle — a cross-ALGORITHM value check, not just cross-engine
+    return A.connected_components_alternating(lineitem_edges(spark, sf))
+
+
 def _q_edges_cc_incremental(spark, sf):
     # incremental fold: label 3/4 of the edges, then merge the rest via
     # the label-pair graph — the result is EXACTLY the full recompute's
@@ -2151,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_linkpred": _q_transcript_linkpred,
         "cc_step": _q_cc_step,
         "cc_full": _q_cc_full,
+        "cc_alternating": _q_cc_alternating,
         "lpa_step": _q_lpa_step,
         "lpa_full": _q_lpa_full,
         "triangle_count": _q_triangle_count,
@@ -4899,6 +4907,9 @@ ORDER BY gk DESC, doc_id ASC LIMIT 60"""
     sql["pagerank_full"] = _pagerank_full_sql(iters=15)
     sql["ppr_full"] = _ppr_full_sql(iters=12, n_seeds=5)
     sql["cc_full"] = _cc_full_sql(rounds=12)
+    # alternating CC converges to the SAME min-member labels (Kiveris
+    # Thm 1), so the unrolled min-label fixpoint is its oracle too
+    sql["cc_alternating"] = _cc_full_sql(rounds=12)
     # incremental CC == full recompute exactly (label-pair merge graph
     # preserves the min-member-id invariant), so it shares cc_full's oracle
     sql["edges_cc_incremental"] = _cc_full_sql(rounds=12)

@@ -609,8 +609,133 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        e.unpersist()
+        # silent truncation would hand back labels that LOOK converged
+        # (found while cross-checking connected_components_alternating on
+        # a diameter-511 path: 100 rounds quietly returned mid-propagation
+        # labels). Same loud-failure contract as k_core/k_truss; graphs
+        # with diameter > max_iters should raise max_iters or use
+        # connected_components_alternating (O(log^2 n) rounds, any shape).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters); raise max_iters or use "
+            "connected_components_alternating"
+        )
     e.unpersist()
     return labels
+
+
+def _star_mins(sym: DataFrame) -> DataFrame:
+    """(u, m) with m = min(N(u) ∪ {u}) over a symmetric (u, v) pair table —
+    one map-side-combined groupBy, no per-group buffers."""
+    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+
+def connected_components_alternating(
+    edges: DataFrame, max_iters: int = 60
+) -> DataFrame:
+    """(v, comm) — connected components via the ALTERNATING large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014). Identical output to
+    ``connected_components`` (comm = min member id), different scaling
+    law: min-label propagation needs O(diameter) rounds — fine for
+    transcript-derived graphs (diameter ~6) but O(n) on chain-shaped
+    graphs (timestamp threads, linked lists of revisions) — while the
+    alternating star transforms converge in O(log^2 n) rounds on ANY
+    topology, each round two groupBy-min joins over the current edge
+    set. This is the variant the cc docstring promises for extreme
+    diameters; the pytest pins both the output equality and the round
+    count on a 512-vertex path (9 rounds vs 511).
+
+    large_star(E): every u connects its LARGER neighbors to
+    m = min(N(u) ∪ {u}); small_star(E): every u connects its
+    smaller-or-equal neighbors AND itself to m. Both emit (child, m)
+    pairs — only vertex-id pairs ever cross an exchange, and each
+    transform strictly reduces the potential function, so the edge set
+    contracts toward stars centered at component minima. Convergence =
+    edge set stable (equal cardinality + empty anti-join — exact, no
+    checksum-collision early stop; ``max_iters`` raises loudly as the
+    backstop).
+    Labels read off the converged stars: comm(v) = min(N(v) ∪ {v}),
+    completed with isolated originals mapping to themselves."""
+    verts = truncate_lineage(
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    cur = truncate_lineage(
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+    def _sym(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("_e")
+        ).select("_e.u", "_e.v")
+
+    def _canon(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.where(F.col("u") != F.col("m"))
+            .select(
+                F.least("u", "m").alias("a"), F.greatest("u", "m").alias("b")
+            )
+            .distinct()
+        )
+
+    n_cur = cur.count()
+    for _ in range(max_iters):
+        # large star: children are the strictly-larger neighbors
+        sym = _sym(cur)
+        ls = _canon(
+            sym.join(_star_mins(sym), "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), "m")
+        )
+        # small star: m = min over the SMALLER neighbors only (∪ {u}) —
+        # the paper's asymmetry that guarantees the star fixed point;
+        # children are those smaller neighbors, plus u itself
+        smaller = _sym(ls).where(F.col("v") < F.col("u"))
+        mins2 = smaller.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small_children = smaller.join(mins2, "u").select(
+            F.col("v").alias("u"), "m"
+        )
+        nxt = truncate_lineage(
+            _canon(small_children.unionByName(mins2.select("u", "m")))
+        )
+        # exact set-equality convergence test: equal cardinality plus an
+        # empty anti-join (both sides are distinct canonical pairs) — two
+        # scalar actions per round, no hash-collision early-stop risk
+        n_nxt = nxt.count()
+        stable = n_nxt == n_cur and (
+            nxt.join(cur, ["a", "b"], "left_anti").limit(1).count() == 0
+        )
+        cur, n_cur = nxt, n_nxt
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"alternating CC did not converge in {max_iters} rounds"
+        )
+    labels = (
+        _sym(cur)
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comm"))
+        .select(F.col("u").alias("v"), "comm")
+    )
+    return verts.join(labels, "v", "left").select(
+        "v", F.coalesce("comm", F.col("v")).alias("comm")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nido_spark import algos as A
+from nido_spark import graph as G
 from nido_spark import oracle as O
 from tests.conftest import labels_equivalent, symmetric_arrays
 
@@ -1896,3 +1897,60 @@ def test_local_community_recovers_barbell_clique(spark):
     # cut = the 1-weight bridge, vol(K6 side) = 6*5 + 1 bridge half = 31
     assert phi == pytest.approx(1.0 / 31.0, abs=1e-9)
     assert all(r["phi_star"] == phi for r in out)
+
+
+def test_cc_alternating_matches_min_label(spark, karate):
+    """Alternating large-star/small-star CC == min-label CC on karate, a
+    multi-component random graph, and a high-diameter path (with min-label
+    given enough rounds to actually converge there)."""
+    import numpy as np
+
+    edges, _ = karate
+    want = {(r["v"], r["comm"]) for r in A.connected_components(edges).collect()}
+    got = {
+        (r["v"], r["comm"])
+        for r in A.connected_components_alternating(edges).collect()
+    }
+    assert got == want
+
+    rng = np.random.default_rng(5)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 300, (200, 2)) if a != b})
+    e2 = G.normalize_edges(
+        spark.createDataFrame([(a, b, 1.0) for a, b in pairs], "src long, dst long, w double")
+    )
+    want2 = {(r["v"], r["comm"]) for r in A.connected_components(e2).collect()}
+    got2 = {(r["v"], r["comm"]) for r in A.connected_components_alternating(e2).collect()}
+    assert got2 == want2
+
+    path = G.normalize_edges(
+        spark.createDataFrame(
+            [(i + 7, i + 8, 1.0) for i in range(255)], "src long, dst long, w double"
+        )
+    )
+    want3 = {
+        (r["v"], r["comm"])
+        for r in A.connected_components(path, max_iters=300).collect()
+    }
+    got3 = {
+        (r["v"], r["comm"])
+        # max_iters=12 PINS the O(log^2 n) round count: diameter 255, the
+        # star transforms must finish in <= 12 rounds or raise
+        for r in A.connected_components_alternating(path, max_iters=12).collect()
+    }
+    assert got3 == want3
+    assert {c for _, c in got3} == {7}
+
+
+def test_cc_raises_on_diameter_exceeding_max_iters(spark):
+    """The silent-truncation defect found while cross-checking the
+    alternating variant: min-label CC on a diameter-63 path with
+    max_iters=10 must raise loudly, not return mid-propagation labels."""
+    import pytest as _pytest
+
+    path = G.normalize_edges(
+        spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(63)], "src long, dst long, w double"
+        )
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        A.connected_components(path, max_iters=10)
