@@ -705,6 +705,46 @@ def _scc_probe(sf_dir: str, cpus: int, replicate: int = 64) -> float:
     return ne / dt
 
 
+def _altcc_probe(sf_dir: str, cpus: int, replicate: int = 4096) -> float:
+    """Alternating large-star/small-star CC scaling probe (new in round 5):
+    ``replicate`` disjoint id-offset PATH components of 256 vertices each —
+    the high-diameter regime the operator exists for (min-label propagation
+    would need 255 rounds here; the star transforms finish in ~10
+    regardless of ``replicate``, so the measured scaling is the per-round
+    groupBy-min + anti-join algebra over a 1M-edge set). Prints edges/sec
+    over the full run."""
+    from pyspark.sql import functions as F
+
+    from nido_spark import algos as A
+    from nido_spark.session import get_spark
+
+    spark = get_spark(f"nido_altcc_scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    chain = spark.range(255).select(F.col("id").alias("i"))
+    copies = spark.range(replicate).select((F.col("id") * 1_000_000).alias("off"))
+    edges = (
+        chain.crossJoin(copies)
+        .select(
+            (F.col("i") + F.col("off")).alias("src"),
+            (F.col("i") + 1 + F.col("off")).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+        .repartition(cpus * 2, "src")
+        .persist()
+    )
+    ne = edges.count()
+    A.connected_components_alternating(edges).count()  # warm-up
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        A.connected_components_alternating(edges).count()
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "edges_per_sec": ne / dt, "sec": dt,
+                      "runs_sec": [round(r, 1) for r in runs], "n_edges": ne}))
+    spark.stop()
+    return ne / dt
+
+
 def _map_probe(sf_dir: str, cpus: int, replicate: int = 600) -> float:
     """Map-only compute probe (no shuffle): quality scoring over a
     replicated documents table (3M docs at sf0.1) — enough per-task regex
@@ -1032,6 +1072,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-altcc":
+        _altcc_probe(sf_dir, int(sys.argv[2]),
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 4096)
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--probe-simrank":
         _simrank_probe(sf_dir, int(sys.argv[2]),
