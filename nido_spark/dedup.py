@@ -104,12 +104,17 @@ def minhash_signatures(
     Duplicate shingles are harmless (min is multiset-invariant), so no
     distinct pass. Empty docs get an empty sig.
     """
+    from nido_spark.plans import spread_small_input
+
     t = canonical_text(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
         lambda i: t.substr(i + 1, F.lit(k)),
     )
-    hashed = docs.select(
+    # the shingle explode + per-shingle hashing is the expensive map work;
+    # spread a low-parallelism input (single-file scan) first so it does
+    # not serialize on one core (plans.spread_small_input; no-op at scale)
+    hashed = spread_small_input(docs).select(
         "doc_id",
         F.explode(
             F.when(F.length(t) >= k, grams).otherwise(F.array().cast("array<string>"))
@@ -188,8 +193,18 @@ def jaccard_verify(
     the exchange is an array of shingle HASHES (8 bytes each), not shingle
     strings — the set intersection then compares longs, ~4x faster end to
     end at 200k+ candidate pairs (collision odds over 64-bit hashes are
-    ~|pairs|*|shingles|^2 / 2^64 — immaterial)."""
-    sh = docs.select(
+    ~|pairs|*|shingles|^2 / 2^64 — immaterial).
+
+    The per-pair intersection is the dominant cost (a hash-set build per
+    row), so it is evaluated EXACTLY ONCE per pair: |A∪B| is derived as
+    |A| + |B| - |A∩B| (equal by construction — the shingle arrays are
+    distinct sets), and the intersection size is computed in its own
+    projection so Catalyst cannot inline it into both the numerator and
+    the denominator (round 6: array_union was re-doing the same hash-set
+    work, 2.2x on the verify stage)."""
+    from nido_spark.plans import spread_small_input
+
+    sh = spread_small_input(docs).select(
         F.col("doc_id"),
         F.transform(
             _char_shingles(F.col(text_col), k), lambda g: F.xxhash64(g)
@@ -201,9 +216,16 @@ def jaccard_verify(
         .select(
             "a",
             "b",
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+        )
+        .select(
+            "a",
+            "b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+                F.col("common")
+                / F.greatest(F.col("n_a") + F.col("n_b") - F.col("common"), F.lit(1))
             ).alias("jaccard"),
         )
     )
@@ -259,6 +281,11 @@ def jaccard_join(
     never shorten, alpha never rounds up, boundary pairs never drop)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"jaccard_join: threshold must be in (0, 1], got {threshold}")
+    from nido_spark.plans import spread_small_input
+
+    # the shingle explode below is the heavy map work — parallelize a
+    # single-file input first (no-op at scale)
+    docs = spread_small_input(docs)
     sets = docs.select(
         "doc_id",
         F.explode(
@@ -307,19 +334,25 @@ def jaccard_join(
             _char_shingles(F.col(text_col), k), lambda g: F.xxhash64(g)
         ).alias("sh"),
     )
+    # the intersection is computed in its own projection so it is
+    # evaluated once per pair, not once per reference (see jaccard_verify)
     return (
         cands.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
         .select(
             "a",
             "b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+        )
+        .select(
+            "a",
+            "b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
+                F.col("common")
                 / F.greatest(
-                    F.col("n_a")
-                    + F.col("n_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b")),
-                    F.lit(1),
+                    F.col("n_a") + F.col("n_b") - F.col("common"), F.lit(1)
                 )
             ).alias("jaccard"),
         )
@@ -428,8 +461,11 @@ def simhash_signatures_stable(docs: DataFrame, text_col: str = "text") -> DataFr
     near-pair output against DuckDB), per-bit majority vote over a 62-bit
     signature (bits 0..61; the 4x16-bit banding and the <=3-distance
     pigeonhole argument are unchanged)."""
+    from nido_spark.plans import spread_small_input
     from nido_spark.textops import tokens
 
+    docs = spread_small_input(docs)  # per-token Horner hashing is the
+    # heavy map work — parallelize a single-file input (no-op at scale)
     toks = tokens(canonical_text(F.col(text_col)))
     hs = F.transform(toks, _portable_token_hash)
 
@@ -647,6 +683,11 @@ def edit_distance_join(
         raise ValueError(f"edit_distance_join: d must be >= 1, got {d}")
     if q < 2:
         raise ValueError(f"edit_distance_join: q must be >= 2, got {q}")
+    from nido_spark.plans import spread_small_input
+
+    # gram explode + hashing is the heavy map work — parallelize a
+    # single-file input first (no-op at scale)
+    docs = spread_small_input(docs)
     base = docs.select(
         F.col("doc_id"),
         F.col(text_col).alias("_txt"),

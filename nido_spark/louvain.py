@@ -389,7 +389,7 @@ def louvain(
     max_phases: int = 200,
     checkpointer=None,
     kernel: str = "sql",
-    local_threshold: int = 100_000,
+    local_threshold: int = 1_000_000,
     dense_relabel: bool = False,
     broadcast_threshold: int = 8_000_000,
     durable_edges_prefix: str | None = None,
@@ -437,6 +437,15 @@ def louvain(
     tests at both settings). Coarsening shrinks the graph geometrically, so
     at any scale the tail phases are tiny — distributing them wastes more
     time scheduling stages than the arithmetic costs. 0 disables.
+
+    Default sizing (measured, round 6): one distributed sweep has a
+    ~1.7-2.5 s driver-latency floor (Catalyst planning + codegen + per-batch
+    lineage truncation) regardless of edge count, while a NumPy sweep over a
+    1M-edge phase runs in well under that, so any coarsened phase below ~1M
+    edges is fixed-cost dominated and belongs on the driver. Memory bound:
+    1M edge rows collect to ~24 MB of pandas — trivial for any driver. At
+    sf0.1 this moves the 679k-edge phase-1 (22 of 28 sweeps) local and cut
+    the full run ~4x with bit-identical labels/Q/history (parity-asserted).
 
     ``broadcast_threshold``: when a phase's vertex count is at or below
     this, the sweep statically broadcasts the V-row state/label tables.

@@ -33,6 +33,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a low-parallelism input up to the session's
+    default parallelism; no-op otherwise.
+
+    Why (round 6, measured): the sandbox fixtures are single-file,
+    single-row-group parquet, so every scan is ONE task and all pre-shuffle
+    per-row work (shingling, hashing, regex scoring, Arrow kernels)
+    serializes on one core — minhash signatures measured 6.7 s on one task
+    vs 1.1 s spread. This is the guide's input-skew remedy ("one huge
+    unsplittable file: repartition immediately after the read"): a cheap
+    round-robin exchange of the raw rows buys a fully parallel map stage.
+    Scale-adaptive by construction — any production table already carries
+    >= cluster-parallelism partitions and the helper is a no-op, so no
+    extra shuffle appears at 100 TB. Streaming inputs and plans whose
+    partitioning cannot be inspected pass through untouched.
+
+    Round-robin (not hash) keys: per-row map work has no key affinity, and
+    Spark's sort-before-repartition keeps the assignment deterministic
+    under task retry (SPARK-23207). Row placement never changes operator
+    results — every caller is a per-row map or feeds a keyed exchange.
+    """
+    try:
+        if df.isStreaming:
+            return df
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if n >= p:
+        return df
+    return df.repartition(p)
+
+
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df``, cut its lineage, and reset its stats estimate.
 

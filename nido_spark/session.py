@@ -62,6 +62,15 @@ def get_spark(
         # iterative loops churn checkpointed RDDs/broadcasts; default
         # periodic cleaner GC is 30min — far too lazy for 100-sweep loops
         .config("spark.cleaner.periodicGC.interval", "60s")
+        # AQE partition coalescing targets max(bytes/parallelism,
+        # minPartitionSize); the 1 MB default floor collapses small-byte /
+        # heavy-compute stages (array intersections, per-row text kernels)
+        # onto 1-4 cores — measured 3-14x stage slowdowns on the dedup
+        # verify path. 64k keeps parallelism-first behavior for
+        # compute-dense slim rows; at scale bytes/parallelism >> 1 MB and
+        # the floor is never the binding term, so cluster plans are
+        # unchanged (guide §2: derive partitioning from input size).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     )
     # local mode: shuffle files on tmpfs — the machine's single data disk is
     # otherwise the scaling wall for shuffle-bound stages (a real cluster

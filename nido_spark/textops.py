@@ -89,6 +89,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         * (F.lit(1.0) - F.least(punct_ratio * 2, F.lit(1.0)))
         * F.least(stopword_ratio * 4 + F.lit(0.2), F.lit(1.0))
     )
+    from nido_spark.plans import spread_small_input
+
+    docs = spread_small_input(docs)  # regex + token scans are the heavy
+    # map work — parallelize a single-file input (no-op at scale)
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars_obs"),
@@ -191,8 +195,13 @@ def winnow_fingerprint_positions(
                     }
                 )
 
+    from nido_spark.plans import spread_small_input
+
     id_type = docs.schema["doc_id"].dataType.simpleString()
-    return docs.select("doc_id", text_col).mapInPandas(
+    # the Arrow kernel is embarrassingly parallel but bound to its input
+    # partitioning — spread a single-file scan across the cores first
+    # (no-op at scale; round 6: one Arrow worker vs 32)
+    return spread_small_input(docs.select("doc_id", text_col)).mapInPandas(
         gen, schema=f"doc_id {id_type}, p int, g int, fp long"
     )
 
@@ -429,25 +438,31 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, lang_score) — marker-word voting over
     {en,de,fr,es}; 'und' (undetermined) when no marker hits. Deterministic
     tie-break by language code order via greatest-of-structs."""
+    from nido_spark.plans import spread_small_input
+
+    docs = spread_small_input(docs)  # 4 token-array scans per row —
+    # parallelize a single-file input (no-op at scale)
     toks = tokens(F.col(text_col))
     scores = []
     for code in sorted(LANG_MARKERS):
         marks = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
         n = F.size(F.filter(toks, lambda x: F.array_contains(marks, F.lower(x))))
-        # struct ordering: score desc, then code asc via reversed-code trick:
-        # greatest() picks max score; equal scores -> lexicographically
-        # larger struct; we negate by storing code and preferring smaller
-        # via the score-major ordering with code stored descending-safe.
-        scores.append(F.struct(n.alias("s"), F.lit(code).alias("c")))
-    # greatest over structs: max score, tie -> max code; to get tie -> min
-    # code deterministically, iterate with explicit comparison instead.
-    best = scores[0]
-    for s in scores[1:]:
-        best = F.when(s["s"] > best["s"], s).otherwise(best)
-    return docs.select(
+        # negated-score structs: array_min picks (max score, tie -> min
+        # code) in ONE lexicographic comparison — identical semantics to
+        # the old when-chain ("strictly greater replaces", so the first =
+        # smallest code wins ties), but each score is evaluated once
+        # instead of being re-inlined at every chain level (round 6: the
+        # nested whens re-evaluated the marker filters up to 8x per row)
+        scores.append(F.struct((-n).alias("ns"), F.lit(code).alias("c")))
+    best = F.array_min(F.array(*scores))
+    # two-step select: `best` is referenced three times below; its own
+    # projection keeps Catalyst from inlining the array of filters thrice
+    return docs.select("doc_id", best.alias("_best")).select(
         "doc_id",
-        F.when(best["s"] > 0, best["c"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["s"].cast("long").alias("lang_score"),
+        F.when(-F.col("_best.ns") > 0, F.col("_best.c"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        (-F.col("_best.ns")).cast("long").alias("lang_score"),
     )
 
 
