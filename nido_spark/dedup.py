@@ -237,6 +237,7 @@ def jaccard_join(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.6,
+    materialize_stages: bool = True,
 ) -> DataFrame:
     """(a, b, jaccard) — EVERY pair of docs with exact char-k-shingle
     Jaccard >= threshold: the EXACT set-similarity join (AllPairs /
@@ -281,7 +282,7 @@ def jaccard_join(
     never shorten, alpha never rounds up, boundary pairs never drop)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"jaccard_join: threshold must be in (0, 1], got {threshold}")
-    from nido_spark.plans import spread_small_input
+    from nido_spark.plans import spread_small_input, truncate_lineage
 
     # the shingle explode below is the heavy map work — parallelize a
     # single-file input first (no-op at scale)
@@ -292,6 +293,17 @@ def jaccard_join(
             F.transform(_char_shingles(F.col(text_col), k), lambda g: F.xxhash64(g))
         ).alias("fp"),
     ).distinct()
+    if materialize_stages:
+        # ``sets`` feeds THREE plan branches (per-doc sizes, global
+        # document frequency, the ranked prefix) and ``prefix`` feeds both
+        # sides of the candidate self-join: fused into one job the shared
+        # subtrees re-execute across task boundaries and the mega-plan's
+        # join-strategy draws get erratic (measured round 6: 4.7-28 s per
+        # draw fused vs ~2-3 s staged; same discipline — and the same
+        # measured 5x — as edit_distance_join's persist_grams). Stage
+        # boundaries below are truncate_lineage (eager), the house
+        # pattern; pass materialize_stages=False to keep the plan lazy.
+        sets = truncate_lineage(sets)
     n = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = sets.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "fp")
@@ -304,6 +316,8 @@ def jaccard_join(
         F.col("rank")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ).select("doc_id", "fp", "n", "rank")
+    if materialize_stages:
+        prefix = truncate_lineage(prefix)
     na, nb = F.col("l.n"), F.col("r.n")
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (na + nb).cast("double") - F.lit(1e-9)
@@ -328,6 +342,8 @@ def jaccard_join(
         .where(F.col("ub") >= F.col("alpha"))
         .select("a", "b", "n_a", "n_b")
     )
+    if materialize_stages:
+        cands = truncate_lineage(cands)
     sh = docs.select(
         F.col("doc_id"),
         F.transform(
