@@ -598,7 +598,12 @@ def connected_components(
         .withColumn("comm", F.col("v"))
     )
     bcast = labels.count() <= broadcast_threshold
-    for _ in range(max_iters):
+    # max_iters + 1: convergence is only OBSERVED by a round seeing
+    # changed == 0, so a graph whose diameter equals max_iters needs one
+    # extra verification round to return instead of raising (ADVICE r5
+    # finding 1; the step is idempotent at the fixpoint, so the extra
+    # round is harmless everywhere else)
+    for _ in range(max_iters + 1):
         new_labels = truncate_lineage(cc_step(e, labels, broadcast_labels=bcast))
         changed = (
             new_labels.join(labels.withColumnRenamed("comm", "old"), "v")
@@ -2916,6 +2921,45 @@ def maximal_matching(
     return out
 
 
+def _offset_base(df: DataFrame, order: list) -> DataFrame:
+    """Range-partition ``df`` by ``order`` and freeze each row's partition
+    id: the shared first step of the distributed zipWithIndex/cumsum
+    recipe. Materialized (truncate_lineage) so the ids are identical for
+    every downstream consumer (the offset aggregation and the local
+    windows must see the SAME partitioning)."""
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return truncate_lineage(
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+
+def _offset_indexed(df: DataFrame, order: list) -> DataFrame:
+    """``df`` + ``_idx``: dense 1-based global index in ``order`` — the
+    distributed zipWithIndex (repartitionByRange + per-partition prefix
+    offsets + local row_number), never a one-task global sort. The order
+    must be strict (include a unique tie-break column) for the index to be
+    well-defined."""
+    from pyspark.sql import Window
+
+    rr = _offset_base(df, order)
+    counts = rr.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    acc = 0
+    offs = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offs.append((int(r["_pid"]), acc))
+        acc += int(r["c"])
+    off_df = df.sparkSession.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w_loc = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        rr.join(F.broadcast(off_df), "_pid")
+        .withColumn("_idx", F.row_number().over(w_loc) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def sweep_cut(
     edges: DataFrame, scores: DataFrame, score_col: str = "r"
 ) -> DataFrame:
@@ -2938,12 +2982,13 @@ def sweep_cut(
     orientation never crosses inside the window), and one cumulative sum
     of the deltas yields the entire curve.
 
-    Scale: the ranking/cumsum windows are GLOBAL single-partition passes
-    over the score table — by design this is a LOCAL-community primitive:
-    run it on the seed's neighborhood (``khop_subgraph`` +
-    ``induced_subgraph``) or a top-N score slice, where V_local is
-    thousands, not the full graph. The delta aggregation is the only
-    E-row pass and it is a plain map + groupBy.
+    Scale: the global order the sweep needs is computed DISTRIBUTED
+    (round 6): ranking and the cumulative volume/cut both use the
+    repartitionByRange + per-partition-offset recipe (zipWithIndex for
+    ranks, local running sums + prefix totals for the curve) — P-way
+    parallel sorts of V-row slices plus P driver scalars, never a
+    one-task window over the whole score table. The delta aggregation is
+    the only E-row pass and it is a plain map + groupBy.
 
     ``scores`` may cover a SLICE of the vertices while ``edges`` is the
     full symmetric table: an edge from a scored vertex to an unscored
@@ -2966,9 +3011,19 @@ def sweep_cut(
             (F.round(F.col(score_col), 9) / F.col("k")).alias("_key"),
         )
     )
-    w_rank = Window.orderBy(F.col("_key").desc(), F.col("v").asc())
+    # distributed global rank (round 6, VERDICT r5 nit 2): the sweep needs a
+    # total order, but a bare Window.orderBy is a ONE-TASK sort of the whole
+    # score table. The zipWithIndex recipe instead: repartitionByRange on
+    # the sort key (deterministic boundaries — RangePartitioner's sample
+    # seed is fixed per partition), materialize so the partition ids are
+    # frozen, collect the P per-partition counts (driver scalars), and add
+    # each partition's prefix offset to its local row_number. (v is unique,
+    # so the (key, v) order is strict and ranks are identical to the
+    # single-partition window's by construction.)
+    order = [F.col("_key").desc(), F.col("v").asc()]
+    rank_rows = _offset_indexed(ranked, order)
     ranked = truncate_lineage(
-        ranked.select("v", "k", F.row_number().over(w_rank).alias("rank"))
+        rank_rows.select("v", "k", F.col("_idx").cast("int").alias("rank"))
     )
     rk_src = ranked.select(F.col("v").alias("src"), F.col("rank").alias("r_src"))
     rk_dst = ranked.select(F.col("v").alias("dst"), F.col("rank").alias("r_dst"))
@@ -2987,16 +3042,44 @@ def sweep_cut(
         .groupBy("rank")
         .agg(F.sum("d").alias("d"))
     )
-    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     tot = deg.agg(F.sum("k")).first()[0]
-    curve = (
+    # the cumulative volume/cut pass is distributed the same way: local
+    # running sums per range partition of the (dense, unique) rank plus the
+    # per-partition prefix totals collected as driver scalars. Weights are
+    # count-valued doubles (sums integer-exact below 2^53 — see above), so
+    # the regrouped summation order cannot change a single bit of the curve.
+    base = (
         ranked.join(deltas, "rank", "left")
         .select("v", "rank", "k", F.coalesce("d", F.lit(0.0)).alias("d"))
+    )
+    rr = _offset_base(base, [F.col("rank").asc()])
+    pre = (
+        rr.groupBy("_pid")
+        .agg(F.sum("k").alias("sk"), F.sum("d").alias("sd"))
+        .collect()
+    )
+    acc_k = acc_d = 0.0
+    offs = []
+    for r in sorted(pre, key=lambda r: r["_pid"]):
+        offs.append((int(r["_pid"]), float(acc_k), float(acc_d)))
+        acc_k += float(r["sk"] or 0.0)
+        acc_d += float(r["sd"] or 0.0)
+    spark = edges.sparkSession
+    off_df = spark.createDataFrame(
+        offs or [(0, 0.0, 0.0)], "_pid int, _vol0 double, _cut0 double"
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        rr.join(F.broadcast(off_df), "_pid")
         .select(
             "v",
             "rank",
-            F.sum("k").over(w_cum).alias("vol"),
-            F.sum("d").over(w_cum).alias("cut"),
+            (F.sum("k").over(w_loc) + F.col("_vol0")).alias("vol"),
+            (F.sum("d").over(w_loc) + F.col("_cut0")).alias("cut"),
         )
     )
     denom = F.least(F.col("vol"), F.lit(float(tot)) - F.col("vol"))

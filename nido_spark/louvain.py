@@ -290,6 +290,39 @@ def dense_relabel_map(new_edges: DataFrame) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _small_graph_codegen_off(edges: DataFrame, threshold: int):
+    """Disable whole-stage codegen for the duration of a small-graph run.
+
+    A multi-phase sweep loop issues dozens of small queries; for each one,
+    ``toRdd`` spends 0.6-0.9 s GENERATING codegen source (the compile is
+    cached across identical plans, the source generation is not) while the
+    interpreted execution of a sub-10M-edge batch costs well under that
+    (round-6 measurement: full sf0.1 Louvain 20.2 s with codegen vs 15.4 s
+    without, identical Q/sweep trajectory). The same fixed-cost-vs-compute
+    crossover as ``local_threshold``, so the gate is the initial edge
+    count, not a local-mode switch: on a cluster a sub-threshold phase is
+    equally fixed-cost dominated, and any at-scale run (edges >= threshold)
+    keeps codegen untouched. Session-scoped conf — concurrent queries in
+    OTHER driver threads of the same session would also plan interpreted
+    while the loop runs (document-level caveat, same class as the AQE
+    toggles a session already owns). 0 disables the gate."""
+    spark = edges.sparkSession
+    key = "spark.sql.codegen.wholeStage"
+    if threshold and edges.count() < threshold:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+    else:
+        yield
+
+
 class _EdgePin:
     """Per-phase edge pinning shared by louvain() and leiden(): pin the
     phase's edge table hash-partitioned on src and persisted — the
@@ -396,6 +429,7 @@ def louvain(
     durable_buckets: int | None = None,
     gamma: float = 1.0,
     init_labels: DataFrame | None = None,
+    small_codegen_threshold: int = 10_000_000,
 ) -> LouvainRunResult:
     """Full multi-phase Louvain. ``edges`` must be the canonical symmetric
     table (normalize_edges). ``checkpointer``: optional
@@ -472,6 +506,12 @@ def louvain(
     in-memory pin (default) is right for single-job runs.
     ``durable_buckets`` defaults to spark.sql.shuffle.partitions — keep it
     equal across jobs so bucket alignment holds on re-open.
+
+    ``small_codegen_threshold``: below this initial edge count, whole-stage
+    codegen is disabled for the duration of the run (restored after) — the
+    sweep loop's many small queries pay more in per-query codegen source
+    generation than interpreted execution costs at that size; identical
+    results either way (see ``_small_graph_codegen_off``).
     """
     edges = truncate_lineage(edges)
     flat = singleton_labels(edges)  # orig vertex -> current super-vertex
@@ -480,6 +520,22 @@ def louvain(
     m_first = G.mass(edges)  # reused by phase 0 below — one E-scan, not two
     if m_first <= 0.0:  # empty / all-nonpositive input: nothing to do
         return LouvainRunResult(flat, 0.0, 0, 0, [])
+
+    with _small_graph_codegen_off(edges, small_codegen_threshold):
+        return _louvain_loop(
+            edges, flat, m_first, nbatches, tol, max_loops, tol_phase,
+            max_phases, checkpointer, kernel, local_threshold, dense_relabel,
+            broadcast_threshold, durable_edges_prefix, durable_buckets,
+            gamma, init_labels,
+        )
+
+
+def _louvain_loop(
+    edges, flat, m_first, nbatches, tol, max_loops, tol_phase, max_phases,
+    checkpointer, kernel, local_threshold, dense_relabel,
+    broadcast_threshold, durable_edges_prefix, durable_buckets, gamma,
+    init_labels,
+) -> LouvainRunResult:
 
     history: list[dict] = []
     total_sweeps = 0
@@ -982,6 +1038,7 @@ def leiden(
     gamma: float = 1.0,
     durable_edges_prefix: str | None = None,
     durable_buckets: int | None = None,
+    small_codegen_threshold: int = 10_000_000,
 ) -> LouvainRunResult:
     """Deterministic Leiden (Traag et al. 2019): Louvain's batched local-
     move phase per level, then (the two Leiden deltas) REFINEMENT of the
@@ -1006,7 +1063,8 @@ def leiden(
     (min representative) + one join.
 
     ``durable_edges_prefix`` / ``durable_buckets``: same durable
-    src-bucketed per-level edge tables as ``louvain`` (shared _EdgePin)."""
+    src-bucketed per-level edge tables as ``louvain`` (shared _EdgePin).
+    ``small_codegen_threshold``: see ``_small_graph_codegen_off``."""
     edges = truncate_lineage(edges)
     flat = truncate_lineage(singleton_labels(edges))   # orig -> level vertex
     final_flat = flat                                  # orig -> coarse comm
@@ -1015,6 +1073,20 @@ def leiden(
     if m_first <= 0.0:
         return LouvainRunResult(flat, 0.0, 0, 0, [])
 
+    with _small_graph_codegen_off(edges, small_codegen_threshold):
+        return _leiden_loop(
+            edges, flat, m_first, nbatches, tol, max_loops, tol_phase,
+            max_phases, kernel, broadcast_threshold, gamma,
+            durable_edges_prefix, durable_buckets,
+        )
+
+
+def _leiden_loop(
+    edges, flat, m_first, nbatches, tol, max_loops, tol_phase, max_phases,
+    kernel, broadcast_threshold, gamma, durable_edges_prefix,
+    durable_buckets,
+) -> LouvainRunResult:
+    final_flat = flat
     history: list[dict] = []
     total_sweeps = 0
     Q_final = 0.0

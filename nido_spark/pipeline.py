@@ -498,7 +498,13 @@ def dsir_weights(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    vocabj = (
+    from nido_spark.plans import truncate_lineage
+
+    # vocabj feeds BOTH the scalar totals (.first below) and the log-ratio
+    # join — materialize it once (house stage-boundary rule, VERDICT r5
+    # nit 1) so the two corpus tokenize+count aggregations run once, not
+    # once per consumer
+    vocabj = truncate_lineage(
         _counts(docs, "cr")
         .join(_counts(target, "ct"), "token", "full_outer")
         .select(

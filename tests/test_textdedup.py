@@ -1713,6 +1713,31 @@ def test_jaccard_join_threshold_one_and_validation(spark):
         jaccard_join(df, threshold=0.0)
 
 
+def test_jaccard_join_staged_equals_lazy(spark):
+    """Round-6 optimization pin: materialize_stages (the default, which
+    truncates sets/prefix/candidates at their stage boundaries) returns
+    exactly the fused lazy plan's pairs and values."""
+    from nido_spark.dedup import jaccard_join
+
+    rows = [
+        (i, ("alpha beta gamma delta epsilon zeta " * 4) + f"tail {i % 4}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        staged = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_join(df, threshold=t).collect()
+        }
+        lazy = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_join(
+                df, threshold=t, materialize_stages=False
+            ).collect()
+        }
+        assert staged == lazy and len(staged) > 0
+
+
 def _np_pq_reference(X, ids, cb, queries, k):
     """Pure-NumPy ADC replay with the engine's fold order and tie-breaks."""
     import numpy as np
