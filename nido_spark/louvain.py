@@ -47,6 +47,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -140,11 +141,10 @@ def _move_candidates_state(
     ``broadcast_threshold``); at huge V leave False and AQE localizes the
     join reads instead."""
     bc = F.broadcast if broadcast_state else (lambda df: df)
+    w_eff, aggs, sel, pred = _kernel_cols(float(m), float(gamma))
     lab_dst = state.select(F.col("v").alias("dst"), F.col("comm").alias("dst_comm"))
     cand = (
-        edges.withColumn(
-            "w_eff", F.when(F.col("src") == F.col("dst"), F.lit(0.0)).otherwise(F.col("w"))
-        )
+        edges.withColumn("w_eff", w_eff)
         .join(bc(lab_dst), "dst")
         .groupBy("src", "dst_comm")
         .agg(F.sum("w_eff").alias("e_vc"))
@@ -157,11 +157,26 @@ def _move_candidates_state(
         .join(bc(a_dst), "dst_comm")
         .join(bc(a_my), "my_comm")
     )
+    return scored.groupBy("src").agg(*aggs).select(*sel).where(pred)
+
+
+@lru_cache(maxsize=16)
+def _kernel_cols(m: float, gamma: float):
+    """The batch kernel's Column bundle for a given (m, gamma).
+
+    Columns are UNRESOLVED expressions bound by name, so one bundle is
+    reusable across every batch, sweep and phase that shares (m, gamma) —
+    and building it costs ~200 py4j round trips, which the sweep loop was
+    paying 4x per sweep x sweeps x phases (round 6: ~0.9 s of pure
+    expression-construction chatter per sweep at sf0.1). m is constant
+    across phases of one run, so a whole louvain()/leiden() run hits one
+    cache entry; maxsize bounds concurrent distinct graphs."""
     two_m = 2.0 * m
+    w_eff = F.when(F.col("src") == F.col("dst"), F.lit(0.0)).otherwise(F.col("w"))
     gain_col = (
         F.col("e_vc") - F.lit(gamma) * F.col("k") * F.col("a_dst") / F.lit(two_m)
     ) / F.lit(m)
-    per_v = scored.groupBy("src").agg(
+    aggs = (
         F.first("my_comm").alias("cur_comm"),
         F.first("k").alias("k"),
         F.first("a_my").alias("a_my"),
@@ -183,12 +198,13 @@ def _move_candidates_state(
         F.col("self_e")
         - F.lit(gamma) * F.col("k") * (F.col("a_my") - F.col("k")) / F.lit(two_m)
     ) / F.lit(m)
-    return per_v.select(
+    sel = (
         F.col("src").alias("v"),
-        "cur_comm",
+        F.col("cur_comm").alias("cur_comm"),
         F.col("best.comm").alias("best_comm"),
         (F.col("best.gain") - self_term).alias("gain"),
-    ).where(F.col("best_comm").isNotNull())
+    )
+    return w_eff, aggs, sel, F.col("best_comm").isNotNull()
 
 
 def louvain_sweep(
