@@ -1557,7 +1557,7 @@ def dbscan(
     (cugraph-scripts/cug_louvain_mm.py:35); DBSCAN is the density
     companion a data-curation user expects next to SemDeDup — cluster
     the embedding space, keep cluster exemplars, drop noise."""
-    from nido_spark.algos import connected_components
+    from nido_spark.algos import connected_components_alternating
     from nido_spark.plans import truncate_lineage
 
     tau = 1.0 - float(eps)
@@ -1600,7 +1600,11 @@ def dbscan(
         .join(cores.withColumnRenamed("v", "n"), "n", "left_semi")
         .select(F.col("v").alias("src"), F.col("n").alias("dst"), F.lit(1.0).alias("w"))
     )
-    comp = connected_components(core_edges)  # (v, comm); isolated cores absent
+    # alternating large/small-star CC (ADVICE r5 finding 2): identical
+    # labels (comm = min member id, pytest-pinned equality), but O(log^2 n)
+    # rounds on ANY topology — a filament-shaped cluster whose core-core
+    # graph exceeds min-label propagation's round budget no longer raises
+    comp = connected_components_alternating(core_edges)
     core_lab = truncate_lineage(
         cores.join(comp, "v", "left").select(
             "v", F.coalesce(F.col("comm"), F.col("v")).alias("cluster")
