@@ -66,11 +66,19 @@ def get_spark(
         # minPartitionSize); the 1 MB default floor collapses small-byte /
         # heavy-compute stages (array intersections, per-row text kernels)
         # onto 1-4 cores — measured 3-14x stage slowdowns on the dedup
-        # verify path. 64k keeps parallelism-first behavior for
-        # compute-dense slim rows; at scale bytes/parallelism >> 1 MB and
-        # the floor is never the binding term, so cluster plans are
-        # unchanged (guide §2: derive partitioning from input size).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # verify path at sf0.1 (its shuffle is ~15 MB for seconds of
+        # per-row hash-set work). 256k keeps those stages at full
+        # parallelism while still coalescing genuinely tiny exchanges
+        # (round-6 A/B over full suite draws: 256k beat both 64k — which
+        # over-fragmented the iterative V-row loops — and the 1 MB
+        # default). At scale bytes/parallelism >> 1 MB and the floor is
+        # never the binding term, so cluster plans are unchanged (guide
+        # §2: derive partitioning from input size). Env-parameterised for
+        # deployment tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("NIDO_AQE_MIN_PARTITION_SIZE", "256k"),
+        )
     )
     # local mode: shuffle files on tmpfs — the machine's single data disk is
     # otherwise the scaling wall for shuffle-bound stages (a real cluster
